@@ -1,0 +1,74 @@
+"""Table registry over the driver's Parquet fixtures.
+
+The reference keeps its metadata in Postgres and its data as loose CSV in
+S3 (reference app.py:34-39, etl_core.py:22-27); the engine's catalog is a
+directory of Parquet tables read lazily — schemas come from Parquet
+footers, so scans get column pruning + predicate pushdown for free.
+"""
+
+from __future__ import annotations
+
+import os
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are always small enough to broadcast (bounded
+# cardinality even at 100 TB fact scale: regions/nations are fixed-size,
+# suppliers/parts grow slowly relative to facts).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy Parquet scan of one fixture table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. We read it as raw int64 nanoseconds
+    (``nanosAsLong``) and convert to microsecond TIMESTAMP_NTZ with exact
+    integer division (``div`` truncates like DuckDB's ns→µs conversion), so
+    both engines see identical values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        raw = spark.read.parquet(table_path(sf_dir, name))
+        if dict(raw.dtypes).get("ts") in ("bigint", "long"):
+            raw = raw.withColumn(
+                "ts",
+                F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"),
+            )
+        return raw
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
+    """All fixture tables as attributes: ``t = load_tables(...); t.lineitem``."""
+    return SimpleNamespace(
+        **{name: load_table(spark, sf_dir, name) for name in TABLES}
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

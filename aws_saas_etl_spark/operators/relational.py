@@ -1,0 +1,318 @@
+"""Relational core: scan → filter → join → aggregate → window → sort/limit.
+
+The reference's relational surface is a single ORM FK join plus equality
+filters and ORDER BY/LIMIT (reference models.py:17, app.py:83,196; SURVEY
+§2a J1/F2/O1/O2). This module re-expresses that surface — and the full
+relational breadth a real analytics engine needs (SURVEY §2b) — as
+declarative DataFrame plans so Catalyst handles pushdown, pruning, join
+selection, and AQE handles runtime skew/partition sizing.
+
+Scale notes (100 TB design point):
+- Dimension joins (region/nation/supplier/part) are explicitly
+  ``F.broadcast`` — no shuffle of the fact side for those joins.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE
+  coalesces/splits post-shuffle partitions at runtime.
+- Every aggregation is a partial (map-side combine) + final hash agg —
+  what Catalyst already emits for ``groupBy().agg()``.
+- Every LIMIT sits above a total order (ties broken by key columns) so
+  results are deterministic across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.catalog import load_tables
+
+# Rounding applied to floating aggregates before they leave the engine so
+# differential comparison against other engines is ulp-stable.
+MONEY = 2
+
+
+def pricing_summary(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (flagship query).
+
+    scan(lineitem) → filter(shipdate) → groupBy(returnflag, linestatus)
+    → 8 aggregates → sort. The filter and the two grouping columns are the
+    only columns read (column pruning), the shipdate predicate reaches the
+    parquet row-group stats (predicate pushdown), and the aggregation is
+    map-side partial — at 100 TB this is one shuffle of ~6 tiny rows per
+    partition.
+    """
+    t = load_tables(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        t.lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), MONEY).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), MONEY).alias("sum_base_price"),
+            F.round(F.sum(disc_price), MONEY).alias("sum_disc_price"),
+            F.round(F.sum(charge), MONEY).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), MONEY).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), MONEY).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 unshipped orders by revenue.
+
+    customer(filtered, broadcast) ⋈ orders ⋈ lineitem → groupBy order →
+    top-10 with deterministic tie-break on o_orderkey. The customer side is
+    ~1/5 of customers — still bounded, broadcast it; orders⋈lineitem is the
+    real shuffle and co-partitions on o_orderkey = l_orderkey.
+    """
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1996-03-15").cast("timestamp_ntz")
+    cust = t.customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t.orders.where(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    items = t.lineitem.where(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        items.join(orders, items.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, MONEY).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def local_supplier_volume(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue per nation where supplier and customer share
+    the nation, for one region and one year.
+
+    Five-way join: three bounded dims broadcast (region→nation→supplier);
+    customer⋈orders⋈lineitem shuffle on their keys. The c_nationkey =
+    s_nationkey predicate is applied as a join condition, not a post-filter,
+    so Catalyst can plan it inside the join.
+    """
+    t = load_tables(spark, sf_dir)
+    y0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1997-01-01").cast("timestamp_ntz")
+    nation_in_region = (
+        t.nation.join(
+            F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            t.orders.where((F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)).select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(revenue, MONEY).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def top_orders_per_customer(spark, sf_dir: str, k: int = 3) -> DataFrame:
+    """Window ranking: each customer's top-k orders by totalprice.
+
+    One shuffle partitioned on c_custkey; ties broken by o_orderkey so the
+    row_number is a total order (deterministic at any parallelism).
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t.orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rank_in_cust", F.row_number().over(w))
+        .where(F.col("rank_in_cust") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", MONEY).alias("o_totalprice"),
+            "rank_in_cust",
+        )
+    )
+
+
+def customer_order_running_totals(spark, sf_dir: str) -> DataFrame:
+    """Window frames: per-customer running revenue + previous-order gap.
+
+    Exercises cumulative sum (rows between unbounded preceding and current)
+    and lag() on the same window — single shuffle on o_custkey.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(cum), MONEY).alias("running_total"),
+        F.round(F.lag("o_totalprice", 1).over(w), MONEY).alias("prev_price"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def order_priority_counts(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: order-priority counts for orders that have at least
+    one line item shipped in the quarter — an EXISTS, i.e. a left-semi join.
+
+    Semi joins ship only the join key of the probe side; no lineitem payload
+    crosses the shuffle.
+    """
+    t = load_tables(spark, sf_dir)
+    q0 = F.lit("1996-07-01").cast("timestamp_ntz")
+    q1 = F.lit("1996-10-01").cast("timestamp_ntz")
+    shipped = t.lineitem.where(
+        (F.col("l_shipdate") >= q0) & (F.col("l_shipdate") < q1)
+    ).select("l_orderkey")
+    return (
+        t.orders.join(shipped, t.orders.o_orderkey == shipped.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def customers_without_orders(spark, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never placed an order, counted per nation."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders.select("o_custkey"),
+            t.customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(load_tables(spark, sf_dir).nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("idle_customers"))
+        .orderBy("n_name")
+    )
+
+
+def revenue_rollup(spark, sf_dir: str) -> DataFrame:
+    """ROLLUP over (nation, order-year): subtotals + grand total.
+
+    grouping_id() is aliased so the oracle can reproduce NULL-group
+    disambiguation exactly.
+    """
+    t = load_tables(spark, sf_dir)
+    enriched = (
+        t.orders.join(t.customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.year("o_orderdate").alias("order_year"), "o_totalprice")
+    )
+    return (
+        enriched.rollup("n_name", "order_year")
+        .agg(
+            F.round(F.sum("o_totalprice"), MONEY).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "n_name", "order_year")
+    )
+
+
+def segment_overlap(spark, sf_dir: str) -> DataFrame:
+    """Set operations: customers active in 1996 vs 1997.
+
+    INTERSECT / EXCEPT ALL / UNION over order-derived key sets. Each set op
+    is a shuffle on the full row (here: one bigint column).
+    """
+    t = load_tables(spark, sf_dir)
+
+    def active(year: int) -> DataFrame:
+        return (
+            t.orders.where(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    both = active(1996).intersect(active(1997)).withColumn("cohort", F.lit("both"))
+    only_96 = active(1996).exceptAll(active(1997)).withColumn("cohort", F.lit("only_1996"))
+    only_97 = active(1997).exceptAll(active(1996)).withColumn("cohort", F.lit("only_1997"))
+    return (
+        both.unionByName(only_96)
+        .unionByName(only_97)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("cohort")
+    )
+
+
+def supplier_diversity_per_brand(spark, sf_dir: str) -> DataFrame:
+    """Multi-key agg with DISTINCT: distinct suppliers + parts per brand.
+
+    count(distinct) expands to a two-phase aggregate in Spark; both phases
+    are shuffle-partitioned on p_brand.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(t.part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(F.sum("l_quantity"), MONEY).alias("total_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def approx_distinct_parts(spark, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count per return flag (approximate — the
+    scale path for 100 TB distinct counts; rows-only verified since the
+    sketch is engine-specific)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def avg_acctbal_above_mean(spark, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern (TPC-H Q22-shaped): customers with balance
+    above the global mean, counted per nation.
+
+    The global mean is computed once and broadcast as a 1-row join (a
+    cross join of a scalar) — no driver-side collect in the plan.
+    """
+    t = load_tables(spark, sf_dir)
+    mean_bal = t.customer.agg(F.avg("c_acctbal").alias("mean_bal"))
+    return (
+        t.customer.crossJoin(F.broadcast(mean_bal))
+        .where(F.col("c_acctbal") > F.col("mean_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rich"),
+            F.round(F.avg("c_acctbal"), MONEY).alias("avg_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1,0 +1,243 @@
+"""Central registry: query name → (Spark callable, DuckDB oracle SQL).
+
+Every operator the engine claims is registered here with BOTH a Spark
+DataFrame implementation and (where SQL-expressible) an equivalent ANSI-SQL
+string the DuckDB oracle runs on the same Parquet fixtures. Column names
+and rounding are aliased identically on both sides — the driver hashes
+values after sorting columns by name (``__spark_entry__.py`` contract).
+
+Non-SQL-expressible operators (LSH, sketches, streaming) register with
+``oracle=None`` → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_saas_etl_spark.operators import relational
+
+
+@dataclass(frozen=True)
+class QueryEntry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB, or None → rows-only check
+
+
+_REGISTRY: dict[str, QueryEntry] = {}
+
+
+def register(name: str, fn, oracle: str | None) -> None:
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate query name: {name}")
+    _REGISTRY[name] = QueryEntry(fn=fn, oracle=oracle)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.fn for name, e in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2a J1/F1/F2/O1-O3 generalized + §2b relational)
+# --------------------------------------------------------------------------
+
+register(
+    "q1_pricing_summary",
+    relational.pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 2)                                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+register(
+    "q3_shipping_priority",
+    relational.shipping_priority,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate  > TIMESTAMP '1996-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+register(
+    "q5_local_supplier_volume",
+    relational.local_supplier_volume,
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+
+register(
+    "top_orders_per_customer",
+    relational.top_orders_per_customer,
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank_in_cust
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rank_in_cust
+        FROM orders
+    )
+    WHERE rank_in_cust <= 3
+    """,
+)
+
+register(
+    "customer_order_running_totals",
+    relational.customer_order_running_totals,
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total,
+           round(lag(o_totalprice, 1) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), 2) AS prev_price,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS order_seq
+    FROM orders
+    """,
+)
+
+register(
+    "order_priority_counts",
+    relational.order_priority_counts,
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= TIMESTAMP '1996-07-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+register(
+    "customers_without_orders",
+    relational.customers_without_orders,
+    """
+    SELECT n_name, count(*) AS idle_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+
+register(
+    "revenue_rollup",
+    relational.revenue_rollup,
+    """
+    SELECT n_name,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           round(sum(o_totalprice), 2)    AS total_revenue,
+           count(*)                       AS n_orders,
+           CAST(grouping_id(n_name, CAST(year(o_orderdate) AS INT)) AS BIGINT) AS gid
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS INT))
+    ORDER BY gid, n_name, order_year
+    """,
+)
+
+register(
+    "segment_overlap",
+    relational.segment_overlap,
+    """
+    WITH a96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996),
+         a97 AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997),
+         tagged AS (
+            SELECT custkey, 'both' AS cohort FROM (SELECT custkey FROM a96 INTERSECT SELECT custkey FROM a97)
+            UNION ALL
+            SELECT custkey, 'only_1996' AS cohort FROM (SELECT custkey FROM a96 EXCEPT ALL SELECT custkey FROM a97)
+            UNION ALL
+            SELECT custkey, 'only_1997' AS cohort FROM (SELECT custkey FROM a97 EXCEPT ALL SELECT custkey FROM a96)
+         )
+    SELECT cohort, count(*) AS n_customers FROM tagged GROUP BY cohort ORDER BY cohort
+    """,
+)
+
+register(
+    "supplier_diversity_per_brand",
+    relational.supplier_diversity_per_brand,
+    """
+    SELECT p_brand,
+           count(DISTINCT l_suppkey)   AS n_suppliers,
+           count(DISTINCT l_partkey)   AS n_parts,
+           round(sum(l_quantity), 2)   AS total_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+
+register(
+    "approx_distinct_parts",
+    relational.approx_distinct_parts,
+    None,  # HLL++ sketch is engine-specific → rows-only check
+)
+
+register(
+    "avg_acctbal_above_mean",
+    relational.avg_acctbal_above_mean,
+    """
+    SELECT c_nationkey,
+           count(*)                  AS n_rich,
+           round(avg(c_acctbal), 2)  AS avg_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
