@@ -61,6 +61,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a scan that has too few input splits.
+
+    Small single-file Parquet inputs arrive as ONE partition, which
+    serializes every downstream per-row computation (tokenization, hashing,
+    pair joins) onto one core. Operators with heavy map-side work call this
+    before computing. On a real cluster reading many-file tables the input
+    already has >= parallelism splits and this is a no-op — the shuffle
+    only happens when the scan is pathologically under-split.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     """All fixture tables as attributes: ``t = load_tables(...); t.lineitem``."""
     return SimpleNamespace(

@@ -1,0 +1,262 @@
+"""Deduplication operators over the ``documents`` table (SURVEY §2b).
+
+Ladder of dedup strategies, cheapest first:
+
+1. exact        — sha256 of the raw text (hash-groupBy; one shuffle of
+                  (hash, id) pairs, never the text itself)
+2. normalized   — sha256 of whitespace/punct-normalized lowercase text
+3. token-bag    — hash of the sorted distinct token set (order-insensitive
+                  near-dup: same words, any order)
+4. MinHash+LSH  — banded MinHash over shingles; candidate pairs from
+                  band-bucket joins, verified with exact Jaccard.
+5. SimHash      — 64-bit weighted fingerprint; near-dups = small Hamming
+                  distance within bit-band buckets.
+
+1-3 are pure built-ins and oracle-checkable. 4-5 are the 100 TB scale
+path for fuzzy dedup: candidate generation is O(rows·bands) with bounded
+bucket joins instead of the O(n²) cross join; they verify rows-only.
+
+Design note (learned by measurement): MinHash/SimHash signatures are
+computed by EXPLODING shingles/tokens to rows, hashing once per row, and
+aggregating 64 ``min``/``sum`` columns in a single hash-aggregate pass.
+The tempting alternative — 64 ``transform``/``aggregate`` array
+expressions per document — re-inlines the tokenizer into every one of the
+64 hash expressions (Catalyst collapses the projections), turning one
+tokenization into 64 and blowing up codegen; it measured >100× slower at
+sf0.1. Explode → hash → agg is the scalable shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
+from aws_saas_etl_spark.functions import text as T
+
+# MinHash parameters: 16 bands × 4 rows = 64 hashes → candidate threshold
+# s ≈ (1/16)^(1/4) ≈ 0.5 Jaccard. Verified pairs filter at JACCARD_MIN.
+MINHASH_HASHES = 64
+MINHASH_BANDS = 16
+MINHASH_ROWS_PER_BAND = MINHASH_HASHES // MINHASH_BANDS
+JACCARD_MIN = 0.5
+
+SIMHASH_BITS = 64
+SHINGLE_SIZE = 3  # word 3-gram shingles
+LENGTH_BUCKET = 10  # token-count blocking width for exact-jaccard pairs
+
+
+def shingles(col, size: int = SHINGLE_SIZE):
+    """Distinct word n-gram shingles as an array column (built-ins only):
+    zip each token with its offset-by-`size` successors."""
+    toks = T.tokens(col)
+    n = F.size(toks)
+    # For i in 0..n-size: concat(tokens[i..i+size-1]). Guard n < size —
+    # Spark's sequence(0, negative) would DESCEND, not return empty.
+    idx = F.sequence(F.lit(0), n - size)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(size)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(n >= size, F.array_distinct(grams)).otherwise(empty)
+
+
+def exact_dedup_groups(spark, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by sha256(text); keeper = min(doc_id)."""
+    docs = load_tables(spark, sf_dir).documents
+    return (
+        docs.select("doc_id", F.sha2(F.col("text"), 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("text_hash")
+    )
+
+
+def normalized_dedup_groups(spark, sf_dir: str) -> DataFrame:
+    """Normalized-hash dedup: case/whitespace/punctuation-insensitive."""
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    return (
+        docs.select("doc_id", F.sha2(T.normalized_text("text"), 256).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("norm_hash")
+    )
+
+
+def token_bag_dedup(spark, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: hash of the sorted distinct token set — catches
+    reordered/duplicated-word variants exact hashing misses."""
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    bag = F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(T.tokens("text")))), 256
+    )
+    return (
+        docs.select("doc_id", bag.alias("bag_hash"))
+        .groupBy("bag_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("bag_hash")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h63) MinHash signature via explode → hash → 64-way min
+    aggregate. One tokenization pass, one shuffle on doc_id."""
+    rows = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+    return rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(MINHASH_HASHES)
+        ]
+    )
+
+
+def _candidate_pairs_lsh(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs: equal band-hash in any band.
+
+    Shuffle cost is rows × bands small tuples; the self-join happens per
+    band-bucket, so a pathological bucket is handled by AQE skew-join.
+    """
+    sig = minhash_signatures(docs)
+    band_hashes = [
+        F.xxhash64(
+            *[F.col(f"h{b * MINHASH_ROWS_PER_BAND + r}") for r in range(MINHASH_ROWS_PER_BAND)]
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "band_hash")
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(spark, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard over
+    shingle sets (candidates only — never all pairs)."""
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    cands = _candidate_pairs_lsh(docs)
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFrame:
+    """Exact n-gram Jaccard pairs, blocked by (language, token-count bucket).
+
+    The oracle-checkable baseline for fuzzy dedup. Blocking bounds the
+    quadratic term: candidates must share a language AND a token-count
+    decade (near-identical documents have near-identical lengths). At
+    100 TB the block key becomes LSH bands (minhash_lsh_pairs); this
+    operator freezes the exact semantics LSH approximates.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    # Shingles are hashed to int64 BEFORE the pair join: 8-byte compares
+    # and a narrow shuffle instead of moving string arrays. (A shingle-level
+    # co-occurrence join was tried and measured WORSE here: with a small
+    # vocabulary, frequent shingles make the per-shingle join quadratic.)
+    sh_hashed = F.array_sort(
+        F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))
+    )
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        sh_hashed.alias("sh"),
+        (T.token_count("text").cast("int") / F.lit(LENGTH_BUCKET))
+        .cast("int")
+        .alias("lb"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("sh").alias("sh_a"), F.col("lb").alias("lb_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("sh").alias("sh_b"), F.col("lb").alias("lb_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("lb_a") == F.col("lb_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("lang_a").alias("lang"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) via explode → hash-per-token → 64 per-bit majority
+    votes in one aggregate pass."""
+    rows = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("tok")
+    )
+    h = F.xxhash64(F.col("tok"))
+    votes = rows.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    # Assemble: bit j set iff vote > 0. Bit 63 contributes the sign bit.
+    sig = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        bit_value = -(2**63) if j == 63 else 2**j
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(bit_value).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_buckets(spark, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + 16-bit band buckets (the blocking key for
+    Hamming-distance near-dup search: dups within Hamming ≤ 3 of a 64-bit
+    hash must collide on at least one of 4 16-bit bands)."""
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    sig = simhash_fingerprints(docs)
+    return sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftrightunsigned("simhash", 16 * band)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"band_{band}")
+            for band in range(4)
+        ],
+    ).orderBy("doc_id")

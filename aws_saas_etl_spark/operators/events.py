@@ -1,0 +1,141 @@
+"""Event-time analytics over the ``events`` table (SURVEY §2b, M5 batch).
+
+Batch-mode event-time operators: tumbling / sliding / session windows,
+JSON property extraction, latest-event dedup. The same window expressions
+run unchanged under Structured Streaming (see streaming/pipelines.py) —
+batch is the oracle-checkable twin of each streaming pipeline.
+
+Scale notes: window aggregations shuffle on (window, key) — bounded
+cardinality; session windows shuffle on user_id. JSON extraction is a
+JVM built-in (no Python). ``events.ts`` arrives as ns-precision parquet
+and is normalized to µs TIMESTAMP_NTZ by the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.catalog import load_tables
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def events_hourly_stats(spark, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count / sum / avg(value)."""
+    ev = load_tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sliding_windows(spark, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, every 30 minutes): event counts +
+    distinct users. Each event lands in exactly 2 windows."""
+    ev = load_tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            F.date_format("w.end", TS_FMT).alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
+def events_session_stats(spark, sf_dir: str, gap_minutes: int = 10) -> DataFrame:
+    """Session windows (10-minute inactivity gap) per user.
+
+    Uses ``F.session_window`` — the same operator Structured Streaming
+    uses for stateful sessionization. Spark's session end = last event +
+    gap; the oracle reproduces that with gaps-and-islands SQL.
+    """
+    ev = load_tables(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            F.date_format("w.end", TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def events_json_props(spark, sf_dir: str) -> DataFrame:
+    """JSON property extraction (multimodal/nested columns, SURVEY §2b):
+    parse ``props`` (a JSON string) with a JVM built-in and aggregate."""
+    ev = load_tables(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.min("k").alias("min_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_latest_per_user(spark, sf_dir: str) -> DataFrame:
+    """Latest event per user (streaming-dedup shape: keep newest by key).
+
+    row_number over (user, ts desc, event_id desc) — the batch twin of
+    ``dropDuplicatesWithinWatermark`` keep-latest semantics.
+    """
+    ev = load_tables(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", TS_FMT).alias("ts"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+def events_user_activity(spark, sf_dir: str) -> DataFrame:
+    """Per-user daily activity with event-type pivot — the contingency
+    rollup a funnel dashboard reads."""
+    ev = load_tables(spark, sf_dir).events
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+        .orderBy("day")
+    )

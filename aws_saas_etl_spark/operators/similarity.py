@@ -1,0 +1,132 @@
+"""Similarity search over the ``embeddings`` table (SURVEY §2b).
+
+- Brute-force cosine top-k: the exact baseline. Query set broadcast, one
+  pass over the corpus, per-query top-k via window — O(corpus × queries)
+  but embarrassingly parallel and shuffle-light (only (query, k) rows move).
+- LSH-bucketed ANN: the 100 TB scale path. Deterministic random-hyperplane
+  signatures bucket the corpus; search touches only colliding buckets.
+
+All vector math is built-in (``zip_with`` + ``aggregate``) — stays in the
+JVM, no Python per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
+
+N_QUERY_VECS = 10  # queries = vec_id < 10 (deterministic demo query set)
+TOP_K = 5
+LSH_BITS = 8
+LSH_SEED = 42
+EMBED_DIM = 64
+
+
+def dot(a, b):
+    """Elementwise product + sum, all JVM-side. Accumulate in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The query side (10 rows) is broadcast; the corpus scans once. Ties
+    break on neighbor id → fully deterministic ranking.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def label_centroid_norms(spark, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics: count + mean L2 norm (grouped vector
+    reduce; the shape of per-cluster stats a vector store maintains)."""
+    emb = load_tables(spark, sf_dir).embeddings
+    return (
+        emb.select("label", norm(F.col("embedding")).alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("l2"), 6).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded) shared by every executor
+    as literals — no state, no fit step."""
+    rng = np.random.RandomState(LSH_SEED)
+    return rng.randn(LSH_BITS, EMBED_DIM).tolist()
+
+
+def lsh_bucket_expr(emb_col):
+    """Random-hyperplane signature: bit i = sign(v · h_i). Returns int."""
+    planes = _hyperplanes()
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(emb_col, h) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def ann_lsh_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At 100 TB the bucket join replaces the full cross join — recall is
+    tunable via bits/probes; this implementation is single-probe.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    bucketed = emb.select(
+        "vec_id", "embedding", lsh_bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    queries = bucketed.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    corpus = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(queries), F.col("c_bucket") == F.col("q_bucket"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

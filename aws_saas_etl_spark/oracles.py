@@ -1,0 +1,346 @@
+"""DuckDB oracle SQL builders.
+
+SQL twins are generated from the SAME Python constants the Spark operators
+use (lexicons, stopword lists, thresholds), so the two sides cannot drift.
+Fragments follow the exact evaluation order of the Spark expressions —
+including double-precision fold order — so rounded values hash-match.
+"""
+
+from __future__ import annotations
+
+from aws_saas_etl_spark.functions.sentiment import (
+    NEGATIVE_WORDS,
+    POSITIVE_WORDS,
+    TRUNCATE_AT,
+)
+from aws_saas_etl_spark.functions.text import LANG_STOPWORDS
+from aws_saas_etl_spark.operators.dedup import LENGTH_BUCKET, SHINGLE_SIZE
+from aws_saas_etl_spark.operators.similarity import N_QUERY_VECS, TOP_K
+
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def sql_list(words) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"[{inner}]"
+
+
+def toks(expr: str) -> str:
+    """Tokenizer twin of functions.text.tokens."""
+    return f"list_filter(string_split_regex(lower({expr}), '[^a-z]+'), x -> x <> '')"
+
+
+def lexicon_count(toks_expr: str, words) -> str:
+    return f"len(list_filter({toks_expr}, x -> list_contains({sql_list(words)}, x)))"
+
+
+DOC_DROPNA = (
+    "doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL "
+    "AND source IS NOT NULL AND n_chars IS NOT NULL"
+)
+
+SENTIMENT_CASE = f"""
+    CASE
+      WHEN text IS NULL OR trim(text) = '' THEN 'NEUTRAL'
+      WHEN p > 0 AND n > 0 AND 2 * least(p, n) >= greatest(p, n) THEN 'MIXED'
+      WHEN p > n THEN 'POSITIVE'
+      WHEN n > p THEN 'NEGATIVE'
+      ELSE 'NEUTRAL'
+    END
+"""
+
+SENTIMENT_COUNTS = f"""
+    SELECT *,
+           {lexicon_count(toks(f"substr(text, 1, {TRUNCATE_AT})"), POSITIVE_WORDS)} AS p,
+           {lexicon_count(toks(f"substr(text, 1, {TRUNCATE_AT})"), NEGATIVE_WORDS)} AS n
+    FROM documents
+    WHERE {DOC_DROPNA}
+"""
+
+DOC_SENTIMENT_SQL = f"""
+    WITH scored AS ({SENTIMENT_COUNTS})
+    SELECT lang, {SENTIMENT_CASE} AS sentiment_result, count(*) AS n_docs
+    FROM scored
+    GROUP BY lang, sentiment_result
+    ORDER BY lang, sentiment_result
+"""
+
+DOC_SENTIMENT_UDF_SQL = f"""
+    WITH scored AS ({SENTIMENT_COUNTS})
+    SELECT doc_id, {SENTIMENT_CASE} AS sentiment_result
+    FROM scored
+"""
+
+DOC_COMMENT_LENGTH_SQL = f"""
+    SELECT doc_id, lang, source, n_chars,
+           length(CAST(text AS VARCHAR)) AS comment_length
+    FROM documents
+    WHERE {DOC_DROPNA}
+"""
+
+DOC_TEXT_STATS_SQL = f"""
+    WITH t AS (SELECT doc_id, text, {toks('text')} AS tk FROM documents)
+    SELECT doc_id,
+           length(text)                 AS n_chars_computed,
+           len(tk)                      AS n_tokens,
+           len(list_distinct(tk))       AS n_distinct_tokens,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+           round(CASE WHEN len(tk) > 0
+                 THEN CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk)
+                 ELSE 0.0 END, 6)       AS mean_token_len
+    FROM t
+"""
+
+_EN_STOPS = sql_list(LANG_STOPWORDS["en"])
+
+DOC_QUALITY_SQL = f"""
+    WITH t AS (SELECT doc_id, text, {toks('text')} AS tk FROM documents)
+    SELECT doc_id,
+           round(CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS alpha_ratio,
+           round(CASE WHEN len(tk) > 0
+                 THEN len(list_filter(tk, x -> list_contains({_EN_STOPS}, x))) / CAST(len(tk) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS stopword_ratio_en,
+           round(
+             0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                      ELSE 0.0 END)
+             + 0.3 * (CASE WHEN len(tk) > 0
+                      THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                      ELSE 0.0 END), 6) AS quality_score
+    FROM t
+"""
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n           ".join(
+        f"{lexicon_count('tk', stops)} AS s_{lang}"
+        for lang, stops in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    greatest_all = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = "\n             ".join(
+        f"WHEN s_{lang} = {greatest_all} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH t AS (SELECT lang, {toks('text')} AS tk FROM documents),
+    s AS (SELECT lang, {score_cols} FROM t)
+    SELECT lang,
+           CASE WHEN {greatest_all} = 0 THEN 'und'
+             {whens}
+           END AS lang_pred,
+           count(*) AS n_docs
+    FROM s
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+"""
+
+
+DOC_LANGUAGE_ID_SQL = _lang_id_sql()
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+DOC_FINGERPRINTS_SQL = f"""
+    SELECT doc_id,
+           md5({_NORM_TEXT})    AS fingerprint,
+           sha256({_NORM_TEXT}) AS sha256_norm
+    FROM documents
+"""
+
+DOC_TOKEN_FREQ_SQL = f"""
+    SELECT w AS token, count(*) AS n_occurrences
+    FROM (SELECT unnest({toks('text')}) AS w FROM documents)
+    GROUP BY w
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 20
+"""
+
+DEDUP_EXACT_SQL = """
+    SELECT sha256(text) AS text_hash,
+           min(doc_id)  AS keeper_doc_id,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+DEDUP_NORMALIZED_SQL = f"""
+    SELECT sha256({_NORM_TEXT}) AS norm_hash,
+           min(doc_id)          AS keeper_doc_id,
+           count(*)             AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+DEDUP_TOKEN_BAG_SQL = f"""
+    SELECT sha256(array_to_string(list_sort(list_distinct({toks('text')})), ' ')) AS bag_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+_SHINGLES = (
+    f"list_distinct(list_transform("
+    f"generate_series(1, greatest(len(tk) - {SHINGLE_SIZE - 1}, 0)), "
+    f"i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))"
+)
+
+# `//` (not CAST of a division) because DuckDB CAST(double AS INT) rounds
+# to nearest while Spark's cast truncates; integer floor-div matches both.
+NGRAM_JACCARD_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, lang, {_SHINGLES} AS sh, len(tk) // {LENGTH_BUCKET} AS lb
+        FROM (SELECT doc_id, lang, {toks('text')} AS tk FROM documents)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE jaccard >= 0.4
+    ORDER BY doc_a, doc_b
+"""
+
+# Vector math twins: same fold order as Spark's F.aggregate (sequential
+# left fold over the array) and the same double-precision arithmetic.
+_DOT_QC = (
+    "list_aggregate(list_transform(generate_series(1, len(q_emb)), "
+    "i -> CAST(q_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)), 'sum')"
+)
+_NORM_Q = (
+    "sqrt(list_aggregate(list_transform(generate_series(1, len(q_emb)), "
+    "i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)), 'sum'))"
+)
+_NORM_C = (
+    "sqrt(list_aggregate(list_transform(generate_series(1, len(c_emb)), "
+    "i -> CAST(c_emb[i] AS DOUBLE) * CAST(c_emb[i] AS DOUBLE)), 'sum'))"
+)
+
+KNN_BRUTEFORCE_SQL = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {N_QUERY_VECS}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 6) AS cos_sim
+        FROM c CROSS JOIN q
+        WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+LABEL_CENTROID_SQL = """
+    WITH norms AS (
+        SELECT label,
+               sqrt(list_aggregate(list_transform(generate_series(1, len(embedding)),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) AS l2
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n_vectors, round(avg(l2), 6) AS mean_norm
+    FROM norms
+    GROUP BY label
+    ORDER BY label
+"""
+
+EVENTS_HOURLY_SQL = f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+EVENTS_SLIDING_SQL = f"""
+    WITH wins AS (
+        SELECT e.*, time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS w_start
+        FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT strftime(w_start, '{TS_FMT_DUCK}')                     AS window_start,
+           strftime(w_start + INTERVAL '1 hour', '{TS_FMT_DUCK}') AS window_end,
+           count(*)                 AS n_events,
+           count(DISTINCT user_id)  AS n_users
+    FROM wins
+    GROUP BY w_start
+    ORDER BY window_start
+"""
+
+EVENTS_SESSION_SQL = f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}')                          AS session_start,
+           strftime(max(ts) + INTERVAL '10 minutes', '{TS_FMT_DUCK}')  AS session_end,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+"""
+
+EVENTS_JSON_SQL = """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+           min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+EVENTS_LATEST_SQL = f"""
+    SELECT user_id, event_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts,
+           event_type,
+           round(value, 2) AS value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+"""
+
+EVENTS_ACTIVITY_SQL = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'view')     AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+"""

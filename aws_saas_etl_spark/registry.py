@@ -17,7 +17,15 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aws_saas_etl_spark.operators import relational
+from aws_saas_etl_spark import oracles
+from aws_saas_etl_spark.operators import (
+    dedup,
+    etl,
+    events,
+    relational,
+    similarity,
+    textops,
+)
 
 
 @dataclass(frozen=True)
@@ -241,3 +249,51 @@ register(
     ORDER BY c_nationkey
     """,
 )
+
+# --------------------------------------------------------------------------
+# Reference-parity ETL + sentiment (SURVEY §2a S/P/F/U rows, M1+M2)
+# --------------------------------------------------------------------------
+
+register("doc_comment_length", etl.doc_comment_length, oracles.DOC_COMMENT_LENGTH_SQL)
+register("doc_sentiment", etl.doc_sentiment, oracles.DOC_SENTIMENT_SQL)
+register("doc_sentiment_udf", etl.doc_sentiment_udf, oracles.DOC_SENTIMENT_UDF_SQL)
+
+# --------------------------------------------------------------------------
+# Text analysis (SURVEY §2b, M4)
+# --------------------------------------------------------------------------
+
+register("doc_text_stats", textops.doc_text_stats, oracles.DOC_TEXT_STATS_SQL)
+register("doc_quality_scores", textops.doc_quality_scores, oracles.DOC_QUALITY_SQL)
+register("doc_language_id", textops.doc_language_id, oracles.DOC_LANGUAGE_ID_SQL)
+register("doc_fingerprints", textops.doc_fingerprints, oracles.DOC_FINGERPRINTS_SQL)
+register("doc_token_frequencies", textops.doc_token_frequencies, oracles.DOC_TOKEN_FREQ_SQL)
+
+# --------------------------------------------------------------------------
+# Deduplication (SURVEY §2b, M4)
+# --------------------------------------------------------------------------
+
+register("dedup_exact", dedup.exact_dedup_groups, oracles.DEDUP_EXACT_SQL)
+register("dedup_normalized", dedup.normalized_dedup_groups, oracles.DEDUP_NORMALIZED_SQL)
+register("dedup_token_bag", dedup.token_bag_dedup, oracles.DEDUP_TOKEN_BAG_SQL)
+register("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs, oracles.NGRAM_JACCARD_SQL)
+register("minhash_lsh_pairs", dedup.minhash_lsh_pairs, None)  # LSH: rows-only
+register("simhash_buckets", dedup.simhash_buckets, None)  # engine-specific hash
+
+# --------------------------------------------------------------------------
+# Similarity search (SURVEY §2b, M4)
+# --------------------------------------------------------------------------
+
+register("knn_bruteforce", similarity.knn_bruteforce, oracles.KNN_BRUTEFORCE_SQL)
+register("label_centroid_norms", similarity.label_centroid_norms, oracles.LABEL_CENTROID_SQL)
+register("ann_lsh_topk", similarity.ann_lsh_topk, None)  # approximate: rows-only
+
+# --------------------------------------------------------------------------
+# Event-time analytics (SURVEY §2b, M5 batch)
+# --------------------------------------------------------------------------
+
+register("events_hourly_stats", events.events_hourly_stats, oracles.EVENTS_HOURLY_SQL)
+register("events_sliding_windows", events.events_sliding_windows, oracles.EVENTS_SLIDING_SQL)
+register("events_session_stats", events.events_session_stats, oracles.EVENTS_SESSION_SQL)
+register("events_json_props", events.events_json_props, oracles.EVENTS_JSON_SQL)
+register("events_latest_per_user", events.events_latest_per_user, oracles.EVENTS_LATEST_SQL)
+register("events_user_activity", events.events_user_activity, oracles.EVENTS_ACTIVITY_SQL)
