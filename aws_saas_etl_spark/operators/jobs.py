@@ -1,0 +1,131 @@
+"""Job metadata store (SURVEY §2a W1-W4, S6/S7 — the reference's
+users/jobs Postgres schema re-expressed Spark-natively).
+
+The reference mutates rows in place inside Postgres transactions
+(reference app.py:156-179, models.py:8-35). Plain Parquet has no UPDATE,
+so the engine uses the Spark-native pattern: an APPEND-ONLY event log of
+job-status transitions plus a latest-wins view. That is:
+
+- W1 INSERT        → append a row with status 'Pending'/'Processing'
+- W2 UPDATE        → append a new row with the new status; the view
+                     resolves to the latest per job_id
+- W3 ROLLBACK      → nothing to roll back: appends are atomic per file,
+                     reruns are idempotent (same job_id re-appends)
+- W4 UNIQUE guard  → anti-join pre-check before insert
+
+At 100 TB scale the log partitions by date and compacts periodically; the
+latest-wins view is one window per job_id — the same pattern Delta/Iceberg
+implement under the hood with transactional metadata on top.
+
+Schema parity (reference models.py):
+  users: id, username, password_hash, created_at
+  jobs:  id, filename, status, result_url, upload_time, user_id
+Status machine: Pending → Processing → Completed | Failed
+(defaults at models.py:29; transitions at app.py:158,177; 'Failed'
+rendered by the UI, templates/index.html:258).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+JOB_STATUSES = ("Pending", "Processing", "Completed", "Failed")
+
+JOB_EVENT_SCHEMA = StructType(
+    [
+        StructField("job_id", LongType(), False),
+        StructField("filename", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("result_url", StringType(), True),
+        StructField("user_id", LongType(), False),
+        StructField("event_time", TimestampType(), False),
+        # monotone per-append sequence: deterministic latest-wins even when
+        # two transitions share a timestamp
+        StructField("seq", LongType(), False),
+    ]
+)
+
+USER_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("username", StringType(), False),
+        StructField("password_hash", StringType(), False),
+        StructField("created_at", TimestampType(), False),
+    ]
+)
+
+
+class JobStore:
+    """Append-only job-event log at ``path`` with a latest-wins view."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], JOB_EVENT_SCHEMA)
+
+    def events(self) -> DataFrame:
+        try:
+            return self.spark.read.schema(JOB_EVENT_SCHEMA).parquet(self.path)
+        except Exception:
+            return self._empty()
+
+    def _next_seq(self) -> int:
+        row = self.events().agg(F.max("seq").alias("m")).collect()[0]
+        return (row["m"] or 0) + 1
+
+    def append(
+        self,
+        job_id: int,
+        filename: str,
+        status: str,
+        user_id: int,
+        result_url: str | None = None,
+    ) -> None:
+        """W1/W2: one atomic append per state transition."""
+        if status not in JOB_STATUSES:
+            raise ValueError(f"invalid status {status!r}; expected one of {JOB_STATUSES}")
+        import datetime
+
+        seq = self._next_seq()
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        row = self.spark.createDataFrame(
+            [(job_id, filename, status, result_url, user_id, now, seq)],
+            JOB_EVENT_SCHEMA,
+        )
+        row.write.mode("append").parquet(self.path)
+
+    def current(self) -> DataFrame:
+        """Latest-wins view: the newest event per job_id (W2 read side)."""
+        w = Window.partitionBy("job_id").orderBy(F.desc("seq"))
+        return (
+            self.events()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def history(self, job_id: int) -> DataFrame:
+        """Full transition history of one job, oldest first."""
+        return self.events().where(F.col("job_id") == job_id).orderBy("seq")
+
+    def jobs_by_upload_desc(self) -> DataFrame:
+        """The reference's only declarative query (GET /api/jobs,
+        app.py:194-208): jobs newest-first."""
+        return self.current().orderBy(F.desc("event_time"), F.desc("job_id"))
+
+    def assert_unique_job(self, job_id: int) -> None:
+        """W4: uniqueness pre-check (reference pre-checks username at
+        app.py:83-84). Done as a filtered count — at scale this is a
+        broadcast semi-join against the incoming batch, never a collect."""
+        if self.events().where(F.col("job_id") == job_id).limit(1).count() > 0:
+            raise ValueError(f"job_id {job_id} already exists")

@@ -344,3 +344,15 @@ EVENTS_ACTIVITY_SQL = """
     GROUP BY 1
     ORDER BY 1
 """
+
+# Multimodal: the SQL-computable slice of the binary-column features.
+# (`ascii(substr(text,1,1))` equals the first payload byte because the
+# fixture corpus is pure ASCII; empty payloads map to -1.)
+MULTIMODAL_FEATURES_SQL = """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                ELSE ascii(substr(text, 1, 1)) END AS first_byte
+    FROM documents
+    ORDER BY doc_id
+"""

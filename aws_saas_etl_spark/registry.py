@@ -297,3 +297,16 @@ register("events_session_stats", events.events_session_stats, oracles.EVENTS_SES
 register("events_json_props", events.events_json_props, oracles.EVENTS_JSON_SQL)
 register("events_latest_per_user", events.events_latest_per_user, oracles.EVENTS_LATEST_SQL)
 register("events_user_activity", events.events_user_activity, oracles.EVENTS_ACTIVITY_SQL)
+
+# --------------------------------------------------------------------------
+# Multimodal binary-column plumbing (SURVEY §2b, M4)
+# --------------------------------------------------------------------------
+
+from aws_saas_etl_spark.operators import multimodal  # noqa: E402
+
+register(
+    "multimodal_feature_stats",
+    multimodal.multimodal_feature_stats,
+    oracles.MULTIMODAL_FEATURES_SQL,
+)
+register("multimodal_full_features", multimodal.multimodal_full_features, None)

@@ -1,0 +1,178 @@
+"""Structured Streaming pipelines (SURVEY §2b streaming, M5).
+
+The reference has NO streaming of any kind — its flow is batch-per-
+uploaded-file inside one Flask request (reference app.py:141-189; the
+"Lambda" mentions in its UI are aspirational). The engine adds the
+streaming surface a real event pipeline needs, as Structured Streaming
+jobs whose transformations are IDENTICAL to the batch operators in
+operators/events.py — batch is the oracle-checkable twin of each stream.
+
+Every transformation here takes a (possibly streaming) DataFrame and
+returns a DataFrame, so the same function body is unit-tested in batch
+mode and run in streaming mode:
+
+- tumbling/sliding window aggregates with watermarked late-data handling
+- session windows (stateful gap-merge)
+- streaming dedup within a watermark
+- a custom stateful operator (per-user running aggregates) via
+  ``applyInPandasWithState`` — the escape hatch for semantics the
+  built-in operators can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+DEFAULT_WATERMARK = "30 minutes"
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 10) -> DataFrame:
+    """File-source stream: each new parquet file in ``path`` is a
+    micro-batch (the streaming analog of the reference's one-file-per-job
+    flow). ``maxFilesPerTrigger`` bounds per-batch work."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_stats(df: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Tumbling 1-hour per-type stats; same aggregates as the batch twin
+    ``events_hourly_stats``. The watermark lets state for closed windows
+    be dropped — without it, streaming state grows unboundedly."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_stats(df: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Sliding 1h/30m window counts (streaming twin of
+    ``events_sliding_windows``)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_stats(df: DataFrame, gap: str = "10 minutes", watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Per-user session windows (streaming twin of
+    ``events_session_stats``): state merges as events arrive, sessions
+    close gap-after the last event once the watermark passes."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(df: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Exactly-once-per-event_id within the watermark horizon — bounded
+    state, unlike a global dropDuplicates."""
+    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+RUNNING_STATE_SCHEMA = StructType(
+    [StructField("n", LongType(), True), StructField("total", DoubleType(), True)]
+)
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+
+def _running_totals_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Custom stateful kernel: accumulate per-user (count, sum) across
+    micro-batches. Arrow-batched; state is a 2-field tuple."""
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: emits the
+    cumulative (count, sum) per user after every micro-batch — semantics
+    the built-in agg can't give (continuous running output in update mode
+    with explicit state control)."""
+    return (
+        df.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=RUNNING_OUTPUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain a stream into an in-memory table (test/debug sink) using
+    availableNow — processes all pending input then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,50 @@
+"""Multimodal plumbing tests: binary columns, Arrow-batched feature
+extraction, deterministic stubs for the codec-dependent steps."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from aws_saas_etl_spark.operators import multimodal as M
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        M.decode_image(b"\x89PNG...")
+
+
+def test_fake_decode_deterministic():
+    a = M.fake_decode(b"hello world payload")
+    b = M.fake_decode(b"hello world payload")
+    assert a == b
+    assert len(a) == 16
+    assert all(0 <= px <= 255 for px in a)
+    assert M.fake_decode(None) == []
+
+
+def test_frame_sample():
+    payload = bytes(range(100))
+    frames = M.frame_sample(payload, n_frames=4)
+    assert len(frames) == 4
+    assert all(len(f) == 25 for f in frames)
+    assert frames[0][0] == 0 and frames[1][0] == 25
+    assert M.frame_sample(b"", 4) == []
+
+
+def test_attach_and_extract_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "zzzz")], "doc_id BIGINT, text STRING"
+    )
+    media = M.attach_payload(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert "media_meta" in media.columns
+
+    feats = {r["doc_id"]: r for r in M.extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["first_byte"] == ord("a")
+    assert feats[1]["crc32"] == zlib.crc32(b"abc")
+    assert feats[2]["n_bytes"] == 0
+    assert feats[2]["first_byte"] == -1
+    assert feats[3]["crc32"] == zlib.crc32(b"zzzz")

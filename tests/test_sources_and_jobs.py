@@ -1,0 +1,165 @@
+"""Tests for sources/sinks (S1-S7) and the job metadata store (W1-W4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.operators.jobs import JOB_EVENT_SCHEMA, JobStore
+from aws_saas_etl_spark.sources import io as sio
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_csv_roundtrip_with_schema(spark, workdir):
+    df = spark.createDataFrame(
+        [(1, "good fast text"), (2, "slow bad text")], "id BIGINT, comments STRING"
+    )
+    path = os.path.join(workdir, "csv_out")
+    sio.write_csv(df, path)
+    back = sio.read_csv(spark, path, schema="id BIGINT, comments STRING")
+    assert sorted(r["comments"] for r in back.collect()) == [
+        "good fast text",
+        "slow bad text",
+    ]
+
+
+def test_csv_single_file_mode(spark, workdir):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    path = os.path.join(workdir, "single")
+    sio.write_csv(df, path, single_file=True)
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 1  # reference writes exactly one object (app.py:53-62)
+
+
+def test_csv_infer_schema(spark, workdir):
+    df = spark.createDataFrame([(1, 2.5, "x")], "a BIGINT, b DOUBLE, c STRING")
+    path = os.path.join(workdir, "infer")
+    sio.write_csv(df, path)
+    back = sio.read_csv(spark, path)  # inference path (reference parity)
+    assert dict(back.dtypes)["b"] == "double"
+
+
+def test_json_roundtrip(spark, workdir):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id BIGINT, name STRING")
+    path = os.path.join(workdir, "json_out")
+    df.write.mode("overwrite").json(path)
+    back = sio.read_json(spark, path, schema="id BIGINT, name STRING")
+    assert back.count() == 2
+
+
+def test_parquet_partitioned_write_prunes(spark, workdir):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "en")], "id BIGINT, lang STRING"
+    )
+    path = os.path.join(workdir, "pq")
+    sio.write_parquet(df, path, partition_by=["lang"])
+    assert os.path.isdir(os.path.join(path, "lang=en"))
+    back = sio.read_parquet(spark, path).where(F.col("lang") == "en")
+    assert back.count() == 2
+    # partition pruning: only the lang=en directory should be scanned
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "lang=de" not in plan
+
+
+def test_jobstore_state_machine(spark, workdir):
+    store = JobStore(spark, os.path.join(workdir, "jobs"))
+    store.append(1, "sales_data_2024.csv", "Pending", user_id=10)
+    store.append(1, "sales_data_2024.csv", "Processing", user_id=10)
+    store.append(2, "other.csv", "Pending", user_id=11)
+    store.append(
+        1, "sales_data_2024.csv", "Completed", user_id=10,
+        result_url="out/updates/data.csv",
+    )
+
+    cur = {r["job_id"]: r for r in store.current().collect()}
+    assert cur[1]["status"] == "Completed"
+    assert cur[1]["result_url"] == "out/updates/data.csv"
+    assert cur[2]["status"] == "Pending"
+
+    hist = [r["status"] for r in store.history(1).collect()]
+    assert hist == ["Pending", "Processing", "Completed"]
+
+    newest_first = [r["job_id"] for r in store.jobs_by_upload_desc().collect()]
+    assert newest_first[0] == 1  # job 1's Completed event is the newest
+
+
+def test_jobstore_rejects_bad_status(spark, workdir):
+    store = JobStore(spark, os.path.join(workdir, "jobs2"))
+    with pytest.raises(ValueError, match="invalid status"):
+        store.append(1, "f.csv", "Exploded", user_id=1)
+
+
+def test_jobstore_unique_guard(spark, workdir):
+    store = JobStore(spark, os.path.join(workdir, "jobs3"))
+    store.append(7, "f.csv", "Pending", user_id=1)
+    with pytest.raises(ValueError, match="already exists"):
+        store.assert_unique_job(7)
+    store.assert_unique_job(8)  # unused id passes
+
+
+def test_jobstore_empty_reads(spark, workdir):
+    store = JobStore(spark, os.path.join(workdir, "jobs4"))
+    assert store.current().count() == 0
+    assert store.events().schema == JOB_EVENT_SCHEMA
+
+
+def test_etl_pipeline_helpers(spark):
+    from aws_saas_etl_spark.operators.etl import (
+        demo_etl_pipeline,
+        pick_text_column,
+        worker_etl_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [("great fast stuff", 1), (None, 2), ("slow dup mess", 3)],
+        "comments STRING, id BIGINT",
+    )
+    out = demo_etl_pipeline(df).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["comment_length"] == len("great fast stuff")
+
+    worker = {r["id"]: r for r in worker_etl_pipeline(df).collect()}
+    assert 2 not in worker  # dropna removed the null row
+    assert worker[1]["sentiment_result"] == "POSITIVE"
+    assert worker[3]["sentiment_result"] == "NEGATIVE"
+
+    # column probing prefers 'review' (reference etl_core.py:53-58)
+    both = spark.createDataFrame([("r", "c")], "review STRING, comments STRING")
+    assert pick_text_column(both) == "review"
+    with pytest.raises(ValueError, match="missing required column"):
+        demo_etl_pipeline(spark.createDataFrame([("x",)], "other STRING"))
+
+
+def test_sentiment_contract_edge_cases(spark):
+    """Reference contract: null/blank → NEUTRAL; 4900-char truncation
+    (etl_core.py:38-43); labels from README.md:26."""
+    from aws_saas_etl_spark.functions.sentiment import (
+        sentiment_expr,
+        sentiment_pandas_udf,
+    )
+
+    # A negative word pushed past the truncation point must be ignored.
+    long_text = ("x " * 2460) + " slow slow slow"
+    rows = [
+        (1, None),
+        (2, "   "),
+        (3, "fast fast good"),
+        (4, "slow dup bad"),
+        (5, "fast slow"),
+        (6, long_text),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, t STRING")
+    for col in [sentiment_expr("t"), sentiment_pandas_udf(F.col("t"))]:
+        got = {r["id"]: r["s"] for r in df.select("id", col.alias("s")).collect()}
+        assert got[1] == "NEUTRAL"
+        assert got[2] == "NEUTRAL"
+        assert got[3] == "POSITIVE"
+        assert got[4] == "NEGATIVE"
+        assert got[5] == "MIXED"
+        assert got[6] == "NEUTRAL"  # negativity truncated away

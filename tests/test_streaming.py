@@ -1,0 +1,103 @@
+"""Streaming tests: each streaming pipeline must agree with its batch twin
+on the same input (batch is the oracle for streams, SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.catalog import load_table
+from aws_saas_etl_spark.streaming import pipelines as P
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(tmp_path_factory):
+    """Fixture events re-written as 3 parquet files (3 micro-batches),
+    timestamps normalized to µs by the catalog loader."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    from aws_saas_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="stream-fixture", master="local[4]", shuffle_partitions=8)
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # cast ntz -> regular timestamp to match EVENT_SCHEMA (UTC session)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.repartition(3).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _batch_events(spark):
+    ev = load_table(spark, SF, "events")
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_streaming_hourly_matches_batch(spark, event_dir):
+    stream = P.read_event_stream(spark, event_dir)
+    P.run_to_memory(P.hourly_stats(stream), "hourly_out", output_mode="append")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("hourly_out").collect()
+    }
+    expected = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in P.hourly_stats(_batch_events(spark)).collect()
+    }
+    # Append mode emits only windows the watermark has closed; every
+    # emitted window must match the batch result exactly.
+    assert len(got) > 0
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_streaming_sessions_match_batch(spark, event_dir):
+    stream = P.read_event_stream(spark, event_dir)
+    P.run_to_memory(P.session_stats(stream), "session_out", output_mode="append")
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["sum_value"])
+        for r in spark.table("session_out").collect()
+    }
+    expected = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["sum_value"])
+        for r in P.session_stats(_batch_events(spark)).collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_streaming_dedup(spark, event_dir):
+    stream = P.read_event_stream(spark, event_dir)
+    P.run_to_memory(P.dedup_stream(stream), "dedup_out", output_mode="append")
+    rows = spark.table("dedup_out").collect()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert len(ids) == _batch_events(spark).select("event_id").distinct().count()
+
+
+def test_stateful_running_totals(spark, event_dir):
+    stream = P.read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    P.run_to_memory(P.running_user_totals(stream), "running_out", output_mode="update")
+    # after the final micro-batch, the latest emission per user must equal
+    # the batch aggregate
+    out = spark.table("running_out").toPandas()
+    final = out.groupby("user_id").last()
+    expected = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in _batch_events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert len(final) == len(expected)
+    for user_id, row in final.iterrows():
+        exp_n, exp_total = expected[user_id]
+        assert row["n_events"] == exp_n
+        assert row["total_value"] == pytest.approx(exp_total, abs=0.02)
