@@ -1,0 +1,72 @@
+"""Order-independent numeric aggregation helpers.
+
+Double-precision SUM depends on accumulation order, which depends on
+partitioning and AQE scheduling — so a rounded double sum can flip its
+last digit between runs and between engines (observed: a revenue sum
+differing in the 2nd decimal at sf0.01 between Spark and DuckDB).
+
+Fix: cast each addend to DECIMAL before summing. Per-row products are
+deterministic IEEE doubles in both engines; the double→decimal cast is
+deterministic; decimal addition is exact and order-independent — so the
+rounded result is bit-identical everywhere, at any parallelism. This is
+the default for every "money" aggregate in the engine.
+
+DECIMAL(22,6): 16 integer digits (sums to 10^16) and 6 fractional digits
+(inputs are prices ~1e5 with ~6 significant fractional digits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DECIMAL_TYPE = "decimal(22,6)"
+
+
+def dsum(col: Column) -> Column:
+    """Exact, order-independent sum (decimal accumulator)."""
+    return F.sum(col.cast(DECIMAL_TYPE))
+
+
+def dsum_rounded(col: Column, r: int = 2) -> Column:
+    """Round in DECIMAL (HALF_UP rescale), then convert to double.
+
+    Rounding the double instead is engine-divergent at exact .xx5 sums:
+    Spark's round() goes through the shortest decimal string of the double
+    (285207.035 → .04) while DuckDB rounds the binary value (→ .03).
+    Decimal rescale is HALF_UP in both engines.
+    """
+    return dsum(col).cast(f"decimal(38,{r})").cast("double")
+
+
+def davg_rounded(col: Column, r: int = 4) -> Column:
+    """Average fully in decimal: Spark divides decimal by count at scale 6
+    (HALF_UP), then we rescale to ``r`` (HALF_UP) and emit double. The
+    oracle twin reproduces the same two half-up roundings with integer
+    arithmetic (DuckDB's decimal/int division degrades to double)."""
+    q6 = dsum(col) / F.count(col)  # decimal(38,6), HALF_UP at scale 6
+    return q6.cast(f"decimal(38,{r})").cast("double")
+
+
+def dsum_sql(expr: str, r: int = 2) -> str:
+    """DuckDB twin of dsum_rounded: round() on DECIMAL is half-away-from-
+    zero — identical to Spark's HALF_UP rescale."""
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(22,6))), {r}) AS DOUBLE)"
+
+
+def _half_up_div(a: str, n: str) -> str:
+    """Integer round-half-away-from-zero division a/n (HUGEINT-safe)."""
+    return (
+        f"(CASE WHEN ({a}) >= 0 THEN (2*({a}) + ({n})) // (2*({n})) "
+        f"ELSE -((2*(-({a})) + ({n})) // (2*({n}))) END)"
+    )
+
+
+def davg_sql(expr: str, r: int = 4) -> str:
+    """DuckDB twin of davg_rounded: emulate Spark's decimal division
+    (scale-6 HALF_UP) + rescale to r (HALF_UP) with exact integer math."""
+    a = f"CAST(sum(CAST({expr} AS DECIMAL(22,6))) * 1000000 AS HUGEINT)"
+    q6 = _half_up_div(a, f"count({expr})")  # quotient at scale 6
+    h = 10 ** (6 - r)
+    qr = _half_up_div(q6, str(h))  # rescaled to scale r
+    return f"CAST({qr} AS DOUBLE) / {10**r}"

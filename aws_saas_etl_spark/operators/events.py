@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.catalog import load_tables
+from aws_saas_etl_spark.functions.num import davg_rounded, dsum_rounded
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -28,8 +29,8 @@ def events_hourly_stats(spark, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            dsum_rounded(F.col("value"), 2).alias("sum_value"),
+            davg_rounded(F.col("value"), 4).alias("avg_value"),
         )
         .select(
             F.date_format("w.start", TS_FMT).alias("window_start"),
@@ -76,7 +77,7 @@ def events_session_stats(spark, sf_dir: str, gap_minutes: int = 10) -> DataFrame
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_rounded(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -138,4 +139,64 @@ def events_user_activity(spark, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "view", "purchase", "signup", "error"])
         .orderBy("day")
+    )
+
+
+def events_asof_last_click(spark, sf_dir: str) -> DataFrame:
+    """AS-OF join expressed Spark-natively: for every purchase event, the
+    most recent preceding click by the same user and the elapsed seconds.
+
+    Instead of a per-row point lookup (the classic as-of), a single
+    ordered window per user with a conditional last_value(ignoreNulls)
+    carries the click timestamp forward — one shuffle on user_id, linear
+    scan per partition, no join at all.
+    """
+    ev = load_tables(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT).alias("purchase_ts"),
+            F.date_format("last_click_ts", TS_FMT).alias("click_ts"),
+            (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("last_click_ts").cast("timestamp"))
+            ).alias("seconds_since_click"),
+        )
+    )
+
+
+VALUE_BANDS = [(0.0, 50.0), (50.0, 100.0), (100.0, 150.0), (150.0, 200.0)]
+
+
+def events_value_band_stats(spark, sf_dir: str) -> DataFrame:
+    """Range join: events banded into [lo, hi) value ranges via a broadcast
+    interval table — the canonical dimension-range-join shape (at scale the
+    small side is always the banding table)."""
+    ev = load_tables(spark, sf_dir).events
+    spark_bands = spark.createDataFrame(
+        [(i, lo, hi) for i, (lo, hi) in enumerate(VALUE_BANDS)],
+        "band_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        ev.join(
+            F.broadcast(spark_bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg_rounded(F.col("value"), 4).alias("avg_value"),
+        )
+        .orderBy("band_id")
     )

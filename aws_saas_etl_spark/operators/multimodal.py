@@ -140,11 +140,13 @@ def multimodal_feature_stats(spark, sf_dir: str) -> DataFrame:
     checks the SQL-computable subset: byte lengths)."""
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
     feats = extract_features(attach_payload(docs))
-    return feats.select("doc_id", "n_bytes", "first_byte").orderBy("doc_id")
+    # No orderBy: a sort above mapInPandas would range-sample the plan and
+    # execute the Python stage twice; the driver compare is order-blind.
+    return feats.select("doc_id", "n_bytes", "first_byte")
 
 
 def multimodal_full_features(spark, sf_dir: str) -> DataFrame:
     """Registry query (rows-only): full feature set including CRC32 and
     entropy bucket — not SQL-expressible in the oracle, verified by shape."""
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
-    return extract_features(attach_payload(docs)).orderBy("doc_id")
+    return extract_features(attach_payload(docs))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.catalog import load_tables
+from aws_saas_etl_spark.functions.num import davg_rounded, dsum_rounded
 
 # Rounding applied to floating aggregates before they leave the engine so
 # differential comparison against other engines is ulp-stable.
@@ -47,13 +48,13 @@ def pricing_summary(spark, sf_dir: str) -> DataFrame:
         t.lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), MONEY).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), MONEY).alias("sum_base_price"),
-            F.round(F.sum(disc_price), MONEY).alias("sum_disc_price"),
-            F.round(F.sum(charge), MONEY).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), MONEY).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), MONEY).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum_rounded(F.col("l_quantity"), MONEY).alias("sum_qty"),
+            dsum_rounded(F.col("l_extendedprice"), MONEY).alias("sum_base_price"),
+            dsum_rounded(disc_price, MONEY).alias("sum_disc_price"),
+            dsum_rounded(charge, MONEY).alias("sum_charge"),
+            davg_rounded(F.col("l_quantity"), MONEY).alias("avg_qty"),
+            davg_rounded(F.col("l_extendedprice"), MONEY).alias("avg_price"),
+            davg_rounded(F.col("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -77,12 +78,12 @@ def shipping_priority(spark, sf_dir: str) -> DataFrame:
     items = t.lineitem.where(F.col("l_shipdate") > cutoff).select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = dsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY)
     return (
         items.join(orders, items.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(revenue, MONEY).alias("revenue"))
+        .agg(revenue.alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
         .select(
@@ -112,7 +113,7 @@ def local_supplier_volume(spark, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         ).select("n_nationkey", "n_name")
     )
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    revenue = dsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY)
     return (
         t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(
@@ -129,7 +130,7 @@ def local_supplier_volume(spark, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(revenue, MONEY).alias("revenue"))
+        .agg(revenue.alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -227,7 +228,7 @@ def revenue_rollup(spark, sf_dir: str) -> DataFrame:
     return (
         enriched.rollup("n_name", "order_year")
         .agg(
-            F.round(F.sum("o_totalprice"), MONEY).alias("total_revenue"),
+            dsum_rounded(F.col("o_totalprice"), MONEY).alias("total_revenue"),
             F.count(F.lit(1)).alias("n_orders"),
             F.grouping_id().alias("gid"),
         )
@@ -276,7 +277,7 @@ def supplier_diversity_per_brand(spark, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("l_suppkey").alias("n_suppliers"),
             F.countDistinct("l_partkey").alias("n_parts"),
-            F.round(F.sum("l_quantity"), MONEY).alias("total_qty"),
+            dsum_rounded(F.col("l_quantity"), MONEY).alias("total_qty"),
         )
         .orderBy("p_brand")
     )
@@ -305,14 +306,124 @@ def avg_acctbal_above_mean(spark, sf_dir: str) -> DataFrame:
     cross join of a scalar) — no driver-side collect in the plan.
     """
     t = load_tables(spark, sf_dir)
-    mean_bal = t.customer.agg(F.avg("c_acctbal").alias("mean_bal"))
+    mean_bal = t.customer.agg(
+        (dsum_rounded(F.col("c_acctbal"), 9) / F.count("c_acctbal")).alias("mean_bal")
+    )
     return (
         t.customer.crossJoin(F.broadcast(mean_bal))
         .where(F.col("c_acctbal") > F.col("mean_bal"))
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_rich"),
-            F.round(F.avg("c_acctbal"), MONEY).alias("avg_bal"),
+            davg_rounded(F.col("c_acctbal"), MONEY).alias("avg_bal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+def promo_revenue_share(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: share of revenue from one part type per month.
+
+    Conditional aggregation (CASE inside sum) over a broadcast dim join —
+    one shuffle for the month grouping.
+    """
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
+    return (
+        t.lineitem.select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+        .join(F.broadcast(t.part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                dsum_rounded(promo, 9) * 100.0 / dsum_rounded(rev, 9), 4
+            ).alias("promo_pct"),
+            dsum_rounded(rev, MONEY).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def min_cost_supplier_per_nation(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated subquery: the cheapest-balance supplier
+    in each nation, done the Spark way — a window min + equality filter
+    instead of a per-row correlated subquery (one shuffle on nation)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("s_nationkey")
+    return (
+        t.supplier.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", MONEY).alias("s_acctbal"),
+        )
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+def nation_trade_volume(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: revenue between (supplier nation, customer nation)
+    pairs for one year. Two independent broadcast dim joins rename the
+    same nation table twice."""
+    t = load_tables(spark, sf_dir)
+    y0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1998-01-01").cast("timestamp_ntz")
+    supp_nation = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = dsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY)
+    return (
+        t.lineitem.where((F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", F.year("l_shipdate").alias("ship_year"))
+        .join(t.orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(rev.alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def disjunctive_part_revenue(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: disjunction of (brand, size-range, quantity-range)
+    triples. Catalyst folds the OR into one scan predicate — one pass,
+    no union of subqueries."""
+    t = load_tables(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 40))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(t.part.select("p_partkey", "p_brand", "p_size")), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_rounded(rev, MONEY).alias("revenue"),
+        )
+        .orderBy("p_brand")
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
+from aws_saas_etl_spark.functions.num import davg_rounded
 
 N_QUERY_VECS = 10  # queries = vec_id < 10 (deterministic demo query set)
 TOP_K = 5
@@ -76,7 +77,7 @@ def label_centroid_norms(spark, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("l2"), 6).alias("mean_norm"),
+            davg_rounded(F.col("l2"), 6).alias("mean_norm"),
         )
         .orderBy("label")
     )

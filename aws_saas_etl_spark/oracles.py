@@ -252,7 +252,7 @@ LABEL_CENTROID_SQL = """
                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) AS l2
         FROM embeddings
     )
-    SELECT label, count(*) AS n_vectors, round(avg(l2), 6) AS mean_norm
+    SELECT label, count(*) AS n_vectors, CAST((CASE WHEN ((CASE WHEN (CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l2))) // (2*(count(l2))) ELSE -((2*(-(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l2))) // (2*(count(l2)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l2))) // (2*(count(l2))) ELSE -((2*(-(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l2))) // (2*(count(l2)))) END)) + (1)) // (2*(1)) ELSE -((2*(-((CASE WHEN (CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l2))) // (2*(count(l2))) ELSE -((2*(-(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l2))) // (2*(count(l2)))) END))) + (1)) // (2*(1))) END) AS DOUBLE) / 1000000 AS mean_norm
     FROM norms
     GROUP BY label
     ORDER BY label
@@ -262,8 +262,8 @@ EVENTS_HOURLY_SQL = f"""
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT_DUCK}') AS window_start,
            event_type,
            count(*)             AS n_events,
-           round(sum(value), 2) AS sum_value,
-           round(avg(value), 4) AS avg_value
+           CAST(round(sum(CAST(value AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_value,
+           CAST((CASE WHEN ((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) + (100)) // (2*(100)) ELSE -((2*(-((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END))) + (100)) // (2*(100))) END) AS DOUBLE) / 10000 AS avg_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -302,7 +302,7 @@ EVENTS_SESSION_SQL = f"""
            strftime(min(ts), '{TS_FMT_DUCK}')                          AS session_start,
            strftime(max(ts) + INTERVAL '10 minutes', '{TS_FMT_DUCK}')  AS session_end,
            count(*)             AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_value
     FROM sessions
     GROUP BY user_id, sess_id
     ORDER BY user_id, session_start
@@ -354,5 +354,95 @@ MULTIMODAL_FEATURES_SQL = """
            CASE WHEN octet_length(encode(text)) = 0 THEN -1
                 ELSE ascii(substr(text, 1, 1)) END AS first_byte
     FROM documents
-    ORDER BY doc_id
 """
+
+
+# --- Relational breadth (Q2/Q7/Q14/Q19-shaped) + as-of / range joins ------
+
+PROMO_REVENUE_SQL = """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           round(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE), 4) AS promo_pct,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE)   AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+MIN_COST_SUPPLIER_SQL = """
+    SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM (
+        SELECT *, min(s_acctbal) OVER (PARTITION BY s_nationkey) AS mb
+        FROM supplier
+    )
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal = mb
+    ORDER BY n_name, s_suppkey
+"""
+
+NATION_TRADE_SQL = """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND sn.n_name < cn.n_name
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+DISJUNCTIVE_PART_SQL = """
+    SELECT p_brand,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""
+
+# floor(epoch(..)) because DuckDB epoch() keeps fractional seconds while
+# Spark's unix_timestamp truncates to whole seconds.
+EVENTS_ASOF_SQL = f"""
+    SELECT event_id, user_id,
+           strftime(ts, '{TS_FMT_DUCK}')            AS purchase_ts,
+           strftime(last_click_ts, '{TS_FMT_DUCK}') AS click_ts,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(last_click_ts)) AS BIGINT) AS seconds_since_click
+    FROM (
+        SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS last_click_ts
+        FROM events
+    )
+    WHERE event_type = 'purchase'
+"""
+
+
+def _value_bands_sql() -> str:
+    from aws_saas_etl_spark.operators.events import VALUE_BANDS
+
+    values = ", ".join(
+        f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(VALUE_BANDS)
+    )
+    return f"""
+    WITH bands(band_id, lo, hi) AS (VALUES {values})
+    SELECT CAST(band_id AS INT) AS band_id, lo, hi,
+           count(*) AS n_events,
+           CAST((CASE WHEN ((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) + (100)) // (2*(100)) ELSE -((2*(-((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END))) + (100)) // (2*(100))) END) AS DOUBLE) / 10000 AS avg_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+"""
+
+
+EVENTS_VALUE_BANDS_SQL = _value_bands_sql()

@@ -60,13 +60,13 @@ register(
     relational.pricing_summary,
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 2)                                        AS avg_qty,
-           round(avg(l_extendedprice), 2)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_charge,
+           CAST((CASE WHEN ((CASE WHEN (CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l_quantity))) // (2*(count(l_quantity))) ELSE -((2*(-(CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l_quantity))) // (2*(count(l_quantity)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l_quantity))) // (2*(count(l_quantity))) ELSE -((2*(-(CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l_quantity))) // (2*(count(l_quantity)))) END)) + (10000)) // (2*(10000)) ELSE -((2*(-((CASE WHEN (CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l_quantity))) // (2*(count(l_quantity))) ELSE -((2*(-(CAST(sum(CAST(l_quantity AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l_quantity))) // (2*(count(l_quantity)))) END))) + (10000)) // (2*(10000))) END) AS DOUBLE) / 100 AS avg_qty,
+           CAST((CASE WHEN ((CASE WHEN (CAST(sum(CAST(l_extendedprice AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l_extendedprice AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l_extendedprice))) // (2*(count(l_extendedprice))) ELSE -((2*(-(CAST(sum(CAST(l_extendedprice AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l_extendedprice))) // (2*(count(l_extendedprice)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum(CAST(l_extendedprice AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l_extendedprice AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l_extendedprice))) // (2*(count(l_extendedprice))) ELSE -((2*(-(CAST(sum(CAST(l_extendedprice AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l_extendedprice))) // (2*(count(l_extendedprice)))) END)) + (10000)) // (2*(10000)) ELSE -((2*(-((CASE WHEN (CAST(sum(CAST(l_extendedprice AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l_extendedprice AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l_extendedprice))) // (2*(count(l_extendedprice))) ELSE -((2*(-(CAST(sum(CAST(l_extendedprice AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l_extendedprice))) // (2*(count(l_extendedprice)))) END))) + (10000)) // (2*(10000))) END) AS DOUBLE) / 100 AS avg_price,
+           CAST((CASE WHEN ((CASE WHEN (CAST(sum(CAST(l_discount AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l_discount AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l_discount))) // (2*(count(l_discount))) ELSE -((2*(-(CAST(sum(CAST(l_discount AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l_discount))) // (2*(count(l_discount)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum(CAST(l_discount AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l_discount AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l_discount))) // (2*(count(l_discount))) ELSE -((2*(-(CAST(sum(CAST(l_discount AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l_discount))) // (2*(count(l_discount)))) END)) + (100)) // (2*(100)) ELSE -((2*(-((CASE WHEN (CAST(sum(CAST(l_discount AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l_discount AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l_discount))) // (2*(count(l_discount))) ELSE -((2*(-(CAST(sum(CAST(l_discount AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l_discount))) // (2*(count(l_discount)))) END))) + (100)) // (2*(100))) END) AS DOUBLE) / 10000 AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -82,7 +82,7 @@ register(
     SELECT o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
            o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON o_custkey = c_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -100,7 +100,7 @@ register(
     relational.local_supplier_volume,
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -187,7 +187,7 @@ register(
     """
     SELECT n_name,
            CAST(year(o_orderdate) AS INT) AS order_year,
-           round(sum(o_totalprice), 2)    AS total_revenue,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(22,6))), 2) AS DOUBLE)    AS total_revenue,
            count(*)                       AS n_orders,
            CAST(grouping_id(n_name, CAST(year(o_orderdate) AS INT)) AS BIGINT) AS gid
     FROM orders
@@ -222,7 +222,7 @@ register(
     SELECT p_brand,
            count(DISTINCT l_suppkey)   AS n_suppliers,
            count(DISTINCT l_partkey)   AS n_parts,
-           round(sum(l_quantity), 2)   AS total_qty
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(22,6))), 2) AS DOUBLE)   AS total_qty
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
@@ -242,9 +242,11 @@ register(
     """
     SELECT c_nationkey,
            count(*)                  AS n_rich,
-           round(avg(c_acctbal), 2)  AS avg_bal
+           CAST((CASE WHEN ((CASE WHEN (CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(c_acctbal))) // (2*(count(c_acctbal))) ELSE -((2*(-(CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(c_acctbal))) // (2*(count(c_acctbal)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(c_acctbal))) // (2*(count(c_acctbal))) ELSE -((2*(-(CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(c_acctbal))) // (2*(count(c_acctbal)))) END)) + (10000)) // (2*(10000)) ELSE -((2*(-((CASE WHEN (CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(c_acctbal))) // (2*(count(c_acctbal))) ELSE -((2*(-(CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(c_acctbal))) // (2*(count(c_acctbal)))) END))) + (10000)) // (2*(10000))) END) AS DOUBLE) / 100  AS avg_bal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    WHERE c_acctbal > (
+        SELECT CAST(round(sum(CAST(c_acctbal AS DECIMAL(22,6))), 9) AS DOUBLE) / count(c_acctbal) FROM customer
+    )
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
@@ -310,3 +312,27 @@ register(
     oracles.MULTIMODAL_FEATURES_SQL,
 )
 register("multimodal_full_features", multimodal.multimodal_full_features, None)
+
+
+# --------------------------------------------------------------------------
+# Relational breadth: Q2/Q7/Q14/Q19 shapes + as-of / range joins
+# --------------------------------------------------------------------------
+
+register("promo_revenue_share", relational.promo_revenue_share, oracles.PROMO_REVENUE_SQL)
+register(
+    "min_cost_supplier_per_nation",
+    relational.min_cost_supplier_per_nation,
+    oracles.MIN_COST_SUPPLIER_SQL,
+)
+register("nation_trade_volume", relational.nation_trade_volume, oracles.NATION_TRADE_SQL)
+register(
+    "disjunctive_part_revenue",
+    relational.disjunctive_part_revenue,
+    oracles.DISJUNCTIVE_PART_SQL,
+)
+register("events_asof_last_click", events.events_asof_last_click, oracles.EVENTS_ASOF_SQL)
+register(
+    "events_value_band_stats",
+    events.events_value_band_stats,
+    oracles.EVENTS_VALUE_BANDS_SQL,
+)

@@ -1,0 +1,73 @@
+"""Plan-shape tests: the scale properties the engine depends on.
+
+Wrong plans are 100 TB bugs even when answers are right: a lost pushdown
+re-reads the world; a lost broadcast shuffles a fact table; a lost
+column-pruning reads 10× the bytes. Lock them in.
+"""
+
+from __future__ import annotations
+
+from aws_saas_etl_spark.operators.relational import (
+    local_supplier_volume,
+    pricing_summary,
+    shipping_priority,
+)
+from aws_saas_etl_spark.plans import inspect as PI
+from tests.conftest import SF_SMOKE
+
+
+def test_q1_pushes_shipdate_filter(spark):
+    df = pricing_summary(spark, SF_SMOKE)
+    PI.assert_filter_pushed(df, "l_shipdate")
+
+
+def test_q1_prunes_unused_columns(spark):
+    df = pricing_summary(spark, SF_SMOKE)
+    lineitem_cols = {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    PI.assert_scan_pruned(
+        df,
+        table_cols=lineitem_cols,
+        must_not_read={"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"},
+    )
+
+
+def test_q1_single_aggregation_shuffle(spark):
+    # partial agg map-side -> one exchange on the grouping keys -> final agg
+    df = pricing_summary(spark, SF_SMOKE)
+    assert PI.count_shuffles(df) <= 2  # agg exchange + orderBy range exchange
+
+
+def test_q3_broadcasts_dimension_side(spark):
+    df = shipping_priority(spark, SF_SMOKE)
+    assert PI.count_broadcast_joins(df) >= 1
+
+
+def test_q5_broadcasts_bounded_dims(spark):
+    df = local_supplier_volume(spark, SF_SMOKE)
+    # region⋈nation, supplier, and the nation_in_region join are broadcast
+    assert PI.count_broadcast_joins(df) >= 2
+
+
+def test_q1_runs_in_wholestage_codegen(spark):
+    df = pricing_summary(spark, SF_SMOKE)
+    assert len(PI.wholestage_codegen_ids(df)) >= 1
+
+
+def test_doc_queries_prune_text_table(spark):
+    from aws_saas_etl_spark.operators.textops import doc_token_frequencies
+
+    df = doc_token_frequencies(spark, SF_SMOKE)
+    # token frequency needs only `text`; doc metadata must not be read
+    PI.assert_scan_pruned(
+        df,
+        table_cols={"text"},
+        must_not_read={"lang", "source", "n_chars", "doc_id"},
+    )
+
+
+def test_knn_broadcasts_query_side(spark):
+    from aws_saas_etl_spark.operators.similarity import knn_bruteforce
+
+    df = knn_bruteforce(spark, SF_SMOKE)
+    plan = PI.physical_plan(df)
+    assert "Broadcast" in plan  # query vectors broadcast, corpus streams
