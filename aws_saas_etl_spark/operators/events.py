@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_saas_etl_spark.catalog import load_tables
+from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
 from aws_saas_etl_spark.functions.num import davg_rounded, dsum_rounded
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -183,7 +183,8 @@ def events_value_band_stats(spark, sf_dir: str) -> DataFrame:
     """Range join: events banded into [lo, hi) value ranges via a broadcast
     interval table — the canonical dimension-range-join shape (at scale the
     small side is always the banding table)."""
-    ev = load_tables(spark, sf_dir).events
+    # non-equi broadcast join = nested-loop: parallelize the probe side
+    ev = ensure_parallelism(load_tables(spark, sf_dir).events)
     spark_bands = spark.createDataFrame(
         [(i, lo, hi) for i, (lo, hi) in enumerate(VALUE_BANDS)],
         "band_id INT, lo DOUBLE, hi DOUBLE",

@@ -427,3 +427,56 @@ def disjunctive_part_revenue(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def status_priority_cube(spark, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping combinations
+    in one pass (grouping-sets expansion happens inside the aggregate)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum_rounded(F.col("o_totalprice"), MONEY).alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def order_value_percentiles(spark, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/quartiles) per order status — the exact
+    variant; approx_percentile is the sketch path at 100 TB (rows-only)."""
+    t = load_tables(spark, sf_dir)
+    pct = lambda p: F.round(F.percentile("o_totalprice", F.lit(p)), 4)  # noqa: E731
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            pct(0.25).alias("p25"),
+            pct(0.5).alias("p50"),
+            pct(0.75).alias("p75"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def sql_interface_demo(spark, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: the same catalog served through
+    ``spark.sql`` over registered views (the reference's only declarative
+    query — jobs newest-first, reference app.py:196 — generalized)."""
+    from aws_saas_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(22,6))), 2) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )

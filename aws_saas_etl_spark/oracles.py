@@ -446,3 +446,37 @@ def _value_bands_sql() -> str:
 
 
 EVENTS_VALUE_BANDS_SQL = _value_bands_sql()
+
+
+# --- cube / percentiles / SQL surface ------------------------------------
+
+STATUS_CUBE_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_price,
+           CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+PERCENTILES_SQL = """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+SQL_INTERFACE_SQL = """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""

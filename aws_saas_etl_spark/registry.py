@@ -336,3 +336,8 @@ register(
     events.events_value_band_stats,
     oracles.EVENTS_VALUE_BANDS_SQL,
 )
+
+
+register("status_priority_cube", relational.status_priority_cube, oracles.STATUS_CUBE_SQL)
+register("order_value_percentiles", relational.order_value_percentiles, oracles.PERCENTILES_SQL)
+register("sql_interface_demo", relational.sql_interface_demo, oracles.SQL_INTERFACE_SQL)
