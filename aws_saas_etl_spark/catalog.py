@@ -72,9 +72,18 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     only happens when the scan is pathologically under-split.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Cheap probe: count input files (driver-side listing, ~ms). The exact
+    # check (df.rdd.getNumPartitions()) converts the plan to an RDD and
+    # measured ~1s per call — pure per-query overhead. A table backed by
+    # fewer files than cores is the under-split case we guard against
+    # (single-row-group files can't split further anyway).
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:

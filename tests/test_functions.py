@@ -1,0 +1,129 @@
+"""Unit + property tests for the scalar function library.
+
+The built-in-expression and Python implementations of sentiment must agree
+on ANY input (they share a written spec, functions/sentiment.py) — checked
+over a generated corpus in one Spark job, plus SURVEY §2a gaps: S7 (DDL /
+saveAsTable) and P8 (row → JSON projection at the API boundary).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import string
+
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.functions.sentiment import (
+    NEGATIVE_WORDS,
+    POSITIVE_WORDS,
+    _score_one,
+    sentiment_expr,
+    sentiment_pandas_udf,
+)
+
+
+def _generated_corpus(n: int = 300) -> list[str | None]:
+    """Deterministic adversarial corpus: lexicon words, punctuation noise,
+    unicode, whitespace-only, empties, nulls, >4900-char tails."""
+    rng = random.Random(42)
+    vocab = (
+        list(POSITIVE_WORDS)
+        + list(NEGATIVE_WORDS)
+        + ["the", "spark", "mixed", "Fast", "SLOW!", "dup,dup", "x" * 50, "ümlaut", "中文"]
+    )
+    out: list[str | None] = [None, "", "   ", "\t\n", "fast", "slow", "fast slow"]
+    for _ in range(n):
+        k = rng.randint(0, 40)
+        words = [rng.choice(vocab) for _ in range(k)]
+        sep = rng.choice([" ", "  ", ", ", ".", "-", "\n"])
+        text = sep.join(words)
+        if rng.random() < 0.05:
+            text = text + " " + "pad " * 2500 + rng.choice(["slow", "fast"])
+        out.append(text)
+    return out
+
+
+def test_sentiment_expr_matches_python_spec(spark):
+    corpus = _generated_corpus()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "id BIGINT, t STRING"
+    )
+    got = {
+        r["id"]: (r["e"], r["u"])
+        for r in df.select(
+            "id",
+            sentiment_expr("t").alias("e"),
+            sentiment_pandas_udf(F.col("t")).alias("u"),
+        ).collect()
+    }
+    for i, t in enumerate(corpus):
+        expected = _score_one(t)
+        assert got[i][0] == expected, f"expr mismatch on {t!r}"
+        assert got[i][1] == expected, f"udf mismatch on {t!r}"
+
+
+def test_sentiment_sql_registration(spark):
+    from aws_saas_etl_spark.functions.sentiment import register_sql_udf
+
+    register_sql_udf(spark, "sentiment_t")
+    spark.createDataFrame([("fast good",), ("slow bad",)], "t STRING").createOrReplaceTempView(
+        "sent_in"
+    )
+    rows = spark.sql("SELECT sentiment_t(t) AS s FROM sent_in ORDER BY s").collect()
+    assert [r["s"] for r in rows] == ["NEGATIVE", "POSITIVE"]
+
+
+def test_text_functions_edge_cases(spark):
+    from aws_saas_etl_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "zzz"), (4, "The THE the"), (5, "a-b_c 1d2")],
+        "id BIGINT, t STRING",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            T.token_count("t").alias("n"),
+            T.distinct_token_count("t").alias("d"),
+            T.alpha_ratio("t").alias("ar"),
+            T.quality_score("t").alias("q"),
+            T.language_id("t").alias("lang"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 0 and rows[1]["q"] == 0.0
+    assert rows[2]["n"] == 0
+    assert rows[3]["n"] == 1 and rows[3]["ar"] == 1.0
+    assert rows[4]["n"] == 3 and rows[4]["d"] == 1  # case-folded
+    assert rows[5]["n"] == 4  # a, b, c, d split on non-alpha
+    assert rows[4]["lang"] == "en"  # 'the' is an en stopword
+    assert rows[3]["lang"] == "und"
+
+
+def test_ddl_save_as_table_roundtrip(spark, tmp_path):
+    """S7 parity: the reference's create_all() → Spark catalog DDL."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS etl_meta")
+    df = spark.createDataFrame([(1, "f.csv", "Pending")], "id BIGINT, filename STRING, status STRING")
+    df.write.mode("overwrite").saveAsTable("etl_meta.jobs_t")
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS etl_meta.jobs_t (id BIGINT, filename STRING, status STRING)"
+    )  # idempotent, like create_all()
+    back = spark.sql("SELECT * FROM etl_meta.jobs_t")
+    assert back.count() == 1
+    assert "jobs_t" in [t.name for t in spark.catalog.listTables("etl_meta")]
+    spark.sql("DROP TABLE etl_meta.jobs_t")
+    spark.sql("DROP DATABASE etl_meta")
+
+
+def test_row_to_json_projection(spark):
+    """P8 parity: the reference builds {id, filename, status, ...} dicts
+    for its API response (app.py:199-208) — Spark-side it's toJSON()."""
+    df = spark.createDataFrame(
+        [(7, "sales_data_2024.csv", "Completed")],
+        "id BIGINT, filename STRING, status STRING",
+    )
+    payload = [json.loads(s) for s in df.toJSON().collect()]
+    assert payload == [
+        {"id": 7, "filename": "sales_data_2024.csv", "status": "Completed"}
+    ]

@@ -101,3 +101,19 @@ def test_stateful_running_totals(spark, event_dir):
         exp_n, exp_total = expected[user_id]
         assert row["n_events"] == exp_n
         assert row["total_value"] == pytest.approx(exp_total, abs=0.02)
+
+
+def test_streaming_sliding_matches_batch(spark, event_dir):
+    stream = P.read_event_stream(spark, event_dir)
+    P.run_to_memory(P.sliding_stats(stream), "sliding_out", output_mode="append")
+    got = {
+        str(r["window_start"]): r["n_events"]
+        for r in spark.table("sliding_out").collect()
+    }
+    expected = {
+        str(r["window_start"]): r["n_events"]
+        for r in P.sliding_stats(_batch_events(spark)).collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert expected[k] == v
