@@ -176,3 +176,15 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def enriched_event_stream(stream_df: DataFrame, dim_df: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (bounded,
+    broadcast) dimension snapshot — the streaming analog of the
+    reference's users⋈jobs FK join. The static side re-reads per
+    micro-batch; no state is kept."""
+    return stream_df.join(
+        F.broadcast(dim_df), stream_df["user_id"] == dim_df["dim_user_id"], "left"
+    ).select(
+        "event_id", "ts", "user_id", "event_type", "value", "user_segment"
+    )

@@ -117,3 +117,16 @@ def test_streaming_sliding_matches_batch(spark, event_dir):
     assert len(got) > 0
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_stream_static_join(spark, event_dir):
+    dim = spark.createDataFrame(
+        [(i, "vip" if i % 3 == 0 else "std") for i in range(200)],
+        "dim_user_id BIGINT, user_segment STRING",
+    )
+    stream = P.read_event_stream(spark, event_dir)
+    P.run_to_memory(P.enriched_event_stream(stream, dim), "enriched_out")
+    out = spark.table("enriched_out")
+    assert out.count() == _batch_events(spark).count()
+    segs = {r["user_segment"] for r in out.select("user_segment").distinct().collect()}
+    assert "vip" in segs and "std" in segs
