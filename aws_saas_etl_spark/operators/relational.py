@@ -480,3 +480,47 @@ def sql_interface_demo(spark, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+def large_volume_customers(spark, sf_dir: str, min_qty: float = 150.0) -> DataFrame:
+    """TPC-H Q18-shaped: customers whose single orders exceed a quantity
+    threshold — aggregate + HAVING (post-aggregation filter) + semi-join
+    back to the fact table."""
+    t = load_tables(spark, sf_dir)
+    big_orders = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(dsum_rounded(F.col("l_quantity"), MONEY).alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)  # HAVING
+    )
+    return (
+        big_orders.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", MONEY).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def returned_item_losses(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returned items per customer, top
+    20 — filter on a flag, 3-way join, agg, deterministic top-k."""
+    t = load_tables(spark, sf_dir)
+    rev = dsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY)
+    return (
+        t.lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(t.orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer.select("c_custkey", "c_name", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation.select("n_nationkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -480,3 +480,34 @@ SQL_INTERFACE_SQL = """
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
 """
+
+
+LARGE_VOLUME_SQL = """
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           total_qty
+    FROM (
+        SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING total_qty > 150.0
+    )
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 100
+"""
+
+RETURNED_LOSSES_SQL = """
+    SELECT c_custkey, c_name, n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS lost_revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey ASC
+    LIMIT 20
+"""

@@ -341,3 +341,7 @@ register(
 register("status_priority_cube", relational.status_priority_cube, oracles.STATUS_CUBE_SQL)
 register("order_value_percentiles", relational.order_value_percentiles, oracles.PERCENTILES_SQL)
 register("sql_interface_demo", relational.sql_interface_demo, oracles.SQL_INTERFACE_SQL)
+
+
+register("large_volume_customers", relational.large_volume_customers, oracles.LARGE_VOLUME_SQL)
+register("returned_item_losses", relational.returned_item_losses, oracles.RETURNED_LOSSES_SQL)
