@@ -524,3 +524,47 @@ def returned_item_losses(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+def forecast_revenue_change(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure scan-filter-aggregate with range predicates —
+    the query where predicate pushdown does all the work (no join, no
+    shuffle beyond the single-row final aggregate)."""
+    t = load_tables(spark, sf_dir)
+    y0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= y0)
+            & (F.col("l_shipdate") < y1)
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum_rounded(F.col("l_extendedprice") * F.col("l_discount"), MONEY).alias(
+                "potential_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def small_quantity_orders(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated aggregate: items whose quantity is
+    below 50% of their part's average — per-part avg via one window pass
+    instead of a per-row correlated subquery."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("l_partkey")
+    items = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice").withColumn(
+        "part_avg_qty", F.avg("l_quantity").over(w)
+    )
+    return (
+        items.where(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
+        .join(F.broadcast(t.part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_items"),
+            dsum_rounded(F.col("l_extendedprice"), MONEY).alias("small_item_revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -511,3 +511,29 @@ RETURNED_LOSSES_SQL = """
     ORDER BY lost_revenue DESC, c_custkey ASC
     LIMIT 20
 """
+
+
+FORECAST_REVENUE_SQL = """
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,6))), 2) AS DOUBLE) AS potential_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+"""
+
+SMALL_QTY_SQL = """
+    SELECT p_brand,
+           count(*) AS n_small_items,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(22,6))), 2) AS DOUBLE) AS small_item_revenue
+    FROM (
+        SELECT l_partkey, l_quantity, l_extendedprice,
+               avg(l_quantity) OVER (PARTITION BY l_partkey) AS part_avg_qty
+        FROM lineitem
+    )
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity < 0.5 * part_avg_qty
+    GROUP BY p_brand
+    ORDER BY p_brand
+"""

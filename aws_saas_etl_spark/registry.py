@@ -345,3 +345,7 @@ register("sql_interface_demo", relational.sql_interface_demo, oracles.SQL_INTERF
 
 register("large_volume_customers", relational.large_volume_customers, oracles.LARGE_VOLUME_SQL)
 register("returned_item_losses", relational.returned_item_losses, oracles.RETURNED_LOSSES_SQL)
+
+
+register("forecast_revenue_change", relational.forecast_revenue_change, oracles.FORECAST_REVENUE_SQL)
+register("small_quantity_orders", relational.small_quantity_orders, oracles.SMALL_QTY_SQL)
