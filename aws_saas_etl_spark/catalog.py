@@ -26,10 +26,14 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables that are always small enough to broadcast (bounded
-# cardinality even at 100 TB fact scale: regions/nations are fixed-size,
-# suppliers/parts grow slowly relative to facts).
-BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+# Dimension tables with FIXED cardinality (5 regions, 25 nations at any
+# scale factor) — the only tables safe to force-broadcast. `supplier` and
+# `part` GROW with scale factor (sf100 ⇒ 20M+ parts): hinting them would
+# override Spark's size threshold and OOM the driver at cluster scale, so
+# their joins carry no hint — the planner broadcasts them only while their
+# file-size stats fit `spark.sql.autoBroadcastJoinThreshold`, and AQE can
+# still convert to broadcast at runtime from actual shuffle sizes.
+BROADCAST_DIMS = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

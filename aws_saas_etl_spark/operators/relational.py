@@ -8,8 +8,14 @@ declarative DataFrame plans so Catalyst handles pushdown, pruning, join
 selection, and AQE handles runtime skew/partition sizing.
 
 Scale notes (100 TB design point):
-- Dimension joins (region/nation/supplier/part) are explicitly
-  ``F.broadcast`` — no shuffle of the fact side for those joins.
+- Only FIXED-cardinality dims (region: 5 rows, nation: 25 rows at every
+  scale factor) carry an explicit ``F.broadcast`` hint. Dims that grow
+  with scale factor (part, supplier, filtered customer) are joined with
+  NO hint: Spark's size threshold (`autoBroadcastJoinThreshold`, from
+  Parquet file-size stats) picks broadcast while they fit, and AQE
+  converts sort-merge → broadcast at runtime from actual sizes once
+  statistics are off. A forced hint on a growing dim is the classic
+  100× scale-killer (driver OOM collecting a 20M-row build side).
 - Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE
   coalesces/splits post-shuffle partitions at runtime.
 - Every aggregation is a partial (map-side combine) + final hash agg —
@@ -66,7 +72,9 @@ def shipping_priority(spark, sf_dir: str) -> DataFrame:
 
     customer(filtered, broadcast) ⋈ orders ⋈ lineitem → groupBy order →
     top-10 with deterministic tie-break on o_orderkey. The customer side is
-    ~1/5 of customers — still bounded, broadcast it; orders⋈lineitem is the
+    ~1/5 of customers — proportional to scale, so it carries NO broadcast
+    hint (the size threshold broadcasts it while small; at sf100+ it
+    becomes a shuffle join, which is correct); orders⋈lineitem is the
     real shuffle and co-partitions on o_orderkey = l_orderkey.
     """
     t = load_tables(spark, sf_dir)
@@ -81,7 +89,7 @@ def shipping_priority(spark, sf_dir: str) -> DataFrame:
     revenue = dsum_rounded(F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY)
     return (
         items.join(orders, items.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue.alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -99,10 +107,11 @@ def local_supplier_volume(spark, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped: revenue per nation where supplier and customer share
     the nation, for one region and one year.
 
-    Five-way join: three bounded dims broadcast (region→nation→supplier);
-    customer⋈orders⋈lineitem shuffle on their keys. The c_nationkey =
-    s_nationkey predicate is applied as a join condition, not a post-filter,
-    so Catalyst can plan it inside the join.
+    Five-way join: the fixed dims (region→nation) broadcast by hint;
+    supplier grows with scale so its join is unhinted (threshold/AQE
+    decide); customer⋈orders⋈lineitem shuffle on their keys. The
+    c_nationkey = s_nationkey predicate is applied as a join condition,
+    not a post-filter, so Catalyst can plan it inside the join.
     """
     t = load_tables(spark, sf_dir)
     y0 = F.lit("1996-01-01").cast("timestamp_ntz")
@@ -124,7 +133,7 @@ def local_supplier_volume(spark, sf_dir: str) -> DataFrame:
         )
         .join(t.customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            t.supplier.select("s_suppkey", "s_nationkey"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -272,7 +281,7 @@ def supplier_diversity_per_brand(spark, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         t.lineitem.select("l_partkey", "l_suppkey", "l_quantity")
-        .join(F.broadcast(t.part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -332,7 +341,7 @@ def promo_revenue_share(spark, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))
     return (
         t.lineitem.select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
-        .join(F.broadcast(t.part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
             F.round(
@@ -383,7 +392,7 @@ def nation_trade_volume(spark, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", F.year("l_shipdate").alias("ship_year"))
         .join(t.orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t.customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.supplier.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
         .where(F.col("supp_nation") < F.col("cust_nation"))
@@ -418,7 +427,7 @@ def disjunctive_part_revenue(spark, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-        .join(F.broadcast(t.part.select("p_partkey", "p_brand", "p_size")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.part.select("p_partkey", "p_brand", "p_size"), F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
         .groupBy("p_brand")
         .agg(
@@ -560,7 +569,7 @@ def small_quantity_orders(spark, sf_dir: str) -> DataFrame:
     )
     return (
         items.where(F.col("l_quantity") < 0.5 * F.col("part_avg_qty"))
-        .join(F.broadcast(t.part.select("p_partkey", "p_brand")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_small_items"),

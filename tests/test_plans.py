@@ -65,6 +65,41 @@ def test_doc_queries_prune_text_table(spark):
     )
 
 
+def test_growing_dim_broadcast_is_threshold_driven(spark):
+    """part/supplier joins carry NO forced broadcast hint: at tiny SF the
+    size threshold still picks broadcast, but disabling the threshold must
+    flip the plan to a shuffle join — proving the engine can fall back at
+    sf100+ where a forced hint would OOM the driver."""
+    from aws_saas_etl_spark.operators.relational import supplier_diversity_per_brand
+
+    df = supplier_diversity_per_brand(spark, SF_SMOKE)
+    assert PI.count_broadcast_joins(df) >= 1  # threshold-chosen at smoke SF
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df_big = supplier_diversity_per_brand(spark, SF_SMOKE)
+        # No hint ⇒ the planner CAN choose shuffle when stats say too big.
+        assert PI.count_broadcast_joins(df_big) == 0
+        assert PI.count_sortmerge_joins(df_big) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_fixed_dims_still_hinted_under_disabled_threshold(spark):
+    """region/nation (fixed 5/25 rows at ANY scale factor) keep their
+    explicit hints: they must broadcast even with the threshold off."""
+    from aws_saas_etl_spark.operators.relational import min_cost_supplier_per_nation
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = min_cost_supplier_per_nation(spark, SF_SMOKE)
+        assert PI.count_broadcast_joins(df) >= 1  # nation hint survives
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_knn_broadcasts_query_side(spark):
     from aws_saas_etl_spark.operators.similarity import knn_bruteforce
 
