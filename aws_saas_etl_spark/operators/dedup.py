@@ -16,14 +16,15 @@ Ladder of dedup strategies, cheapest first:
 path for fuzzy dedup: candidate generation is O(rows·bands) with bounded
 bucket joins instead of the O(n²) cross join; they verify rows-only.
 
-Design note (learned by measurement): MinHash/SimHash signatures are
-computed by EXPLODING shingles/tokens to rows, hashing once per row, and
-aggregating 64 ``min``/``sum`` columns in a single hash-aggregate pass.
-The tempting alternative — 64 ``transform``/``aggregate`` array
-expressions per document — re-inlines the tokenizer into every one of the
-64 hash expressions (Catalyst collapses the projections), turning one
-tokenization into 64 and blowing up codegen; it measured >100× slower at
-sf0.1. Explode → hash → agg is the scalable shape.
+Design note (learned by measurement): tokenization must be computed ONCE
+and materialized behind a shuffle barrier before fanning out to the 64
+per-permutation hash expressions — otherwise CollapseProject re-inlines
+the tokenizer into every permutation expression (64× the work, measured
+>100× slower at sf0.1). MinHash does this via ``hashed_shingles`` (barrier
++ ``array_min`` per permutation; see its docstring for why this beat the
+round-1 explode→64-column-min-aggregate). SimHash keeps the explode →
+hash-per-token → 64-vote aggregate shape, where the explode is over raw
+tokens and each vote is a bit test, not a re-tokenization.
 """
 
 from __future__ import annotations
@@ -101,30 +102,59 @@ def token_bag_dedup(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, h0..h63) MinHash signature via explode → hash → 64-way min
-    aggregate. One tokenization pass, one shuffle on doc_id.
+def hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: sorted array<long>) — each shingle string hashed ONCE
+    to 8 bytes, materialized below a repartition barrier.
 
-    Each shingle string is hashed ONCE to 8 bytes; the 64 permutation
-    hashes re-hash that fixed-width value (seeded) — ~2× cheaper than
-    hashing the variable-length string 64 times, same independence."""
-    hashed = F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))
-    rows = docs.select("doc_id", F.explode(hashed).alias("h"))
-    return rows.groupBy("doc_id").agg(
+    The barrier is the heart of the minhash design: everything downstream
+    (64 permutation mins, band hashes, Jaccard verify) consumes the compact
+    long arrays, and because the three consumers share this exact subtree,
+    Spark's exchange reuse computes the tokenization ONCE and reads the
+    shuffled output three times. Without the barrier, CollapseProject
+    re-inlines the tokenizer into all 64 permutation expressions (measured
+    >100× slower at sf0.1); with it, tokenization cost is paid exactly once
+    regardless of how many signature/verify stages consume it."""
+    sh = F.array_sort(F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s)))
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select("doc_id", sh.alias("sh")).repartition(n)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, h0..h63) MinHash signature: per-permutation
+    ``array_min`` over the materialized hashed-shingle arrays.
+
+    Design note (learned by measurement, round 2): the round-1 shape —
+    explode shingles to rows, then one 64-column ``min`` hash-aggregate —
+    was algorithmically fine but generated one enormous codegen method
+    whose JIT warmup dominated wall-clock (16-29s first runs vs 4s
+    steady-state at sf0.1). 64 independent ``array_min(transform(...))``
+    projections over pre-hashed arrays skip the explode shuffle entirely
+    and run cold in ~half the time with stable latency. Higher-order
+    functions are interpreted, but over ~100-element long arrays the
+    per-element cost is a seeded xxhash64 of a fixed-width value — cheap."""
+    sh = hashed_shingles(docs)
+    return sh.select(
+        "doc_id",
+        "sh",
+        # NB: F.transform calls the Python lambda once at plan-build time,
+        # so the closure over the loop variable binds the CURRENT i. (A
+        # two-arg lambda would instead receive the array index as its
+        # second argument — not the permutation seed.)
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
+            F.array_min(
+                F.transform("sh", lambda s: F.xxhash64(F.lit(i), s))
+            ).alias(f"h{i}")
             for i in range(MINHASH_HASHES)
-        ]
+        ],
     )
 
 
-def _candidate_pairs_lsh(docs: DataFrame) -> DataFrame:
+def _candidate_pairs_lsh(sig: DataFrame) -> DataFrame:
     """Banded-LSH candidate pairs: equal band-hash in any band.
 
     Shuffle cost is rows × bands small tuples; the self-join happens per
     band-bucket, so a pathological bucket is handled by AQE skew-join.
     """
-    sig = minhash_signatures(docs)
     band_hashes = [
         F.xxhash64(
             *[F.col(f"h{b * MINHASH_ROWS_PER_BAND + r}") for r in range(MINHASH_ROWS_PER_BAND)]
@@ -150,10 +180,16 @@ def _candidate_pairs_lsh(docs: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(spark, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard over
-    shingle sets (candidates only — never all pairs)."""
+    hashed shingle sets (candidates only — never all pairs).
+
+    Jaccard is computed over the 64-bit shingle hashes rather than the
+    shingle strings: identical up to hash collisions (~n²/2⁶⁴ per doc
+    pair), with 8-byte array compares instead of string compares in the
+    verify join. The hashed-shingle subtree is shared by the signature
+    stage and both sides of the verify join (exchange reuse)."""
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
-    cands = _candidate_pairs_lsh(docs)
-    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sh = hashed_shingles(docs)
+    cands = _candidate_pairs_lsh(minhash_signatures(docs))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
