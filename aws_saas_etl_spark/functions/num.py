@@ -48,6 +48,24 @@ def davg_rounded(col: Column, r: int = 4) -> Column:
     return q6.cast(f"decimal(38,{r})").cast("double")
 
 
+def dround(col: Column, r: int = 2) -> Column:
+    """Engine-stable per-row rounding of a double.
+
+    ``round(double, r)`` diverges between engines at exact .xx5 values
+    (Spark rounds the shortest decimal string half-up; DuckDB rounds the
+    binary value). Route through decimal instead: double → DECIMAL(22,6)
+    (both engines land on the same scale-6 decimal for money-scale values,
+    since the double's error ~1e-11 is far below the 5e-7 rounding step)
+    → HALF_UP rescale to ``r`` → double. Pair with ``dround_sql``.
+    """
+    return col.cast(DECIMAL_TYPE).cast(f"decimal(38,{r})").cast("double")
+
+
+def dround_sql(expr: str, r: int = 2) -> str:
+    """DuckDB twin of :func:`dround`."""
+    return f"CAST(round(CAST({expr} AS DECIMAL(22,6)), {r}) AS DOUBLE)"
+
+
 def dsum_sql(expr: str, r: int = 2) -> str:
     """DuckDB twin of dsum_rounded: round() on DECIMAL is half-away-from-
     zero — identical to Spark's HALF_UP rescale."""

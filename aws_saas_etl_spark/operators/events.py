@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
-from aws_saas_etl_spark.functions.num import davg_rounded, dsum_rounded
+from aws_saas_etl_spark.functions.num import davg_rounded, dround, dsum_rounded
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -100,7 +100,7 @@ def events_json_props(spark, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            davg_rounded(F.col("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
             F.min("k").alias("min_k"),
         )
@@ -124,7 +124,7 @@ def events_latest_per_user(spark, sf_dir: str) -> DataFrame:
             "event_id",
             F.date_format("ts", TS_FMT).alias("ts"),
             "event_type",
-            F.round("value", 2).alias("value"),
+            dround(F.col("value"), 2).alias("value"),
         )
     )
 

@@ -31,16 +31,29 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi-join, identical semantics to
-    ``left.join(right, left[left_key] == right[right_key], how)``.
+    ``left.join(right, left[left_key] == right[right_key], how)`` for the
+    SUPPORTED join types: inner, left, left_semi, left_anti.
 
     The (large, skewed) left side gets a random-but-deterministic salt in
     [0, n_salts); the (smaller) right side is replicated once per salt
     value. The shuffle key becomes (key, salt), so one hot key spreads
     over n_salts reducers.
 
+    right/full outer joins are rejected: the right side is exploded once
+    per salt, so an unmatched right row would surface n_salts duplicate
+    null-padded rows, not one. Salting the other side instead (swap the
+    arguments) is the correct construction for right-heavy skew.
+
     Salt must be deterministic for retries: derived from a hash of the
     whole left row, not rand().
     """
+    norm = how.lower().replace("_", "")
+    if norm not in {"inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti joins, not "
+            f"{how!r}: the salt-exploded right side would duplicate unmatched "
+            "right rows under right/full outer semantics"
+        )
     salt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % n_salts).cast("int")
     salted_left = left.withColumn("__salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")

@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.catalog import load_tables
-from aws_saas_etl_spark.functions.num import davg_rounded, dsum_rounded
+from aws_saas_etl_spark.functions.num import (
+    DECIMAL_TYPE,
+    davg_rounded,
+    dround,
+    dsum_rounded,
+)
 
 # Rounding applied to floating aggregates before they leave the engine so
 # differential comparison against other engines is ulp-stable.
@@ -161,7 +166,7 @@ def top_orders_per_customer(spark, sf_dir: str, k: int = 3) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.round("o_totalprice", MONEY).alias("o_totalprice"),
+            dround(F.col("o_totalprice"), MONEY).alias("o_totalprice"),
             "rank_in_cust",
         )
     )
@@ -176,11 +181,19 @@ def customer_order_running_totals(spark, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Decimal accumulator inside the window: the running sum is exact and
+    # order-independent, then rescaled HALF_UP — same contract as dsum.
+    running = (
+        F.sum(F.col("o_totalprice").cast(DECIMAL_TYPE))
+        .over(cum)
+        .cast(f"decimal(38,{MONEY})")
+        .cast("double")
+    )
     return t.orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(cum), MONEY).alias("running_total"),
-        F.round(F.lag("o_totalprice", 1).over(w), MONEY).alias("prev_price"),
+        running.alias("running_total"),
+        dround(F.lag("o_totalprice", 1).over(w), MONEY).alias("prev_price"),
         F.row_number().over(w).alias("order_seq"),
     )
 
@@ -367,7 +380,7 @@ def min_cost_supplier_per_nation(spark, sf_dir: str) -> DataFrame:
             "n_name",
             "s_suppkey",
             "s_name",
-            F.round("s_acctbal", MONEY).alias("s_acctbal"),
+            dround(F.col("s_acctbal"), MONEY).alias("s_acctbal"),
         )
         .orderBy("n_name", "s_suppkey")
     )
@@ -509,7 +522,7 @@ def large_volume_customers(spark, sf_dir: str, min_qty: float = 150.0) -> DataFr
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            F.round("o_totalprice", MONEY).alias("o_totalprice"),
+            dround(F.col("o_totalprice"), MONEY).alias("o_totalprice"),
             "total_qty",
         )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))

@@ -13,6 +13,7 @@ from aws_saas_etl_spark.functions.sentiment import (
     POSITIVE_WORDS,
     TRUNCATE_AT,
 )
+from aws_saas_etl_spark.functions.num import davg_sql, dround_sql
 from aws_saas_etl_spark.functions.text import LANG_STOPWORDS
 from aws_saas_etl_spark.operators.dedup import LENGTH_BUCKET, SHINGLE_SIZE
 from aws_saas_etl_spark.operators.similarity import N_QUERY_VECS, TOP_K
@@ -130,6 +131,8 @@ def _lang_id_sql() -> str:
     SELECT lang,
            CASE WHEN {greatest_all} = 0 THEN 'und'
              {whens}
+             ELSE 'und'  -- NULL text: all scores NULL, no WHEN fires;
+                         -- the engine's when/otherwise yields 'und' too
            END AS lang_pred,
            count(*) AS n_docs
     FROM s
@@ -283,6 +286,12 @@ EVENTS_SLIDING_SQL = f"""
     ORDER BY window_start
 """
 
+# Boundary semantics (verified empirically against Spark 4.1): an event
+# arriving EXACTLY gap after the previous one MERGES into the session —
+# F.session_window treats [prev, prev+gap) and [prev+gap, ...) as
+# overlapping (two events 10min apart at gap=10min yield ONE session with
+# end = second event + gap). The strict `>` below matches: a new session
+# starts only when the gap is exceeded.
 EVENTS_SESSION_SQL = f"""
     WITH marked AS (
         SELECT user_id, ts, value,
@@ -308,12 +317,14 @@ EVENTS_SESSION_SQL = f"""
     ORDER BY user_id, session_start
 """
 
-EVENTS_JSON_SQL = """
+_JSON_K = "CAST(json_extract_string(props, '$.k') AS INT)"
+
+EVENTS_JSON_SQL = f"""
     SELECT event_type,
            count(*) AS n_events,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
-           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-           min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k
+           {davg_sql(_JSON_K, 4)} AS avg_k,
+           max({_JSON_K}) AS max_k,
+           min({_JSON_K}) AS min_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -323,7 +334,7 @@ EVENTS_LATEST_SQL = f"""
     SELECT user_id, event_id,
            strftime(ts, '{TS_FMT_DUCK}') AS ts,
            event_type,
-           round(value, 2) AS value
+           {dround_sql("value", 2)} AS value
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY user_id ORDER BY ts DESC, event_id DESC
@@ -369,8 +380,8 @@ PROMO_REVENUE_SQL = """
     ORDER BY 1
 """
 
-MIN_COST_SUPPLIER_SQL = """
-    SELECT n_name, s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+MIN_COST_SUPPLIER_SQL = f"""
+    SELECT n_name, s_suppkey, s_name, {dround_sql("s_acctbal", 2)} AS s_acctbal
     FROM (
         SELECT *, min(s_acctbal) OVER (PARTITION BY s_nationkey) AS mb
         FROM supplier
@@ -482,10 +493,10 @@ SQL_INTERFACE_SQL = """
 """
 
 
-LARGE_VOLUME_SQL = """
+LARGE_VOLUME_SQL = f"""
     SELECT c_custkey, c_name, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-           round(o_totalprice, 2) AS o_totalprice,
+           {dround_sql("o_totalprice", 2)} AS o_totalprice,
            total_qty
     FROM (
         SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_qty

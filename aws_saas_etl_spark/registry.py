@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from aws_saas_etl_spark import oracles
+from aws_saas_etl_spark.functions.num import dround_sql
 from aws_saas_etl_spark.operators import (
     dedup,
     etl,
@@ -118,8 +119,9 @@ register(
 register(
     "top_orders_per_customer",
     relational.top_orders_per_customer,
-    """
-    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank_in_cust
+    f"""
+    SELECT o_custkey, o_orderkey,
+           {dround_sql("o_totalprice", 2)} AS o_totalprice, rank_in_cust
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (
@@ -135,15 +137,13 @@ register(
 register(
     "customer_order_running_totals",
     relational.customer_order_running_totals,
-    """
+    f"""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(22,6))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_total,
-           round(lag(o_totalprice, 1) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ), 2) AS prev_price,
+           ), 2) AS DOUBLE) AS running_total,
+           {dround_sql("lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)", 2)} AS prev_price,
            row_number() OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ) AS order_seq

@@ -35,6 +35,29 @@ def test_salted_join_spreads_hot_key(spark):
     assert "__salt" not in out.columns
 
 
+def test_salted_join_left_outer_matches_plain(spark):
+    # unmatched LEFT rows must appear exactly once (null-padded)
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "unmatched")], "k BIGINT, lv STRING"
+    )
+    right = spark.createDataFrame([(1, "r1"), (2, "r2")], "rk BIGINT, rv STRING")
+    plain = left.join(right, left.k == right.rk, "left").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", "rk", how="left").select("k", "lv", "rv")
+    assert sorted(map(tuple, plain.collect()), key=str) == sorted(
+        map(tuple, salted.collect()), key=str
+    )
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "k BIGINT, lv STRING")
+    right = spark.createDataFrame([(1, "r")], "rk BIGINT, rv STRING")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", "rk", how=how)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     left = spark.createDataFrame(
         [(i, i * 10) for i in range(1000)], "k BIGINT, lv BIGINT"
