@@ -349,3 +349,20 @@ register("returned_item_losses", relational.returned_item_losses, oracles.RETURN
 
 register("forecast_revenue_change", relational.forecast_revenue_change, oracles.FORECAST_REVENUE_SQL)
 register("small_quantity_orders", relational.small_quantity_orders, oracles.SMALL_QTY_SQL)
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming pipelines, drained availableNow (SURVEY §2b, M5).
+# Rows-only: append-mode emission is gated by watermark progression, which
+# SQL can't express; stream==batch equivalence is pinned in
+# tests/test_streaming.py (batch is the oracle for streams, SURVEY §5.2).
+# --------------------------------------------------------------------------
+
+from aws_saas_etl_spark.streaming import runners  # noqa: E402
+
+register("stream_hourly_stats", runners.stream_hourly_stats, None)
+register("stream_sliding_windows", runners.stream_sliding_windows, None)
+register("stream_session_stats", runners.stream_session_stats, None)
+register("stream_dedup_within_watermark", runners.stream_dedup_within_watermark, None)
+register("stream_running_user_totals", runners.stream_running_user_totals, None)
+register("stream_static_enrichment", runners.stream_static_enrichment, None)

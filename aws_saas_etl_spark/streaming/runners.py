@@ -1,0 +1,129 @@
+"""Driver-visible batch drains of the streaming pipelines.
+
+Each registered ``stream_*`` query stages the fixture events as a
+multi-file parquet directory (3 files → 3 micro-batches), runs the
+corresponding Structured Streaming pipeline with ``availableNow`` into a
+memory sink, and returns the drained table as a regular DataFrame — so
+the external driver's correctness gate executes the real streaming path
+(file source → watermark → stateful operator → sink), not a batch
+look-alike.
+
+These are registered rows-only: append-mode emission depends on
+watermark progression (only windows the final watermark closed are
+emitted), which plain SQL cannot express; the stream==batch equivalence
+is pinned by tests/test_streaming.py instead (SURVEY §5.2: batch is the
+oracle for streams).
+
+Scale note: the staging step exists only because the fixtures are single
+parquet files — a production deployment points ``read_event_stream`` at
+the ingest directory/bus and the drain becomes a long-lived query; the
+transformations are byte-identical in both modes.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.catalog import load_table
+from aws_saas_etl_spark.streaming import pipelines as P
+
+_STAGE_FILES = 3
+_run_seq = count()
+_stage_cache: dict[tuple[str, str], str] = {}
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage fixture events as a 3-file parquet directory (µs timestamps,
+    one file per micro-batch). Cached per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _stage_cache.get(key)
+    if path and os.path.isdir(path):
+        return path
+    path = tempfile.mkdtemp(prefix="etl_spark_stream_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # EVENT_SCHEMA carries a zoned timestamp; the session is pinned UTC so
+    # the cast is a type tag change, not a clock shift.
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.repartition(_STAGE_FILES).write.mode("overwrite").parquet(path)
+    _stage_cache[key] = path
+    return path
+
+
+def _drain(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """availableNow drain into a uniquely-named memory table."""
+    name = f"stream_drain_{next(_run_seq)}"
+    P.run_to_memory(stream_df, name, output_mode=output_mode)
+    return stream_df.sparkSession.table(name)
+
+
+def _stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 10) -> DataFrame:
+    return P.read_event_stream(
+        spark, _staged_events_dir(spark, sf_dir), max_files_per_trigger
+    )
+
+
+def stream_hourly_stats(spark, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate, drained availableNow
+    (streaming twin of ``events_hourly_stats``)."""
+    return _drain(P.hourly_stats(_stream(spark, sf_dir)), "append")
+
+
+def stream_sliding_windows(spark, sf_dir: str) -> DataFrame:
+    """Watermarked sliding-window counts, drained availableNow."""
+    return _drain(P.sliding_stats(_stream(spark, sf_dir)), "append")
+
+
+def stream_session_stats(spark, sf_dir: str) -> DataFrame:
+    """Watermarked session windows (stateful gap-merge), drained
+    availableNow."""
+    return _drain(P.session_stats(_stream(spark, sf_dir)), "append")
+
+
+def stream_dedup_within_watermark(spark, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over the event stream; returns the
+    per-event survivors (bounded state, unlike global dropDuplicates)."""
+    deduped = P.dedup_stream(_stream(spark, sf_dir))
+    return _drain(deduped, "append").select("event_id", "user_id", "event_type")
+
+
+def stream_running_user_totals(spark, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): final
+    cumulative (count, sum) per user after draining every micro-batch —
+    one file per trigger so state genuinely crosses batches."""
+    out = _drain(
+        P.running_user_totals(_stream(spark, sf_dir, max_files_per_trigger=1)),
+        "update",
+    )
+    # update mode re-emits a user on every batch that touched it; the
+    # emission with the highest cumulative count is the final state
+    # (n_events is monotone per user; total_value need not be, so it is
+    # selected BY n_events rather than maxed).
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def stream_static_enrichment(spark, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join: events enriched with a bounded
+    user-segment dimension snapshot (the streaming analog of the
+    reference's users⋈jobs FK join, reference models.py:17)."""
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("dim_user_id"),
+        F.when(F.col("id") % 3 == 0, "vip").otherwise("std").alias("user_segment"),
+    )
+    enriched = P.enriched_event_stream(_stream(spark, sf_dir), dim)
+    return _drain(enriched, "append").select(
+        "event_id", "user_id", "event_type", "user_segment"
+    )

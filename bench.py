@@ -47,8 +47,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
+    # stream_* entries are availableNow drains of Structured Streaming
+    # pipelines — dominated by fixed micro-batch/sink overhead, not query
+    # execution, so they are correctness-gated (driver + pytest) but not
+    # part of the latency benchmark.
     names = [n for n in HEADLINE if n in qs] + [
-        n for n in sorted(qs) if n not in HEADLINE
+        n for n in sorted(qs) if n not in HEADLINE and not n.startswith("stream_")
     ]
 
     # Warmup: run the flagship once to absorb JVM + codegen startup cost.
