@@ -285,6 +285,34 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_band_check(spark, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of ``simhash_buckets``'s BANDING layer.
+
+    ``simhash_buckets`` itself is rows-only verified: its fingerprint is
+    built on xxhash64, which no other engine reproduces. The banding math
+    (shift + mask into 4 blocking keys) is engine-neutral, so this query
+    freezes it against the oracle using a fingerprint BOTH engines compute
+    identically: the first 60 bits of md5(text) (15 hex chars → bigint; 60
+    bits keeps the value positive in a signed 64-bit int, so plain shifts
+    are unsigned-safe), banded 4 × 15 bits — the same shift/mask shape the
+    simhash path uses on its 64-bit signatures.
+    """
+    docs = load_tables(spark, sf_dir).documents
+    fp = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    sig = docs.select("doc_id", fp.alias("fp60"))
+    return sig.select(
+        "doc_id",
+        "fp60",
+        *[
+            F.shiftrightunsigned("fp60", 15 * band)
+            .bitwiseAND(F.lit(0x7FFF))
+            .cast("int")
+            .alias(f"band_{band}")
+            for band in range(4)
+        ],
+    ).orderBy("doc_id")
+
+
 def simhash_buckets(spark, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + 16-bit band buckets (the blocking key for
     Hamming-distance near-dup search: dups within Hamming ≤ 3 of a 64-bit

@@ -47,9 +47,14 @@ JOB_EVENT_SCHEMA = StructType(
         StructField("result_url", StringType(), True),
         StructField("user_id", LongType(), False),
         StructField("event_time", TimestampType(), False),
-        # monotone per-append sequence: deterministic latest-wins even when
-        # two transitions share a timestamp
+        # ordering key: wall-clock nanoseconds at append time. Generated
+        # WITHOUT reading the log (a max(seq) scan per append would
+        # serialize every state transition behind a full-log aggregate at
+        # scale); ties across concurrent writers resolve via `writer`.
         StructField("seq", LongType(), False),
+        # per-append uuid: deterministic total order even if two writers
+        # land the same nanosecond
+        StructField("writer", StringType(), False),
     ]
 )
 
@@ -70,6 +75,15 @@ class JobStore:
         self.spark = spark
         self.path = path
 
+    _last_seq = 0  # process-wide floor so same-process appends stay strict
+
+    @classmethod
+    def _next_seq(cls) -> int:
+        import time
+
+        cls._last_seq = max(time.time_ns(), cls._last_seq + 1)
+        return cls._last_seq
+
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], JOB_EVENT_SCHEMA)
 
@@ -79,10 +93,6 @@ class JobStore:
         except Exception:
             return self._empty()
 
-    def _next_seq(self) -> int:
-        row = self.events().agg(F.max("seq").alias("m")).collect()[0]
-        return (row["m"] or 0) + 1
-
     def append(
         self,
         job_id: int,
@@ -91,22 +101,27 @@ class JobStore:
         user_id: int,
         result_url: str | None = None,
     ) -> None:
-        """W1/W2: one atomic append per state transition."""
+        """W1/W2: one atomic append per state transition.
+
+        The ordering key (time_ns, uuid) is generated locally — no read of
+        the existing log, so appends never serialize behind a log scan."""
         if status not in JOB_STATUSES:
             raise ValueError(f"invalid status {status!r}; expected one of {JOB_STATUSES}")
         import datetime
+        import uuid
 
         seq = self._next_seq()
+        writer = uuid.uuid4().hex
         now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
         row = self.spark.createDataFrame(
-            [(job_id, filename, status, result_url, user_id, now, seq)],
+            [(job_id, filename, status, result_url, user_id, now, seq, writer)],
             JOB_EVENT_SCHEMA,
         )
         row.write.mode("append").parquet(self.path)
 
     def current(self) -> DataFrame:
         """Latest-wins view: the newest event per job_id (W2 read side)."""
-        w = Window.partitionBy("job_id").orderBy(F.desc("seq"))
+        w = Window.partitionBy("job_id").orderBy(F.desc("seq"), F.desc("writer"))
         return (
             self.events()
             .withColumn("rn", F.row_number().over(w))
@@ -116,7 +131,7 @@ class JobStore:
 
     def history(self, job_id: int) -> DataFrame:
         """Full transition history of one job, oldest first."""
-        return self.events().where(F.col("job_id") == job_id).orderBy("seq")
+        return self.events().where(F.col("job_id") == job_id).orderBy("seq", "writer")
 
     def jobs_by_upload_desc(self) -> DataFrame:
         """The reference's only declarative query (GET /api/jobs,

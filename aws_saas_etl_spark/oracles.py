@@ -187,6 +187,24 @@ DEDUP_TOKEN_BAG_SQL = f"""
     ORDER BY 1
 """
 
+# Banding-layer twin of simhash_buckets: engine-neutral 60-bit fingerprint
+# (first 15 hex chars of md5 → bigint; positive in signed 64-bit, so plain
+# shifts match Spark's shiftrightunsigned), banded 4 × 15 bits by the same
+# shift/mask math the xxhash64-based simhash path uses.
+SIMHASH_BAND_SQL = """
+    SELECT doc_id,
+           fp60,
+           CAST((fp60 >> 0)  & 32767 AS INT) AS band_0,
+           CAST((fp60 >> 15) & 32767 AS INT) AS band_1,
+           CAST((fp60 >> 30) & 32767 AS INT) AS band_2,
+           CAST((fp60 >> 45) & 32767 AS INT) AS band_3
+    FROM (
+        SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp60
+        FROM documents
+    )
+    ORDER BY doc_id
+"""
+
 _SHINGLES = (
     f"list_distinct(list_transform("
     f"generate_series(1, greatest(len(tk) - {SHINGLE_SIZE - 1}, 0)), "

@@ -280,6 +280,9 @@ register("dedup_token_bag", dedup.token_bag_dedup, oracles.DEDUP_TOKEN_BAG_SQL)
 register("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs, oracles.NGRAM_JACCARD_SQL)
 register("minhash_lsh_pairs", dedup.minhash_lsh_pairs, None)  # LSH: rows-only
 register("simhash_buckets", dedup.simhash_buckets, None)  # engine-specific hash
+# the banding layer of simhash_buckets, hash-checked via an md5-derived
+# fingerprint both engines compute identically
+register("simhash_band_check", dedup.simhash_band_check, oracles.SIMHASH_BAND_SQL)
 
 # --------------------------------------------------------------------------
 # Similarity search (SURVEY §2b, M4)

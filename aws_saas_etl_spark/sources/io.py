@@ -90,6 +90,73 @@ def read_jdbc(
 ) -> DataFrame:
     """JDBC scan (S6 parity: the reference's Postgres metadata store,
     reference app.py:34-39). Spark pushes filters/projections to the
-    database. Requires the JDBC driver jar on the classpath — callers in
-    this container should use the Parquet-backed JobStore instead."""
+    database. Requires the JDBC driver jar on the classpath; tested here
+    against embedded Derby (bundled with Spark), the same code path a
+    Postgres driver jar would take in production."""
     return spark.read.jdbc(url, table, properties=properties or {})
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+    column_types: str | None = None,
+) -> None:
+    """JDBC sink (S6 write side): each partition opens a connection and
+    batch-inserts its rows — parallel across executors. For a metadata
+    plane (small tables) this is fine; bulk data belongs in Parquet.
+
+    ``column_types`` ("name TYPE, ...") overrides Spark's default DDL type
+    mapping — e.g. Derby maps StringType to CLOB, which cannot be compared
+    or pushed down; declare VARCHAR columns instead."""
+    writer = df.write
+    if column_types:
+        writer = writer.option("createTableColumnTypes", column_types)
+    writer.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+# --- Object-store (s3a) configuration -------------------------------------
+
+# The reference's storage IS S3 (reference app.py:47-62, etl_core.py:22-27).
+# Every reader/writer above is path-scheme-agnostic: pass "s3a://bucket/key"
+# and the same code runs against object storage, provided the session was
+# built with these settings and the hadoop-aws + aws-sdk jars are on the
+# classpath (spark.jars.packages=org.apache.hadoop:hadoop-aws:<hadoop ver>).
+# This container ships no hadoop-aws jar, so the integration test is gated;
+# the config contract is pinned here and exercised by the gated test.
+def s3a_conf(
+    endpoint: str | None = None,
+    path_style_access: bool = False,
+    anonymous: bool = False,
+) -> dict[str, str]:
+    """Session config for s3a:// I/O (pass to ``get_spark(extra_conf=...)``).
+
+    ``endpoint``/``path_style_access`` support S3-compatible stores
+    (MinIO, localstack); ``anonymous`` reads public buckets without
+    credentials. Defaults use the provider-chain (env vars, instance
+    profile) exactly like the reference's boto3 client (app.py:41-45).
+    """
+    conf = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        # Parquet-friendly: random-access reads instead of full-object GETs
+        "spark.hadoop.fs.s3a.experimental.input.fadvise": "random",
+        # commit via task-attempt directories, not O(n) S3 renames
+        "spark.hadoop.fs.s3a.committer.name": "directory",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if path_style_access:
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    if anonymous:
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    return conf

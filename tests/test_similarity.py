@@ -1,0 +1,60 @@
+"""Similarity-search tests: ANN bucket scaling + recall vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.operators.similarity import (
+    LSH_BITS_MAX,
+    LSH_BITS_MIN,
+    ann_lsh_topk,
+    knn_bruteforce,
+    lsh_bits_for,
+    lsh_bucket_expr,
+)
+from aws_saas_etl_spark.catalog import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def test_lsh_bits_scale_with_corpus():
+    # bucket count grows with the corpus so bucket SIZE stays ~flat
+    assert lsh_bits_for(1_000) == LSH_BITS_MIN
+    assert lsh_bits_for(10_000_000) > lsh_bits_for(200_000)
+    assert lsh_bits_for(10**12) == LSH_BITS_MAX  # clamped
+    # expected bucket size at the chosen width stays near target
+    for n in (10**6, 10**8, 10**10):
+        bits = lsh_bits_for(n)
+        if bits < LSH_BITS_MAX:
+            assert n / 2**bits <= 1024  # never coarser than target
+
+
+def test_bucket_sizes_shrink_as_bits_grow(spark):
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    def max_bucket(bits: int) -> int:
+        return (
+            emb.select(lsh_bucket_expr(F.col("embedding"), bits).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+    assert max_bucket(6) > max_bucket(10)
+
+
+def test_ann_recall_against_bruteforce(spark):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(spark, SF_SMOKE).collect()
+    }
+    # multi-probe LSH at the auto-selected width must recover a usable
+    # fraction of the exact top-k on the smoke corpus
+    assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_ann_pair_ranked_once(spark):
+    out = ann_lsh_topk(spark, SF_SMOKE).groupBy("query_id", "neighbor_id").count()
+    assert out.agg(F.max("count")).collect()[0][0] == 1

@@ -67,6 +67,65 @@ def test_parquet_partitioned_write_prunes(spark, workdir):
     assert "lang=de" not in plan
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, workdir):
+    """S6 end-to-end over a real JDBC connection: Derby (bundled with
+    Spark for the Hive metastore) stands in for the reference's Postgres
+    (reference app.py:34-39) — same Spark JDBC code path, embedded."""
+    url = f"jdbc:derby:{os.path.join(workdir, 'metadb')};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    df = spark.createDataFrame(
+        [(1, "a.csv", "Pending"), (2, "b.csv", "Completed")],
+        "id BIGINT, filename STRING, status STRING",
+    )
+    sio.write_jdbc(
+        df,
+        url,
+        "jobs_meta",
+        properties=props,
+        column_types="filename VARCHAR(255), status VARCHAR(32)",
+    )
+    back = sio.read_jdbc(spark, url, "jobs_meta", properties=props)
+    assert sorted(map(tuple, back.collect())) == [
+        (1, "a.csv", "Pending"),
+        (2, "b.csv", "Completed"),
+    ]
+    # filter pushdown: the predicate must reach the JDBC scan
+    filtered = back.where(F.col("status") == "Pending")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert filtered.count() == 1
+    assert "PushedFilters" in plan and "status" in plan
+
+
+def test_s3a_conf_contract():
+    """The s3a session config the engine documents for object-store I/O.
+    (No hadoop-aws jar in this container; the live-read test below is
+    gated on its presence.)"""
+    conf = sio.s3a_conf(endpoint="http://localhost:9000", path_style_access=True)
+    assert conf["spark.hadoop.fs.s3a.impl"].endswith("S3AFileSystem")
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+
+def _has_hadoop_aws() -> bool:
+    import glob
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars", "hadoop-aws*.jar")
+    return bool(glob.glob(jars))
+
+
+@pytest.mark.skipif(not _has_hadoop_aws(), reason="hadoop-aws jar not on classpath")
+def test_s3a_read_smoke(spark):  # pragma: no cover - gated integration
+    """With hadoop-aws present, the same read_parquet call works on s3a://
+    paths; this smoke-reads a public bucket anonymously."""
+    conf = sio.s3a_conf(anonymous=True)
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    df = sio.read_parquet(spark, "s3a://ursa-labs-taxi-data/2019/06/data.parquet")
+    assert len(df.schema) > 0
+
+
 def test_jobstore_state_machine(spark, workdir):
     store = JobStore(spark, os.path.join(workdir, "jobs"))
     store.append(1, "sales_data_2024.csv", "Pending", user_id=10)
