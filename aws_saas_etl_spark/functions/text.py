@@ -48,6 +48,24 @@ def whitespace_token_count(col: Column | str) -> Column:
     return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs both Java
+# regex (Spark) and RE2 (DuckDB) implement identically: contraction
+# suffixes, space-prefixed letter/digit/punctuation runs, whitespace runs.
+# (The original pattern's \s+(?!\S) lookahead is dropped — RE2 has no
+# lookahead; the difference only splits trailing-whitespace runs, which
+# changes no count on stripped text.)
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization count — the token-budget estimate LLM data
+    pipelines use (GPT-2 pre-tokenizer segments; actual BPE merges only
+    split WITHIN these segments, so this upper-bounds and tracks the real
+    token count). Pure regexp_count: one JVM pass, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_SPLIT_RE))
+
+
 def char_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c)
@@ -123,6 +141,56 @@ def language_id(col: Column | str) -> Column:
     return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
         F.lit("und")
     )
+
+
+# Winnowing (rolling-hash fingerprint sampling, Schleimer et al. 2003,
+# "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
+# character k-gram, then keep the min hash of each w-window — guarantees a
+# shared fingerprint for any match of length >= k + w - 1, with ~2/(w+1)
+# sampling density.
+#
+# Deliberately NOT expressed as array column functions: higher-order
+# array lambdas are interpreted, so any outer expression referenced
+# inside one (the normalized text, a shared hash array) is RE-EVALUATED
+# PER ELEMENT — the per-doc cost becomes O(n²) regex / O(n·m) hashing
+# (measured 99s for 500 docs at sf0.001). The operator
+# (operators/textops.py:doc_winnow_fingerprints) instead explodes k-gram
+# positions to rows — the generator's child projection materializes the
+# normalized text once per document — hashes each gram ONCE with
+# codegen'd scalar ops, and takes the sliding minimum with a w-row window
+# function: linear per document and distributed by doc_id.
+WINNOW_K = 5  # character k-gram width
+WINNOW_W = 4  # window width (hashes per window)
+
+# k-gram hash = polynomial code of the gram's chars, mixed by two
+# independent double-stepped Lehmer LCGs (Park-Miller multipliers) and
+# packed into 62 bits. Pure int64 arithmetic — identical in Spark and
+# DuckDB (the oracle re-derives the same formula), ~20 codegen'd integer
+# ops per gram vs md5's digest + hex + base-conversion (which measured
+# 36s at sf0.1 for this query alone). Winnowing's guarantee holds for any
+# deterministic hash; the Lehmer mix de-biases the min-sampling.
+WINNOW_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+WINNOW_A1 = 48271  # Park-Miller / MINSTD multipliers
+WINNOW_A2 = 69621
+WINNOW_B = 101  # polynomial base (> span of normalized char codes)
+WINNOW_SALT = 912_367  # offsets the second lane so the lanes decorrelate
+
+
+def kgram_hash(gram: Column | str, k: int = WINNOW_K) -> Column:
+    """62-bit engine-neutral hash of one character k-gram (see constants
+    above). All intermediates stay far below 2^63: the polynomial code is
+    < 123·B^k ≈ 1.3e10, and each Lehmer step multiplies a value < 2^31 by
+    a multiplier < 2^17."""
+    g = F.col(gram) if isinstance(gram, str) else gram
+    poly = F.lit(0).cast("bigint")
+    for j in range(k):
+        code = F.ascii(F.substring(g, j + 1, 1)).cast("bigint")
+        poly = poly + code * (WINNOW_B ** (k - 1 - j))
+    p = F.lit(WINNOW_P)
+    r = poly % p
+    h1 = (r * WINNOW_A1 % p) * WINNOW_A1 % p
+    h2 = ((r + WINNOW_SALT) % p * WINNOW_A2 % p) * WINNOW_A2 % p
+    return h1 * F.lit(2_147_483_648) + h2
 
 
 def normalized_text(col: Column | str) -> Column:

@@ -103,6 +103,42 @@ def label_centroid_norms(spark, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_COS_MIN = 0.3  # fixture embeddings are random (max within-label
+#   cosine ≈ 0.45 at sf0.001); 0.3 keeps a deterministic non-empty "most
+#   similar pairs" set. Real near-dup corpora use ~0.95.
+
+
+def embedding_neardup_pairs(
+    spark, sf_dir: str, threshold: float = NEARDUP_COS_MIN
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup ladder's vector
+    rung): exact cosine over LABEL-blocked candidate pairs.
+
+    Blocking bounds the quadratic term exactly like ngram_jaccard_pairs'
+    (lang, length) key: only same-label pairs are compared, so the join
+    shuffles on label and each block is quadratic only within itself. At
+    100 TB the blocking key becomes the LSH bucket (``ann_lsh_topk``'s
+    signature); this operator freezes the exact semantics LSH approximates
+    and is the oracle-checked baseline.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("q_emb")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("c_emb"),
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "label", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def _hyperplanes(n_bits: int) -> list[list[float]]:
     """Deterministic random hyperplanes (seeded) shared by every executor
     as literals — no state, no fit step. The first ``n_bits`` planes are a

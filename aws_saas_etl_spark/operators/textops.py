@@ -7,7 +7,7 @@ over the text column with column pruning (only ``text`` + keys are read).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
@@ -58,6 +58,73 @@ def doc_fingerprints(spark, sf_dir: str) -> DataFrame:
         "doc_id",
         T.fingerprint("text").alias("fingerprint"),
         F.sha2(T.normalized_text("text"), 256).alias("sha256_norm"),
+    )
+
+
+def doc_bpe_token_counts(spark, sf_dir: str) -> DataFrame:
+    """Token-budget estimation (SURVEY §2b token counting): whitespace
+    count beside the BPE-ish pre-tokenizer count — the two length signals
+    an LLM ingest pipeline tracks per document. Map-only, one text pass."""
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    return docs.select(
+        "doc_id",
+        T.whitespace_token_count("text").alias("n_ws_tokens"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def doc_winnow_fingerprints(spark, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing (SURVEY §2b):
+    k-gram rolling hashes → per-window minima → distinct fingerprint set.
+    Emitted as (count, digest) so the result stays narrow; the fingerprint
+    set is what a plagiarism/overlap join would explode on.
+
+    Shape: explode k-gram POSITIONS (the generator's child projection
+    materializes the normalized text once per document — any expression
+    referenced inside an array-lambda instead is re-evaluated per element,
+    the measured O(n²)-regex trap, see functions/text.py) → hash each gram
+    once per row with codegen'd integer ops → sliding w-row window minimum
+    → groupBy doc_id. Linear per document and distributed by doc_id; the
+    groupBy reuses the window's hash partitioning (one shuffle for both).
+    Docs with no complete k-gram window are restored by a left join and
+    fingerprint to the empty set (digest = md5(''))."""
+    k, w = T.WINNOW_K, T.WINNOW_W
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    # join side: (doc_id, n_kgrams) computed arithmetically — no gram
+    # array is built or shipped through the join shuffle
+    counts = docs.select(
+        "doc_id",
+        F.greatest(
+            F.length(T.normalized_text("text")) - (k - 1), F.lit(0)
+        ).alias("n_kgrams"),
+    )
+    base = docs.select("doc_id", T.normalized_text("text").alias("txt"))
+    n = F.length("txt")
+    positions = F.when(
+        # guard: sequence(1, non-positive) would DESCEND, not return empty
+        n >= k, F.sequence(F.lit(1), (n - k + 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    hashed = base.select("doc_id", "txt", F.explode(positions).alias("i")).select(
+        "doc_id",
+        "i",
+        (F.length("txt") - (k - 1)).alias("m"),
+        T.kgram_hash(F.col("txt").substr(F.col("i"), F.lit(k)), k).alias("h"),
+    )
+    sliding = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    winmins = (
+        hashed.withColumn("wmin", F.min("h").over(sliding))
+        # only positions with a COMPLETE w-window ahead of them
+        .where(F.col("i") <= F.col("m") - (w - 1))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("wmin"))).alias("fps"))
+    )
+    fps = F.coalesce("fps", F.array().cast("array<bigint>"))
+    digest = F.md5(F.concat_ws(",", F.transform(fps, lambda h: h.cast("string"))))
+    return counts.join(winmins, "doc_id", "left").select(
+        "doc_id",
+        "n_kgrams",
+        F.size(fps).alias("n_fingerprints"),
+        digest.alias("winnow_digest"),
     )
 
 

@@ -187,6 +187,71 @@ DEDUP_TOKEN_BAG_SQL = f"""
     ORDER BY 1
 """
 
+# BPE-ish pre-tokenizer twin (text.BPE_SPLIT_RE): the pattern uses only
+# constructs Java regex and RE2 share; single quote doubled for SQL.
+_BPE_RE_SQL = r"'''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'"
+
+DOC_BPE_COUNTS_SQL = f"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               AS n_ws_tokens,
+           len(regexp_extract_all(text, {_BPE_RE_SQL})) AS n_bpe_tokens
+    FROM documents
+"""
+
+
+def _winnow_kgram_hash_sql(gram_expr: str) -> str:
+    """DuckDB twin of functions.text.kgram_hash — same polynomial +
+    double-Lehmer formula over the same constants, all BIGINT math."""
+    from aws_saas_etl_spark.functions import text as T
+
+    k, p = T.WINNOW_K, T.WINNOW_P
+    poly = " + ".join(
+        f"ascii(substr({gram_expr}, {j + 1}, 1))::BIGINT * {T.WINNOW_B ** (k - 1 - j)}"
+        for j in range(k)
+    )
+    return (
+        f"((({poly}) % {p}) * {T.WINNOW_A1} % {p}) * {T.WINNOW_A1} % {p}"
+        f" * 2147483648"
+        f" + (((({poly}) % {p} + {T.WINNOW_SALT}) % {p})"
+        f" * {T.WINNOW_A2} % {p}) * {T.WINNOW_A2} % {p}"
+    )
+
+
+def _winnow_sql() -> str:
+    from aws_saas_etl_spark.functions.text import WINNOW_K, WINNOW_W
+
+    k, w = WINNOW_K, WINNOW_W
+    h = _winnow_kgram_hash_sql(f"substr(txt, i, {k})")
+    return f"""
+    WITH t AS (SELECT doc_id, {{norm}} AS txt FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN length(txt) >= {k}
+                    THEN list_transform(generate_series(1, length(txt) - {k - 1}),
+                         i -> {h})
+                    ELSE CAST([] AS BIGINT[]) END AS hs
+        FROM t
+    ),
+    wmin AS (
+        SELECT doc_id, len(hs) AS n_kgrams,
+               CASE WHEN len(hs) >= {w}
+                    THEN list_sort(list_distinct(
+                         list_transform(generate_series(1, len(hs) - {w - 1}),
+                         j -> list_aggregate(hs[j:j+{w - 1}], 'min'))))
+                    ELSE CAST([] AS BIGINT[]) END AS fps
+        FROM g
+    )
+    SELECT doc_id, n_kgrams, len(fps) AS n_fingerprints,
+           md5(array_to_string(fps, ',')) AS winnow_digest
+    FROM wmin
+    ORDER BY doc_id
+"""
+
+
+DOC_WINNOW_SQL = _winnow_sql().format(norm=_NORM_TEXT)
+
+
 # Banding-layer twin of simhash_buckets: engine-neutral 60-bit fingerprint
 # (first 15 hex chars of md5 → bigint; positive in signed 64-bit, so plain
 # shifts match Spark's shiftrightunsigned), banded 4 × 15 bits by the same
@@ -265,6 +330,25 @@ KNN_BRUTEFORCE_SQL = f"""
     WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
 """
+
+def _neardup_sql() -> str:
+    from aws_saas_etl_spark.operators.similarity import NEARDUP_COS_MIN
+
+    return f"""
+    WITH a AS (SELECT vec_id AS vec_a, label, embedding AS q_emb FROM embeddings),
+    b AS (SELECT vec_id AS vec_b, label AS label_b, embedding AS c_emb FROM embeddings),
+    sims AS (
+        SELECT vec_a, vec_b, label,
+               round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 6) AS cos_sim
+        FROM a JOIN b ON label = label_b AND vec_a < vec_b
+    )
+    SELECT vec_a, vec_b, label, cos_sim FROM sims
+    WHERE cos_sim >= {NEARDUP_COS_MIN}
+    ORDER BY vec_a, vec_b
+"""
+
+
+EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 LABEL_CENTROID_SQL = """
     WITH norms AS (

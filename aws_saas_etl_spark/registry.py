@@ -268,6 +268,12 @@ register("doc_text_stats", textops.doc_text_stats, oracles.DOC_TEXT_STATS_SQL)
 register("doc_quality_scores", textops.doc_quality_scores, oracles.DOC_QUALITY_SQL)
 register("doc_language_id", textops.doc_language_id, oracles.DOC_LANGUAGE_ID_SQL)
 register("doc_fingerprints", textops.doc_fingerprints, oracles.DOC_FINGERPRINTS_SQL)
+register("doc_bpe_token_counts", textops.doc_bpe_token_counts, oracles.DOC_BPE_COUNTS_SQL)
+register(
+    "doc_winnow_fingerprints",
+    textops.doc_winnow_fingerprints,
+    oracles.DOC_WINNOW_SQL,
+)
 register("doc_token_frequencies", textops.doc_token_frequencies, oracles.DOC_TOKEN_FREQ_SQL)
 
 # --------------------------------------------------------------------------
@@ -289,6 +295,11 @@ register("simhash_band_check", dedup.simhash_band_check, oracles.SIMHASH_BAND_SQ
 # --------------------------------------------------------------------------
 
 register("knn_bruteforce", similarity.knn_bruteforce, oracles.KNN_BRUTEFORCE_SQL)
+register(
+    "embedding_neardup_pairs",
+    similarity.embedding_neardup_pairs,
+    oracles.EMBEDDING_NEARDUP_SQL,
+)
 register("label_centroid_norms", similarity.label_centroid_norms, oracles.LABEL_CENTROID_SQL)
 register("ann_lsh_topk", similarity.ann_lsh_topk, None)  # approximate: rows-only
 
