@@ -11,7 +11,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
+from aws_saas_etl_spark.functions import num as N
 from aws_saas_etl_spark.functions import text as T
+
+TFIDF_TOP_K = 5
 
 
 def doc_text_stats(spark, sf_dir: str) -> DataFrame:
@@ -125,6 +128,39 @@ def doc_winnow_fingerprints(spark, sf_dir: str) -> DataFrame:
         "n_kgrams",
         F.size(fps).alias("n_fingerprints"),
         digest.alias("winnow_digest"),
+    )
+
+
+def doc_tfidf_top_terms(spark, sf_dir: str, top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k TF-IDF terms per document (keyword extraction / topical
+    weighting for corpus curation). idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style, never negative).
+
+    Scale shape: explode → (doc, term) count → per-term doc frequency →
+    tf⋈df on term (both sides partitioned by term, the df side's shuffle
+    is reused) → 1-row broadcast of N → per-doc top-k window. No side
+    grows super-linearly; the vocabulary table is sublinear in corpus
+    size and never broadcast (AQE picks the strategy).
+
+    Ordering ties rank by the ROUNDED tfidf then term so both engines
+    break float near-ties identically."""
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    terms = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_docs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)) + F.lit(1.0)
+    scored = (
+        tf.join(df_docs, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", N.dround(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= top_k)
+        .select("doc_id", "term", "tf", "df_docs", "tfidf", "term_rank")
+        .orderBy("doc_id", "term_rank")
     )
 
 

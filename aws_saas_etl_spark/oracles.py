@@ -160,6 +160,79 @@ DOC_TOKEN_FREQ_SQL = f"""
     LIMIT 20
 """
 
+def _tfidf_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import TFIDF_TOP_K
+
+    tfidf = "tf * (ln((n_docs + 1) / CAST(df_docs + 1 AS DOUBLE)) + 1.0)"
+    return f"""
+    WITH tk AS (SELECT doc_id, unnest({toks("text")}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf, df_docs, {dround_sql(tfidf, 6)} AS tfidf
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS term_rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df_docs, tfidf, term_rank
+    FROM ranked WHERE term_rank <= {TFIDF_TOP_K}
+    ORDER BY doc_id, term_rank
+"""
+
+
+DOC_TFIDF_SQL = _tfidf_sql()
+
+
+def _hash_bucket_sql(key: str, n_buckets: int = 100) -> str:
+    """DuckDB twin of operators.sampling.hash_bucket."""
+    return f"(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT % {n_buckets})"
+
+
+def _split_sql() -> str:
+    from aws_saas_etl_spark.operators.sampling import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    b = _hash_bucket_sql("doc_id")
+    return f"""
+    WITH t AS (
+        SELECT CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               len({toks("text")}) AS n_toks
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS n_total FROM documents)
+    SELECT split, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           {dround_sql("count(*) / CAST(n_total AS DOUBLE) * 100", 4)} AS pct_docs
+    FROM t CROSS JOIN n
+    GROUP BY split, n_total
+    ORDER BY split
+"""
+
+
+TRAIN_VAL_TEST_SPLIT_SQL = _split_sql()
+
+
+def _stratified_sample_sql() -> str:
+    from aws_saas_etl_spark.operators.sampling import SAMPLE_PCT
+
+    b = _hash_bucket_sql("doc_id")
+    return f"""
+    WITH t AS (
+        SELECT lang, CASE WHEN {b} < {SAMPLE_PCT} THEN 1 ELSE 0 END AS kept
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_total, CAST(sum(kept) AS BIGINT) AS n_sampled,
+           {dround_sql("sum(kept) / CAST(count(*) AS DOUBLE) * 100", 4)} AS sample_pct
+    FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
+
 DEDUP_EXACT_SQL = """
     SELECT sha256(text) AS text_hash,
            min(doc_id)  AS keeper_doc_id,

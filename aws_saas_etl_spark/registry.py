@@ -24,6 +24,7 @@ from aws_saas_etl_spark.operators import (
     etl,
     events,
     relational,
+    sampling,
     similarity,
     textops,
 )
@@ -275,6 +276,17 @@ register(
     oracles.DOC_WINNOW_SQL,
 )
 register("doc_token_frequencies", textops.doc_token_frequencies, oracles.DOC_TOKEN_FREQ_SQL)
+register("doc_tfidf_top_terms", textops.doc_tfidf_top_terms, oracles.DOC_TFIDF_SQL)
+register(
+    "train_val_test_split",
+    sampling.train_val_test_split,
+    oracles.TRAIN_VAL_TEST_SPLIT_SQL,
+)
+register(
+    "stratified_sample_stats",
+    sampling.stratified_sample_stats,
+    oracles.STRATIFIED_SAMPLE_SQL,
+)
 
 # --------------------------------------------------------------------------
 # Deduplication (SURVEY §2b, M4)
