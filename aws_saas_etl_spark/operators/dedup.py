@@ -329,3 +329,93 @@ def simhash_buckets(spark, sf_dir: str) -> DataFrame:
             for band in range(4)
         ],
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Cluster resolution: candidate pairs → connected components → keep-one
+# --------------------------------------------------------------------------
+
+CC_MAX_ITER = 20  # ≥ log2(longest dup-chain); fixpoint detected earlier
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """Connected components of an undirected edge list → (node, component),
+    component = min node id reachable. Iterative min-label propagation:
+    each round every node takes the min label among itself and its
+    neighbors; converges in O(diameter) rounds (dup clusters are near-
+    cliques, so 2-3 rounds in practice) with a fixpoint check per round.
+
+    Scale design: per-round work is one join + one aggregate, both
+    shuffling on node id — the standard distributed-CC shape (GraphX /
+    Kiveris et al. "Connected Components in MapReduce"). Each round's
+    labels are localCheckpoint'ed: without it the lineage doubles per
+    round and plan compilation, not the data, becomes the bottleneck.
+    The fixpoint probe is a count() aggregate (a scalar per round, not a
+    collect of rows) — the same driver-side control loop every iterative
+    Spark algorithm (ALS, PageRank) uses.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the edge list ONCE: every round references it, and
+    # without the checkpoint each round's action re-runs the upstream
+    # pair-generation pipeline (for LSH edges, the whole MinHash pass)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("min_nbr"))
+        .select(F.col("a").alias("node"), F.least("a", "min_nbr").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor labels: node a hears the component of each neighbor b
+        msgs = sym.join(
+            labels.select(F.col("node").alias("b"), "comp"), "b"
+        ).select(F.col("a").alias("node"), "comp")
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("comp").alias("old_comp")), "node"
+            )
+            .where(F.col("comp") != F.col("old_comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(spark, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster resolution — the step a dedup pipeline runs
+    AFTER pair generation: verified MinHash-LSH pairs → connected
+    components → one keeper per cluster (min doc_id, the same keeper rule
+    the exact-dedup queries use) + members for audit.
+
+    Rows-only check (iterative + hash-seeded upstream); invariants are
+    pytest-verified (tests/test_functions.py): both endpoints of every
+    pair share a cluster, cluster_id is the min member, transitive chains
+    collapse into one cluster.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("node")).alias("member_doc_ids"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "member_doc_ids",
+            F.col("cluster_id").alias("keeper_doc_id"),
+            (F.col("n_members") - 1).alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )

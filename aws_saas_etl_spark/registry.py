@@ -301,6 +301,8 @@ register("simhash_buckets", dedup.simhash_buckets, None)  # engine-specific hash
 # the banding layer of simhash_buckets, hash-checked via an md5-derived
 # fingerprint both engines compute identically
 register("simhash_band_check", dedup.simhash_band_check, oracles.SIMHASH_BAND_SQL)
+# pairs → connected components → keeper per cluster; iterative (rows-only)
+register("dedup_duplicate_clusters", dedup.duplicate_clusters, None)
 
 # --------------------------------------------------------------------------
 # Similarity search (SURVEY §2b, M4)
@@ -314,6 +316,7 @@ register(
 )
 register("label_centroid_norms", similarity.label_centroid_norms, oracles.LABEL_CENTROID_SQL)
 register("ann_lsh_topk", similarity.ann_lsh_topk, None)  # approximate: rows-only
+register("ann_ivf_topk", similarity.ann_ivf_topk, None)  # iterative k-means: rows-only
 
 # --------------------------------------------------------------------------
 # Event-time analytics (SURVEY §2b, M5 batch)

@@ -127,3 +127,40 @@ def test_row_to_json_projection(spark):
     assert payload == [
         {"id": 7, "filename": "sales_data_2024.csv", "status": "Completed"}
     ]
+
+
+def test_connected_components_chain_and_islands(spark):
+    """CC invariants on a synthetic edge list: a transitive chain
+    (1-2, 2-3, 3-4) collapses to one component labeled by its min node,
+    an island pair (10-11) stays separate, and re-running is idempotent."""
+    from aws_saas_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src BIGINT, dst BIGINT"
+    )
+    got = {
+        (r.node, r.comp) for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    again = {(r.node, r.comp) for r in connected_components(edges).collect()}
+    assert again == got
+
+
+def test_duplicate_clusters_invariants(spark):
+    """Every LSH pair's endpoints land in one cluster; cluster_id is the
+    min member; n_removed counts everything but the keeper."""
+    from aws_saas_etl_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+    from tests.conftest import SF_SMOKE
+
+    pairs = [(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, SF_SMOKE).collect()]
+    clusters = duplicate_clusters(spark, SF_SMOKE).collect()
+    member_to_cluster = {
+        d: r.cluster_id for r in clusters for d in r.member_doc_ids
+    }
+    for a, b in pairs:
+        assert member_to_cluster[a] == member_to_cluster[b]
+    for r in clusters:
+        assert r.cluster_id == min(r.member_doc_ids)
+        assert r.keeper_doc_id == r.cluster_id
+        assert r.n_removed == r.n_members - 1
+        assert r.n_members >= 2

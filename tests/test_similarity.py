@@ -58,3 +58,36 @@ def test_ann_recall_against_bruteforce(spark):
 def test_ann_pair_ranked_once(spark):
     out = ann_lsh_topk(spark, SF_SMOKE).groupBy("query_id", "neighbor_id").count()
     assert out.agg(F.max("count")).collect()[0][0] == 1
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    from aws_saas_etl_spark.operators.similarity import ann_ivf_topk
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.3
+
+
+def test_ivf_cells_cover_corpus(spark):
+    """Every corpus vector lands in exactly one cell, and the number of
+    distinct cells matches the √n sizing."""
+    from aws_saas_etl_spark.catalog import load_tables
+    from aws_saas_etl_spark.operators.similarity import (
+        _assign_cells,
+        ivf_cells_for,
+        ivf_fit_cells,
+    )
+
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    n = emb.count()
+    cells = ivf_fit_cells(emb, ivf_cells_for(n))
+    assigned = _assign_cells(emb.select("vec_id", "embedding"), cells)
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert cells.count() == ivf_cells_for(n)
