@@ -193,7 +193,9 @@ def minhash_lsh_pairs(spark, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # Hashed-shingle arrays are distinct sets, so |A∪B| = |A|+|B|-inter —
+    # avoids materializing an array_union per candidate pair.
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
@@ -235,19 +237,32 @@ def ngram_jaccard_pairs(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFra
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
         F.col("sh").alias("sh_a"), F.col("lb").alias("lb_a"),
+        F.size("sh").alias("sz_a"),
     )
     b = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
         F.col("sh").alias("sh_b"), F.col("lb").alias("lb_b"),
+        F.size("sh").alias("sz_b"),
+    )
+    # Set-similarity length filter: jaccard >= J implies min|A|,|B| >=
+    # J * max|A|,|B| (inter <= min, union >= max). Applying it in the join
+    # predicate skips the O(|A|+|B|) array_intersect for most pairs. The
+    # 1e-6 slack keeps boundary pairs whose round(j, 6) lands exactly on J.
+    length_ok = (
+        F.least("sz_a", "sz_b").cast("double")
+        >= (min_jaccard - 1e-6) * F.greatest("sz_a", "sz_b") - 1e-6
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # Shingle arrays are distinct (array_distinct upstream), so the union
+    # size is |A| + |B| - inter — no array_union materialization per pair.
+    union = F.col("sz_a") + F.col("sz_b") - inter
     return (
         a.join(
             b,
             (F.col("lang_a") == F.col("lang_b"))
             & (F.col("lb_a") == F.col("lb_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & (F.col("doc_a") < F.col("doc_b"))
+            & length_ok,
         )
         .select(
             "doc_a",
