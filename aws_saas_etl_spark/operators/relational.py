@@ -590,3 +590,229 @@ def small_quantity_orders(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def market_share_by_year(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: for one part type sold into
+    one region, the share of revenue supplied by a target nation, per
+    order year.
+
+    7-table join tree: only the fixed-cardinality dims (nation, region)
+    carry broadcast hints; part/customer/supplier join under the size
+    threshold / AQE. The share is a conditional aggregate over one pass —
+    no self-join of the revenue stream against its own total.
+    """
+    t = load_tables(spark, sf_dir)
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol")
+    region_cust = (
+        t.customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t.region.where(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t.supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                t.nation.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    base = (
+        t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey", vol)
+        .join(
+            t.part.where(F.col("p_type") == "ECONOMY").select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            t.orders.select(
+                "o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(region_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    tgt = F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(F.lit(0.0))
+    return (
+        base.groupBy("order_year")
+        .agg(
+            dsum_rounded(tgt, MONEY).alias("target_revenue"),
+            dsum_rounded(F.col("vol"), MONEY).alias("total_revenue"),
+        )
+        .select(
+            "order_year",
+            "target_revenue",
+            "total_revenue",
+            dround(F.col("target_revenue") / F.col("total_revenue"), 6).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("order_year")
+    )
+
+
+def linestatus_priority_counts(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional aggregation: per line status, how many
+    1996-shipped lineitems belong to high- vs low-priority orders. One
+    fact-fact equi-join + one map-side-combinable agg."""
+    t = load_tables(spark, sf_dir)
+    y0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.lineitem.where((F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1))
+        .select("l_orderkey", "l_linestatus")
+        .join(
+            t.orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi.cast("int")).alias("high_line_count"),
+            F.sum((~hi).cast("int")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def customer_order_distribution(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped two-level aggregate: the distribution of per-
+    customer order counts (including zero-order customers via left join
+    against a pre-filtered orders side)."""
+    t = load_tables(spark, sf_dir)
+    o = t.orders.where(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        t.customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("c_count"))
+    )
+
+
+def top_revenue_suppliers(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped argmax via scalar aggregate: supplier(s) with the
+    maximum quarterly revenue. The global max is a 1-row aggregate joined
+    back by broadcast — never a global window (which would funnel every
+    supplier through one partition at scale)."""
+    t = load_tables(spark, sf_dir)
+    q0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    q1 = F.lit("1996-04-01").cast("timestamp_ntz")
+    sup_rev = (
+        t.lineitem.where((F.col("l_shipdate") >= q0) & (F.col("l_shipdate") < q1))
+        .groupBy("l_suppkey")
+        .agg(
+            dsum_rounded(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), MONEY
+            ).alias("total_revenue")
+        )
+    )
+    mx = sup_rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        sup_rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(
+            t.supplier.select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def exclusively_late_suppliers(spark, sf_dir: str, late_days: int = 90) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated existence test: suppliers who
+    were the ONLY late supplier in a multi-supplier finished order
+    ("late" = shipped more than ``late_days`` after the order date; the
+    fixtures carry no commit/receipt dates — reference semantics are the
+    exists/not-exists pair, which the oracle states literally).
+
+    Spark shape: instead of two correlated self-joins of lineitem (the
+    literal Q21 plan — two extra shuffles of the fact table), aggregate
+    once per (order, supplier) and once per order, then filter
+    ``n_supps > 1 AND n_late_supps = 1``. Same semantics, one shuffle
+    tree; the oracle uses the EXISTS/NOT EXISTS formulation so the two
+    derivations are independent.
+    """
+    t = load_tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    lo = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t.orders.where(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late_supps"),
+    )
+    return (
+        per_supp.where(F.col("supp_late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .join(
+            t.supplier.select("s_suppkey", "s_name"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
+        .orderBy(F.desc("n_waiting_orders"), "s_name")
+        .limit(20)
+    )
+
+
+def prospective_customers(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers (scalar subquery
+    threshold) in selected code groups with no urgent orders (anti-join),
+    grouped by code. The code group stands in for Q22's phone country
+    code (fixtures have no phone column): the last two digits of c_name.
+
+    The balance threshold is a 1-row aggregate broadcast-cross-joined
+    into the filter — the decimal-avg helper keeps the threshold bit-
+    identical across engines so boundary rows can't flip."""
+    t = load_tables(spark, sf_dir)
+    codes = ["13", "31", "23", "29", "30", "18", "17"]
+    cust = t.customer.select(
+        "c_custkey", F.substring("c_name", 17, 2).alias("code"), "c_acctbal"
+    ).where(F.col("code").isin(codes))
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        davg_rounded(F.col("c_acctbal"), 4).alias("avg_bal")
+    )
+    urgent = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum_rounded(F.col("c_acctbal"), MONEY).alias("total_acctbal"),
+        )
+        .orderBy("code")
+    )

@@ -13,7 +13,7 @@ from aws_saas_etl_spark.functions.sentiment import (
     POSITIVE_WORDS,
     TRUNCATE_AT,
 )
-from aws_saas_etl_spark.functions.num import davg_sql, dround_sql
+from aws_saas_etl_spark.functions.num import davg_sql, dround_sql, dsum_sql
 from aws_saas_etl_spark.functions.text import LANG_STOPWORDS
 from aws_saas_etl_spark.operators.dedup import LENGTH_BUCKET, SHINGLE_SIZE
 from aws_saas_etl_spark.operators.similarity import N_QUERY_VECS, TOP_K
@@ -722,4 +722,117 @@ SMALL_QTY_SQL = """
     WHERE l_quantity < 0.5 * part_avg_qty
     GROUP BY p_brand
     ORDER BY p_brand
+"""
+
+
+MARKET_SHARE_SQL = f"""
+    WITH base AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               l_extendedprice * (1 - l_discount) AS vol,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+    ),
+    agg AS (
+        SELECT order_year,
+               {dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0 END", 2)} AS target_revenue,
+               {dsum_sql("vol", 2)} AS total_revenue
+        FROM base GROUP BY order_year
+    )
+    SELECT order_year, target_revenue, total_revenue,
+           {dround_sql("target_revenue / total_revenue", 6)} AS mkt_share
+    FROM agg ORDER BY order_year
+"""
+
+LINESTATUS_PRIORITY_SQL = """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+"""
+
+CUSTOMER_DISTRIBUTION_SQL = """
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS n_customers
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY n_customers DESC, c_count DESC
+"""
+
+TOP_REVENUE_SUPPLIER_SQL = f"""
+    WITH sup_rev AS (
+        SELECT l_suppkey,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", 2)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM sup_rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM sup_rev)
+    ORDER BY s_suppkey
+"""
+
+# Stated as the literal Q21 EXISTS / NOT EXISTS pair — an independent
+# derivation of the engine's aggregate reformulation (relational.py
+# exclusively_late_suppliers), so the check is not a tautology.
+EXCLUSIVELY_LATE_SQL = """
+    SELECT s_suppkey, s_name, count(DISTINCT l1.l_orderkey) AS n_waiting_orders
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders      ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_suppkey, s_name
+    ORDER BY n_waiting_orders DESC, s_name
+    LIMIT 20
+"""
+
+PROSPECTIVE_CUSTOMERS_SQL = f"""
+    WITH cust AS (
+        SELECT c_custkey, substr(c_name, 17, 2) AS code, c_acctbal
+        FROM customer
+        WHERE substr(c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+    ),
+    ab AS (
+        SELECT {davg_sql("c_acctbal", 4)} AS avg_bal
+        FROM cust WHERE c_acctbal > 0
+    )
+    SELECT code,
+           count(*) AS n_customers,
+           {dsum_sql("c_acctbal", 2)} AS total_acctbal
+    FROM cust, ab
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY code
+    ORDER BY code
 """

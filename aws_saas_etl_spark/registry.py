@@ -368,6 +368,38 @@ register(
 
 
 register("status_priority_cube", relational.status_priority_cube, oracles.STATUS_CUBE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Relational breadth II: Q8/Q12/Q13/Q15/Q21/Q22 shapes
+# --------------------------------------------------------------------------
+
+register("market_share_by_year", relational.market_share_by_year, oracles.MARKET_SHARE_SQL)
+register(
+    "linestatus_priority_counts",
+    relational.linestatus_priority_counts,
+    oracles.LINESTATUS_PRIORITY_SQL,
+)
+register(
+    "customer_order_distribution",
+    relational.customer_order_distribution,
+    oracles.CUSTOMER_DISTRIBUTION_SQL,
+)
+register(
+    "top_revenue_suppliers",
+    relational.top_revenue_suppliers,
+    oracles.TOP_REVENUE_SUPPLIER_SQL,
+)
+register(
+    "exclusively_late_suppliers",
+    relational.exclusively_late_suppliers,
+    oracles.EXCLUSIVELY_LATE_SQL,
+)
+register(
+    "prospective_customers",
+    relational.prospective_customers,
+    oracles.PROSPECTIVE_CUSTOMERS_SQL,
+)
 register("order_value_percentiles", relational.order_value_percentiles, oracles.PERCENTILES_SQL)
 register("sql_interface_demo", relational.sql_interface_demo, oracles.SQL_INTERFACE_SQL)
 

@@ -106,3 +106,20 @@ def test_knn_broadcasts_query_side(spark):
     df = knn_bruteforce(spark, SF_SMOKE)
     plan = PI.physical_plan(df)
     assert "Broadcast" in plan  # query vectors broadcast, corpus streams
+
+
+def test_market_share_pushes_ptype_filter(spark):
+    from aws_saas_etl_spark.operators.relational import market_share_by_year
+
+    df = market_share_by_year(spark, SF_SMOKE)
+    PI.assert_filter_pushed(df, "p_type")
+
+
+def test_exclusively_late_avoids_fact_self_join(spark):
+    # The agg reformulation of Q21 must not re-shuffle lineitem for each
+    # correlated EXISTS: the whole plan needs few exchanges, not the 5+ a
+    # literal double-self-join would produce.
+    from aws_saas_etl_spark.operators.relational import exclusively_late_suppliers
+
+    df = exclusively_late_suppliers(spark, SF_SMOKE)
+    assert PI.count_shuffles(df) <= 5
