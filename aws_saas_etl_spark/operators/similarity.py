@@ -345,3 +345,37 @@ def ann_ivf_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+K_CENTROIDS = 8  # fixed demo codebook: the K lowest vec_ids
+
+
+def embedding_centroid_assign(spark, sf_dir: str, k: int = K_CENTROIDS) -> DataFrame:
+    """Nearest-centroid assignment against a fixed codebook (one Lloyd
+    assignment step — the oracle-checkable core of k-means / IVF cell
+    routing; ann_ivf_topk iterates this same shape with learned centroids).
+
+    The k-row codebook is broadcast; the corpus streams once; the argmax
+    is a row_number window partitioned by vec_id (k rows per key — no
+    skew possible). Per-cluster mean similarity aggregates in decimal so
+    the result is order-independent at any parallelism.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    cents = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    return (
+        emb.select("vec_id", F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            davg_rounded(F.col("cos_sim"), 6).alias("mean_cos"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -178,3 +178,61 @@ def doc_token_frequencies(spark, sf_dir: str, top_n: int = 20) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(top_n)
     )
+
+
+# Filter-pipeline thresholds: the canonical keep/reject gate an LLM
+# training-data pipeline applies before tokenization.
+FILTER_MIN_TOKENS = 20
+FILTER_MIN_QUALITY = 0.55
+
+
+def doc_filter_pipeline(spark, sf_dir: str) -> DataFrame:
+    """Composed training-data filter: per document, one verdict with the
+    FIRST failing gate as the reason — exact-dup (sha256 group, keeper =
+    min doc_id), too-short, unknown-language, low-quality, else keep.
+
+    One pass over text + one window shuffle on the sha256 hash (the dup
+    group key — high-cardinality, so evenly partitioned at any scale).
+    Each gate expression appears exactly once in the when-chain; Catalyst
+    evaluates lazily top-down, so cheap gates short-circuit expensive ones.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    w = Window.partitionBy("sha")
+    scored = docs.select("doc_id", "text", F.sha2("text", 256).alias("sha")).withColumn(
+        "keeper", F.min("doc_id").over(w)
+    )
+    verdict = (
+        F.when(F.col("doc_id") != F.col("keeper"), F.lit("exact_dup"))
+        .when(T.token_count("text") < FILTER_MIN_TOKENS, F.lit("too_short"))
+        .when(T.language_id("text") == "und", F.lit("lang_unknown"))
+        .when(T.quality_score("text") < FILTER_MIN_QUALITY, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return scored.select("doc_id", verdict.alias("verdict")).orderBy("doc_id")
+
+
+VOCAB_MIN_COUNT = 5
+
+
+def corpus_vocabulary(spark, sf_dir: str, min_count: int = VOCAB_MIN_COUNT) -> DataFrame:
+    """Corpus vocabulary with a min-frequency cutoff: term count, document
+    frequency, and frequency rank — the tokenizer-training precursor.
+
+    explode → two-level agg (count + count-distinct docs via the partial-
+    agg expansion Catalyst emits). The final rank is a global row_number
+    over the SURVIVING vocabulary — bounded data (distinct tokens above
+    the cutoff grow sub-linearly in corpus size), so the single-partition
+    window sorts thousands of rows, not the corpus.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .where(F.col("term_count") >= min_count)
+    )
+    w = Window.orderBy(F.desc("term_count"), F.asc("token"))
+    return vocab.withColumn("rank", F.row_number().over(w)).orderBy("rank")

@@ -836,3 +836,104 @@ PROSPECTIVE_CUSTOMERS_SQL = f"""
     GROUP BY code
     ORDER BY code
 """
+
+
+# ---- Training-data filter pipeline / vocabulary / centroid assignment ----
+
+def _filter_pipeline_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import (
+        FILTER_MIN_QUALITY,
+        FILTER_MIN_TOKENS,
+    )
+
+    score_cols = ",\n           ".join(
+        f"{lexicon_count('tk', stops)} AS s_{lang}"
+        for lang, stops in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    greatest_all = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    # Same fold order as functions.text.quality_score: (0.4*len + 0.3*alpha)
+    # + 0.3*diversity, all double — raw (unrounded) so the threshold compare
+    # sees the identical IEEE value both engines compute.
+    quality = (
+        "(0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) "
+        "+ 0.3 * (CASE WHEN length(text) > 0 "
+        "THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) "
+        "ELSE 0.0 END) "
+        "+ 0.3 * (CASE WHEN len(tk) > 0 "
+        "THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END))"
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text, {toks('text')} AS tk,
+               min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+        FROM documents
+        WHERE {DOC_DROPNA}
+    ),
+    s AS (SELECT *, {score_cols} FROM base)
+    SELECT doc_id,
+           CASE
+             WHEN doc_id <> keeper THEN 'exact_dup'
+             WHEN len(tk) < {FILTER_MIN_TOKENS} THEN 'too_short'
+             WHEN {greatest_all} = 0 THEN 'lang_unknown'
+             WHEN {quality} < {FILTER_MIN_QUALITY} THEN 'low_quality'
+             ELSE 'keep'
+           END AS verdict
+    FROM s
+    ORDER BY doc_id
+"""
+
+
+DOC_FILTER_PIPELINE_SQL = _filter_pipeline_sql()
+
+
+def _corpus_vocab_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import VOCAB_MIN_COUNT
+
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({toks('text')}) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, count(*) AS term_count, count(DISTINCT doc_id) AS doc_freq
+        FROM tok GROUP BY token
+        HAVING count(*) >= {VOCAB_MIN_COUNT}
+    )
+    SELECT token, term_count, doc_freq,
+           CAST(row_number() OVER (ORDER BY term_count DESC, token) AS INT) AS rank
+    FROM vocab
+    ORDER BY rank
+"""
+
+
+CORPUS_VOCAB_SQL = _corpus_vocab_sql()
+
+
+def _centroid_assign_sql() -> str:
+    from aws_saas_etl_spark.operators.similarity import K_CENTROIDS
+
+    return f"""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < {K_CENTROIDS}
+    ),
+    v AS (SELECT vec_id, embedding AS q_emb FROM embeddings),
+    sims AS (
+        SELECT vec_id, centroid_id,
+               round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 6) AS cos_sim
+        FROM v CROSS JOIN c
+    ),
+    best AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id
+        ) AS rn
+        FROM sims
+    )
+    SELECT centroid_id, count(*) AS n_assigned, {davg_sql("cos_sim", 6)} AS mean_cos
+    FROM best WHERE rn = 1
+    GROUP BY centroid_id
+    ORDER BY centroid_id
+"""
+
+
+CENTROID_ASSIGN_SQL = _centroid_assign_sql()

@@ -400,6 +400,19 @@ register(
     relational.prospective_customers,
     oracles.PROSPECTIVE_CUSTOMERS_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: composed filter, vocabulary, centroid assignment
+# --------------------------------------------------------------------------
+
+register("doc_filter_pipeline", textops.doc_filter_pipeline, oracles.DOC_FILTER_PIPELINE_SQL)
+register("corpus_vocabulary", textops.corpus_vocabulary, oracles.CORPUS_VOCAB_SQL)
+register(
+    "embedding_centroid_assign",
+    similarity.embedding_centroid_assign,
+    oracles.CENTROID_ASSIGN_SQL,
+)
 register("order_value_percentiles", relational.order_value_percentiles, oracles.PERCENTILES_SQL)
 register("sql_interface_demo", relational.sql_interface_demo, oracles.SQL_INTERFACE_SQL)
 
