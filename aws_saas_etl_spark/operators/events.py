@@ -201,3 +201,51 @@ def events_value_band_stats(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+ATTRIBUTION_HORIZON_MIN = 60  # purchases attribute to clicks within this window
+
+
+def events_click_attribution(spark, sf_dir: str) -> DataFrame:
+    """Event-time interval join: every (click, purchase) pair for the same
+    user where the purchase lands within ``ATTRIBUTION_HORIZON_MIN``
+    minutes after the click — the batch twin of the stream-stream join in
+    streaming/pipelines.py:click_purchase_attribution.
+
+    The join shuffles both sides on user_id only; the time bound is a
+    post-join range predicate on co-partitioned rows. Seconds are diffed
+    after per-value truncation (cast-to-long) so the oracle's
+    floor(epoch()) twin is exact.
+    """
+    ev = ensure_parallelism(load_tables(spark, sf_dir).events)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    horizon = F.expr(f"INTERVAL {ATTRIBUTION_HORIZON_MIN} MINUTES")
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") < F.col("click_ts") + horizon),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (
+                F.unix_timestamp(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("click_ts").cast("timestamp"))
+            ).alias("secs_to_purchase"),
+            dround(F.col("value"), 2).alias("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

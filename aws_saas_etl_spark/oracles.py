@@ -937,3 +937,26 @@ def _centroid_assign_sql() -> str:
 
 
 CENTROID_ASSIGN_SQL = _centroid_assign_sql()
+
+
+def _click_attribution_sql() -> str:
+    from aws_saas_etl_spark.operators.events import ATTRIBUTION_HORIZON_MIN
+
+    return f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(c.ts)) AS BIGINT) AS secs_to_purchase,
+           {dround_sql("p.value", 2)} AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL {ATTRIBUTION_HORIZON_MIN} MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+"""
+
+
+EVENTS_CLICK_ATTRIBUTION_SQL = _click_attribution_sql()

@@ -361,6 +361,11 @@ register(
 )
 register("events_asof_last_click", events.events_asof_last_click, oracles.EVENTS_ASOF_SQL)
 register(
+    "events_click_attribution",
+    events.events_click_attribution,
+    oracles.EVENTS_CLICK_ATTRIBUTION_SQL,
+)
+register(
     "events_value_band_stats",
     events.events_value_band_stats,
     oracles.EVENTS_VALUE_BANDS_SQL,
@@ -440,3 +445,4 @@ register("stream_session_stats", runners.stream_session_stats, None)
 register("stream_dedup_within_watermark", runners.stream_dedup_within_watermark, None)
 register("stream_running_user_totals", runners.stream_running_user_totals, None)
 register("stream_static_enrichment", runners.stream_static_enrichment, None)
+register("stream_click_attribution", runners.stream_click_attribution, None)

@@ -188,3 +188,52 @@ def enriched_event_stream(stream_df: DataFrame, dim_df: DataFrame) -> DataFrame:
     ).select(
         "event_id", "ts", "user_id", "event_type", "value", "user_segment"
     )
+
+
+def click_purchase_attribution(
+    stream_df: DataFrame, watermark: str = DEFAULT_WATERMARK, horizon_min: int = 60
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to same-user
+    clicks at most ``horizon_min`` minutes earlier.
+
+    Both sides are watermarked and the join condition bounds purchase_ts
+    on BOTH sides of click_ts, so Spark derives state-eviction watermarks
+    for each buffer — state is O(events within horizon + watermark), not
+    unbounded. Batch twin: operators/events.py:events_click_attribution.
+    """
+    clicks = (
+        stream_df.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream_df.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+            "secs_to_purchase"
+        ),
+        F.col("value").alias("purchase_value"),
+    )

@@ -127,3 +127,9 @@ def stream_static_enrichment(spark, sf_dir: str) -> DataFrame:
     return _drain(enriched, "append").select(
         "event_id", "user_id", "event_type", "user_segment"
     )
+
+
+def stream_click_attribution(spark, sf_dir: str) -> DataFrame:
+    """availableNow drain of the stream-stream interval join (append mode —
+    inner joins emit once both watermarks pass the row)."""
+    return _drain(P.click_purchase_attribution(_stream(spark, sf_dir)), "append")

@@ -130,3 +130,42 @@ def test_stream_static_join(spark, event_dir):
     assert out.count() == _batch_events(spark).count()
     segs = {r["user_segment"] for r in out.select("user_segment").distinct().collect()}
     assert "vip" in segs and "std" in segs
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_dir):
+    stream = P.read_event_stream(spark, event_dir)
+    joined = P.click_purchase_attribution(stream, horizon_min=60)
+    P.run_to_memory(joined, "ss_attrib", output_mode="append")
+    got = spark.table("ss_attrib")
+
+    ev = _batch_events(spark)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    want = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 60 MINUTES")),
+    )
+    assert got.count() == want.count()
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r)
+        for r in want.select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+                "secs_to_purchase"
+            ),
+            F.col("value").alias("purchase_value"),
+        ).collect()
+    )
