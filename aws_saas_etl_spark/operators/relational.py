@@ -787,6 +787,154 @@ def exclusively_late_suppliers(spark, sf_dir: str, late_days: int = 90) -> DataF
     )
 
 
+def nation_profit_by_year(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: for parts whose name matches a
+    token, profit per supplier nation per order year. The fixtures carry no
+    partsupp, so cost is the standard retail-margin proxy
+    ``0.6 * p_retailprice * l_quantity`` (the *shape* — a 5-table join with
+    a derived per-row margin aggregated by (nation, year) — is what Q9
+    exercises; reference semantics per SURVEY §2b relational breadth).
+
+    Scale notes: the part filter prunes the probe side before the join;
+    nation is the only forced broadcast (25 rows at every SF). The
+    orders join brings only (o_orderkey, year). One shuffle tree into a
+    partial-aggregated groupBy of ~nations×years rows.
+    """
+    t = load_tables(spark, sf_dir)
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount", "l_quantity",
+        )
+        .join(
+            t.part.where(F.col("p_name").contains("bolt")).select(
+                "p_partkey", "p_retailprice"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            t.orders.select("o_orderkey", F.year("o_orderdate").alias("order_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t.supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("order_year"))
+        .agg(dsum_rounded(amount, MONEY).alias("sum_profit"))
+        .orderBy("nation", F.desc("order_year"))
+    )
+
+
+def important_part_revenue(spark, sf_dir: str, mult: float = 1.5) -> DataFrame:
+    """TPC-H Q11-shaped share-of-total filter: parts whose lineitem revenue
+    exceeds ``mult`` × the average per-part revenue (Q11's fixed
+    ``0.0001/SF`` fraction-of-total is scale-dependent by construction;
+    an average-relative threshold keeps the HAVING-vs-scalar-subquery
+    shape meaningful at every scale factor).
+
+    The global threshold is a 1-row aggregate over the SAME per-part
+    aggregate (no second scan of lineitem), broadcast into the filter —
+    never a global window over per-part rows (which would funnel every
+    part through one partition at 100 TB). Both sides accumulate in
+    decimal so the threshold comparison is bit-identical across engines
+    at every parallelism.
+    """
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        t.lineitem.select("l_partkey", rev.alias("rev"))
+        .groupBy("l_partkey")
+        .agg(dsum_rounded(F.col("rev"), MONEY).alias("part_value"))
+    )
+    thresh = per_part.agg(
+        (davg_rounded(F.col("part_value"), 4) * F.lit(mult)).alias("cutoff")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(thresh))
+        .where(F.col("part_value") > F.col("cutoff"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def supplier_part_attr_counts(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-relationship count: distinct suppliers per
+    (brand, type, size) over excluded-attribute parts, with complained-
+    about suppliers removed by anti-join (NOT IN with non-null keys).
+
+    partsupp is absent from the fixtures, so the part↔supplier
+    relationship is the observed lineitem pairing. The supplier exclusion
+    (s_acctbal < 0 — the fixtures' complaint proxy) is a broadcast-sized
+    anti-join at every SF only if suppliers stay small; no hint is forced,
+    the size threshold decides. count(DISTINCT) shuffles (brand,type,
+    size, suppkey) once — partial dedup map-side.
+    """
+    t = load_tables(spark, sf_dir)
+    parts = t.part.where(
+        (F.col("p_brand") != "Brand#17")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 50))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = t.supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def bulk_part_suppliers(spark, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested-subquery semi-join: name suppliers in one
+    nation who shipped an above-average share of some 'red' part in 1996
+    (Q20's availqty > 0.5*sum(qty) correlated threshold becomes per-part-
+    supplier qty > 1.5 × the part's per-supplier average — same
+    correlated-aggregate-then-semi-join plan shape without partsupp).
+
+    Spark shape: aggregate (part, supplier) once, derive the per-part
+    threshold from the SAME aggregate (no second scan of lineitem), then
+    semi-join suppliers — two shuffles total, both on bounded keys.
+    """
+    t = load_tables(spark, sf_dir)
+    y0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1997-01-01").cast("timestamp_ntz")
+    red_parts = t.part.where(F.col("p_name").startswith("red")).select("p_partkey")
+    ps_qty = (
+        t.lineitem.where((F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1))
+        .join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum_rounded(F.col("l_quantity"), MONEY).alias("supp_qty"))
+    )
+    part_avg = ps_qty.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        davg_rounded(F.col("supp_qty"), 4).alias("avg_qty")
+    )
+    heavy = (
+        ps_qty.join(part_avg, F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("supp_qty") > F.lit(1.5) * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t.supplier.join(
+            F.broadcast(t.nation.where(F.col("n_name") == "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 def prospective_customers(spark, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped: above-average-balance customers (scalar subquery
     threshold) in selected code groups with no urgent orders (anti-join),

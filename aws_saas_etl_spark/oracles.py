@@ -960,3 +960,80 @@ def _click_attribution_sql() -> str:
 
 
 EVENTS_CLICK_ATTRIBUTION_SQL = _click_attribution_sql()
+
+
+# --------------------------------------------------------------------------
+# Relational breadth III: Q9/Q11/Q16/Q20 shapes
+# --------------------------------------------------------------------------
+
+NATION_PROFIT_SQL = f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           {dsum_sql(
+               "l_extendedprice * (1 - l_discount)"
+               " - 0.6 * p_retailprice * l_quantity", 2)} AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, order_year DESC
+"""
+
+
+IMPORTANT_PART_SQL = f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", 2)} AS part_value
+        FROM lineitem GROUP BY l_partkey
+    ),
+    thresh AS (
+        SELECT {davg_sql("part_value", 4)} * 1.5 AS cutoff FROM per_part
+    )
+    SELECT l_partkey, part_value
+    FROM per_part CROSS JOIN thresh
+    WHERE part_value > cutoff
+    ORDER BY part_value DESC, l_partkey
+"""
+
+
+SUPPLIER_PART_ATTRS_SQL = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#17'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 50)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+BULK_SUPPLIERS_SQL = f"""
+    WITH ps_qty AS (
+        SELECT l_partkey, l_suppkey,
+               {dsum_sql("l_quantity", 2)} AS supp_qty
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    part_avg AS (
+        SELECT l_partkey AS ap_partkey, {davg_sql("supp_qty", 4)} AS avg_qty
+        FROM ps_qty GROUP BY l_partkey
+    ),
+    heavy AS (
+        SELECT DISTINCT l_suppkey
+        FROM ps_qty JOIN part_avg ON l_partkey = ap_partkey
+        WHERE supp_qty > 1.5 * avg_qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+    WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s_name
+"""

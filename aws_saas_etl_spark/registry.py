@@ -446,3 +446,21 @@ register("stream_dedup_within_watermark", runners.stream_dedup_within_watermark,
 register("stream_running_user_totals", runners.stream_running_user_totals, None)
 register("stream_static_enrichment", runners.stream_static_enrichment, None)
 register("stream_click_attribution", runners.stream_click_attribution, None)
+
+
+# --------------------------------------------------------------------------
+# Relational breadth III: Q9/Q11/Q16/Q20 shapes
+# --------------------------------------------------------------------------
+
+register("nation_profit_by_year", relational.nation_profit_by_year, oracles.NATION_PROFIT_SQL)
+register(
+    "important_part_revenue",
+    relational.important_part_revenue,
+    oracles.IMPORTANT_PART_SQL,
+)
+register(
+    "supplier_part_attr_counts",
+    relational.supplier_part_attr_counts,
+    oracles.SUPPLIER_PART_ATTRS_SQL,
+)
+register("bulk_part_suppliers", relational.bulk_part_suppliers, oracles.BULK_SUPPLIERS_SQL)

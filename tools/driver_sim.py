@@ -26,6 +26,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional: restrict to named queries (substring match), e.g.
+#   python tools/driver_sim.py /root/testdata/sf0.01 q1 minhash
+ONLY = sys.argv[2:]
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -56,6 +59,8 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
     for name in sorted(qs):
+        if ONLY and not any(pat in name for pat in ONLY):
+            continue
         spark_pdf = qs[name](spark, SF_DIR).toPandas()
         if name not in oracles:
             print(f"rows-only: {name} -> {len(spark_pdf)} rows")
