@@ -249,3 +249,48 @@ def events_click_attribution(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+def events_resample_locf(spark, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a dense per-user hourly grid with
+    last-observation-carried-forward gap fill — the feature-store /
+    monitoring view of an irregular event stream.
+
+    Scale shape: the grid size is bounded by (time span ÷ step) × users,
+    independent of event volume — the heavy input collapses to hourly
+    partial aggregates FIRST (map-side combine), then the per-user
+    ``sequence`` explode manufactures the grid (a few hundred rows per
+    user, never proportional to event count). The LOCF window runs per
+    user over that bounded grid, so the sort is thousands of rows per
+    partition at any corpus size. Three shuffles, all on user_id — AQE
+    reuses the exchange between the grid join and the window.
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts", "user_id"])
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+        davg_rounded(F.col("value"), 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", TS_FMT).alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("avg_value").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("user_id", "hour")
+    )

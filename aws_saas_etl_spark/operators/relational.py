@@ -964,3 +964,24 @@ def prospective_customers(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+def lineitem_measures_unpivot(spark, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt): per-returnflag measures pivoted into
+    (flag, measure, value) rows — the SQL-surface UNPIVOT/stack operator,
+    the inverse of the pivot in ``events_user_activity``.
+
+    The unpivot runs on the already-aggregated wide table (a handful of
+    rows), so the explode-style expansion is driver-trivial at any scale;
+    the only heavy work is the upstream scan-agg, which partial-aggregates
+    map-side on a 3-value key.
+    """
+    t = load_tables(spark, sf_dir)
+    wide = t.lineitem.groupBy("l_returnflag").agg(
+        dsum_rounded(F.col("l_quantity"), MONEY).alias("sum_qty"),
+        dsum_rounded(F.col("l_extendedprice"), MONEY).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "measure", "value"
+    ).orderBy("l_returnflag", "measure")

@@ -211,6 +211,100 @@ def doc_filter_pipeline(spark, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", verdict.alias("verdict")).orderBy("doc_id")
 
 
+def doc_repetition_metrics(spark, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of tokens
+    belonging to the single most frequent token, fraction of tokens that
+    occur more than once, and the same top-fraction for adjacent-token
+    bigrams. High values flag boilerplate / degenerate documents that an
+    LLM training-data pipeline rejects (Rae et al. 2021's repetition
+    filters, re-expressed over this corpus's token model).
+
+    Scale shape: two explode→groupBy aggregates, each keyed on the
+    high-cardinality (doc_id, gram) pair — evenly partitioned at any
+    corpus size, classic word-count plans. Their per-doc rollups reuse
+    the doc_id partitioning (AQE coalesces the second shuffle). The
+    final left joins restore token-less documents with zero fractions.
+    Bigrams are built array-side with zip_with over two slices — one
+    pass over the token array, no self-join.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    n = F.size("tk")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("tk", 1, n - 1),
+            F.slice("tk", 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", T.tokens("text").alias("tk")).select(
+        "doc_id", "tk", bigrams.alias("bg")
+    )
+
+    def gram_stats(col: str, prefix: str) -> DataFrame:
+        cnts = (
+            base.select("doc_id", F.explode(col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return cnts.groupBy("doc_id").agg(
+            F.max("cnt").alias(f"{prefix}_max"),
+            F.sum("cnt").alias(f"{prefix}_total"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                f"{prefix}_dup"
+            ),
+        )
+
+    tok = gram_stats("tk", "tok")
+    bg = gram_stats("bg", "bg")
+    frac = lambda a, b: N.dround(  # noqa: E731
+        F.coalesce(F.col(a).cast("double") / F.col(b), F.lit(0.0)), 6
+    )
+    return (
+        base.select("doc_id")
+        .join(tok, "doc_id", "left")
+        .join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tok_total", F.lit(0)).alias("n_tokens"),
+            frac("tok_max", "tok_total").alias("top_token_frac"),
+            frac("tok_dup", "tok_total").alias("dup_token_frac"),
+            frac("bg_max", "bg_total").alias("top_bigram_frac"),
+        )
+    )
+
+
+# PII scrub patterns — constructs Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: no lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def doc_pii_redaction(spark, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails / URLs, emit a digest of the
+    scrubbed text. The fixture corpus is synthetic word-salad with no PII,
+    so the query PLANTS deterministic doc_id-derived PII on both the
+    engine and oracle sides — the check then genuinely verifies that both
+    regex engines match and replace the same spans (zero-match parity
+    would verify nothing). Map-only, one text pass, no shuffle."""
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    planted = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        F.concat(F.lit("https://ex.io/d/"), F.col("doc_id").cast("string")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(URL_RE)).alias("n_urls"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 VOCAB_MIN_COUNT = 5
 
 

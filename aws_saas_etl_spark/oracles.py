@@ -1037,3 +1037,120 @@ BULK_SUPPLIERS_SQL = f"""
     WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
     ORDER BY s_name
 """
+
+
+# --------------------------------------------------------------------------
+# Round 2: repetition metrics, PII scrub, resample+LOCF, unpivot
+# --------------------------------------------------------------------------
+
+DOC_REPETITION_SQL = f"""
+    WITH d AS (
+        SELECT doc_id, {toks('text')} AS tk FROM documents WHERE {DOC_DROPNA}
+    ),
+    base AS (
+        SELECT doc_id, tk,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                    ELSE [] END AS bg
+        FROM d
+    ),
+    tok_counts AS (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(tk) AS g FROM base) GROUP BY doc_id, g
+    ),
+    tok_stats AS (
+        SELECT doc_id, max(cnt) AS tok_max, sum(cnt) AS tok_total,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS tok_dup
+        FROM tok_counts GROUP BY doc_id
+    ),
+    bg_counts AS (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(bg) AS g FROM base) GROUP BY doc_id, g
+    ),
+    bg_stats AS (
+        SELECT doc_id, max(cnt) AS bg_max, sum(cnt) AS bg_total
+        FROM bg_counts GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(coalesce(tok_total, 0) AS BIGINT) AS n_tokens,
+           {dround_sql("coalesce(CAST(tok_max AS DOUBLE) / tok_total, 0.0)", 6)} AS top_token_frac,
+           {dround_sql("coalesce(CAST(tok_dup AS DOUBLE) / tok_total, 0.0)", 6)} AS dup_token_frac,
+           {dround_sql("coalesce(CAST(bg_max AS DOUBLE) / bg_total, 0.0)", 6)} AS top_bigram_frac
+    FROM base b
+    LEFT JOIN tok_stats t USING (doc_id)
+    LEFT JOIN bg_stats g USING (doc_id)
+"""
+
+
+def _pii_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import EMAIL_RE, URL_RE
+
+    email, url = EMAIL_RE.replace("'", "''"), URL_RE.replace("'", "''")
+    return f"""
+    WITH p AS (
+        SELECT doc_id,
+               text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    || ' https://ex.io/d/' || CAST(doc_id AS VARCHAR) AS planted
+        FROM documents WHERE {DOC_DROPNA}
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(planted, '{email}')) AS n_emails,
+           len(regexp_extract_all(planted, '{url}')) AS n_urls,
+           md5(regexp_replace(regexp_replace(planted, '{url}', '<URL>', 'g'),
+                              '{email}', '<EMAIL>', 'g')) AS redacted_md5
+    FROM p
+"""
+
+
+DOC_PII_SQL = _pii_sql()
+
+
+EVENTS_RESAMPLE_LOCF_SQL = f"""
+    WITH ev AS (
+        SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               {davg_sql("value", 4)} AS avg_value,
+               count(*) AS n_events
+        FROM ev GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+        SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM ev GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    )
+    SELECT g.user_id,
+           strftime(g.hour, '{TS_FMT_DUCK}') AS hour,
+           coalesce(h.n_events, 0) AS n_events,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_locf,
+           CASE WHEN h.avg_value IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    ORDER BY g.user_id, g.hour
+"""
+
+
+LINEITEM_UNPIVOT_SQL = f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+               {dsum_sql("l_quantity", 2)} AS sum_qty,
+               {dsum_sql("l_extendedprice", 2)} AS sum_price,
+               CAST(count(*) AS DOUBLE) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'n_rows', n_rows FROM wide
+    )
+    ORDER BY l_returnflag, measure
+"""

@@ -464,3 +464,21 @@ register(
     oracles.SUPPLIER_PART_ATTRS_SQL,
 )
 register("bulk_part_suppliers", relational.bulk_part_suppliers, oracles.BULK_SUPPLIERS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Round 2: repetition metrics, PII scrub, resample+LOCF, unpivot
+# --------------------------------------------------------------------------
+
+register(
+    "doc_repetition_metrics", textops.doc_repetition_metrics, oracles.DOC_REPETITION_SQL
+)
+register("doc_pii_redaction", textops.doc_pii_redaction, oracles.DOC_PII_SQL)
+register(
+    "events_resample_locf", events.events_resample_locf, oracles.EVENTS_RESAMPLE_LOCF_SQL
+)
+register(
+    "lineitem_measures_unpivot",
+    relational.lineitem_measures_unpivot,
+    oracles.LINEITEM_UNPIVOT_SQL,
+)
