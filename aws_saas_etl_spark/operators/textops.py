@@ -330,3 +330,71 @@ def corpus_vocabulary(spark, sf_dir: str, min_count: int = VOCAB_MIN_COUNT) -> D
     )
     w = Window.orderBy(F.desc("term_count"), F.asc("token"))
     return vocab.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+# Sequence-packing parameters: context window size in BPE-ish tokens, and
+# the shard fan-out. Packing has a sequential dependency WITHIN a shard
+# (each doc's offset depends on every doc before it), so the scale unit is
+# the shard: shards pack independently and in parallel, and a real 100 TB
+# run sizes NUM_PACK_SHARDS to the cluster (thousands), keeping per-shard
+# state bounded. The fixtures use a small constant for readable output.
+PACK_CONTEXT = 2048
+NUM_PACK_SHARDS = 16
+
+
+def doc_sequence_packing(spark, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (LLM pretraining ingest): within
+    a deterministic shard, documents are concatenated in doc_id order and
+    chunked into fixed ``PACK_CONTEXT``-token windows; each document
+    reports its starting window, ending window, and whether it straddles a
+    chunk boundary (the rows a masking-aware loader needs).
+
+    Scale shape: one running-sum window per shard — shard count scales
+    with the corpus, so no partition sees more than corpus/shards rows;
+    there is no global order and no single-partition cumsum anywhere.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    base = docs.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(NUM_PACK_SHARDS)).alias("shard"),
+        T.bpe_token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    out = base.select("doc_id", "shard", "n_tokens", start)
+    start_w = F.floor(F.col("start_offset") / PACK_CONTEXT)
+    end_w = F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / PACK_CONTEXT)
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_offset",
+        start_w.alias("start_window"),
+        end_w.alias("end_window"),
+        (end_w > start_w).cast("int").alias("spans_boundary"),
+    )
+
+
+LENGTH_HIST_BUCKETS = 8  # power-of-2 token-length buckets: [1,2), [2,4), ...
+
+
+def doc_length_histogram(spark, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram in power-of-2 buckets — the length
+    profile a context-length / curriculum decision reads. Map-side bucket
+    id (floor(log2(n))) then a bounded-cardinality groupBy: one shuffle of
+    at most ~60 rows per mapper at any corpus size."""
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    n = T.bpe_token_count("text")
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(n.cast("double"))).cast("bigint")
+    )
+    return (
+        docs.select(bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("log2_bucket")
+    )

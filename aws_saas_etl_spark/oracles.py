@@ -1154,3 +1154,47 @@ LINEITEM_UNPIVOT_SQL = f"""
     )
     ORDER BY l_returnflag, measure
 """
+
+
+def _packing_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import NUM_PACK_SHARDS, PACK_CONTEXT
+
+    c, s = PACK_CONTEXT, NUM_PACK_SHARDS
+    return f"""
+    WITH base AS (
+        SELECT doc_id, doc_id % {s} AS shard,
+               len(regexp_extract_all(text, {_BPE_RE_SQL})) AS n_tokens
+        FROM documents WHERE {DOC_DROPNA}
+    ),
+    packed AS (
+        SELECT *,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS start_offset
+        FROM base
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(floor(start_offset / {c}) AS BIGINT) AS start_window,
+           CAST(floor((start_offset + n_tokens - 1) / {c}) AS BIGINT) AS end_window,
+           CASE WHEN floor((start_offset + n_tokens - 1) / {c})
+                     > floor(start_offset / {c}) THEN 1 ELSE 0 END AS spans_boundary
+    FROM packed
+"""
+
+
+DOC_PACKING_SQL = _packing_sql()
+
+
+DOC_LENGTH_HIST_SQL = f"""
+    WITH b AS (
+        SELECT CASE WHEN len(regexp_extract_all(text, {_BPE_RE_SQL})) <= 0 THEN -1
+                    ELSE CAST(floor(log2(CAST(
+                        len(regexp_extract_all(text, {_BPE_RE_SQL})) AS DOUBLE
+                    ))) AS BIGINT) END AS log2_bucket
+        FROM documents WHERE {DOC_DROPNA}
+    )
+    SELECT log2_bucket, count(*) AS n_docs
+    FROM b GROUP BY log2_bucket ORDER BY log2_bucket
+"""

@@ -482,3 +482,6 @@ register(
     relational.lineitem_measures_unpivot,
     oracles.LINEITEM_UNPIVOT_SQL,
 )
+
+register("doc_sequence_packing", textops.doc_sequence_packing, oracles.DOC_PACKING_SQL)
+register("doc_length_histogram", textops.doc_length_histogram, oracles.DOC_LENGTH_HIST_SQL)
