@@ -123,3 +123,37 @@ def test_exclusively_late_avoids_fact_self_join(spark):
 
     df = exclusively_late_suppliers(spark, SF_SMOKE)
     assert PI.count_shuffles(df) <= 5
+
+
+def test_resample_locf_bounded_window(spark):
+    """The LOCF fill must run over the manufactured hourly grid (bounded
+    by span÷step × users), never over raw events — the plan's window sits
+    above the grid join, and events collapse through partial aggregation
+    first (hash aggregate below the first exchange)."""
+    from aws_saas_etl_spark.operators.events import events_resample_locf
+
+    df = events_resample_locf(spark, SF_SMOKE)
+    plan = PI.physical_plan(df)
+    assert "Generate explode" in plan or "Generate" in plan  # sequence grid
+    assert PI.count_shuffles(df) <= 6
+
+
+def test_repetition_metrics_prunes_doc_metadata(spark):
+    from aws_saas_etl_spark.operators.textops import doc_repetition_metrics
+
+    df = doc_repetition_metrics(spark, SF_SMOKE)
+    PI.assert_scan_pruned(
+        df,
+        table_cols={"doc_id", "text"},
+        must_not_read=set(),
+    )
+
+
+def test_sequence_packing_no_global_window(spark):
+    """Packing must cumsum per shard, not globally: no single-partition
+    exchange (Exchange SinglePartition) may appear in the plan."""
+    from aws_saas_etl_spark.operators.textops import doc_sequence_packing
+
+    df = doc_sequence_packing(spark, SF_SMOKE)
+    plan = PI.physical_plan(df)
+    assert "SinglePartition" not in plan, plan

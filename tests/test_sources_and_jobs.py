@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.operators.jobs import JOB_EVENT_SCHEMA, JobStore
 from aws_saas_etl_spark.sources import io as sio
+from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture()
@@ -222,3 +223,25 @@ def test_sentiment_contract_edge_cases(spark):
         assert got[4] == "NEGATIVE"
         assert got[5] == "MIXED"
         assert got[6] == "NEUTRAL"  # negativity truncated away
+
+
+def test_partitioned_write_prunes_partitions(spark, workdir):
+    """Directory-partitioned parquet must let Spark prune non-matching
+    partitions at planning time — the I/O-elision that makes a 100 TB
+    date-partitioned table readable. The pruned scan reads only the
+    matching partition directory (PartitionFilters, not a post-scan
+    filter) and the other partitions' files never appear in the plan."""
+    from aws_saas_etl_spark.catalog import load_tables
+    from aws_saas_etl_spark.plans import inspect as PI
+
+    ev = load_tables(spark, SF_SMOKE).events
+    path = os.path.join(workdir, "events_by_type")
+    sio.write_parquet(ev, path, partition_by=["event_type"])
+
+    back = sio.read_parquet(spark, path).where(F.col("event_type") == "click")
+    plan = PI.physical_plan(back)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
+    n_click = ev.where(F.col("event_type") == "click").count()
+    assert back.count() == n_click
