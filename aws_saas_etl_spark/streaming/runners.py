@@ -133,3 +133,30 @@ def stream_click_attribution(spark, sf_dir: str) -> DataFrame:
     """availableNow drain of the stream-stream interval join (append mode —
     inner joins emit once both watermarks pass the row)."""
     return _drain(P.click_purchase_attribution(_stream(spark, sf_dir)), "append")
+
+
+def stream_upsert_state(spark, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed upsert: one micro-batch per staged file appends
+    its per-user latest rows to a parquet log; returns the latest-wins
+    compacted state (equals the batch latest-event-per-user — pinned by
+    tests/test_streaming.py)."""
+    src = P.read_event_stream(
+        spark, _staged_events_dir(spark, sf_dir), max_files_per_trigger=1
+    )
+    log_path = tempfile.mkdtemp(prefix="etl_spark_upsert_") + "/log"
+    q = (
+        src.writeStream.foreachBatch(
+            lambda b, bid: P.upsert_batch_to_log(b, bid, log_path)
+        )
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="etl_spark_upsert_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        P.upsert_state(spark, log_path)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("user_id")
+    )

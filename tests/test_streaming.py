@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.catalog import load_table
@@ -169,3 +170,24 @@ def test_stream_stream_interval_join_matches_batch(spark, event_dir):
             F.col("value").alias("purchase_value"),
         ).collect()
     )
+
+
+def test_stream_upsert_state_matches_batch_latest(spark):
+    """The foreachBatch keyed-upsert log, compacted latest-wins, must equal
+    the batch latest-event-per-user over the same fixture — state carried
+    across micro-batches (1 file per trigger) changes nothing."""
+    from aws_saas_etl_spark.catalog import load_table
+    from aws_saas_etl_spark.streaming.runners import stream_upsert_state
+    from tests.conftest import SF_SMOKE
+
+    got = stream_upsert_state(spark, SF_SMOKE).collect()
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    )
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
