@@ -97,3 +97,74 @@ def stratified_sample_stats(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+PER_GROUP_K = 5  # deterministic per-group sample size
+
+
+def events_per_type_sample(spark, sf_dir: str, k: int = PER_GROUP_K) -> DataFrame:
+    """Deterministic per-group sample: the k events per event_type with
+    the smallest md5(event_id) — a reproducible "reservoir" whose
+    membership is a pure function of the keys (stable across runs,
+    cluster sizes, and repartitions, unlike rand()-based sampling).
+
+    Scale shape: one shuffle on event_type into a top-k-by-hash window.
+    Group count is bounded (event types), group size is not — but the
+    window is a streaming min-k over each group, and Spark's
+    WindowGroupLimit pushes the k cut below the sort (partial top-k
+    map-side), so no executor materializes a full group.
+    """
+    ev = ensure_parallelism(load_tables(spark, sf_dir).events).na.drop(
+        subset=["event_id", "event_type"]
+    )
+    h = F.md5(F.col("event_id").cast("string"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        ev.select("event_id", "event_type", "user_id", h.alias("sample_key"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select("event_type", "sample_rank", "event_id", "user_id")
+        .orderBy("event_type", "sample_rank")
+    )
+
+
+N_DECILES = 10
+
+
+def customer_balance_deciles(spark, sf_dir: str, n: int = N_DECILES) -> DataFrame:
+    """Quantile bucketing at scale: per-decile customer counts and
+    balance stats. NOT ntile() — a global ntile sorts the whole table in
+    ONE partition. Instead the n-1 exact cut points come from a one-row
+    percentile aggregate (distributed partial-agg), broadcast back, and
+    each row computes its bucket by comparing against the cut array —
+    map-side, no global sort. Ties at a boundary go to the lower bucket
+    on both engines (strict > comparison).
+    """
+    cust = ensure_parallelism(load_tables(spark, sf_dir).customer)
+    cuts = cust.agg(
+        F.percentile(
+            "c_acctbal", F.array(*[F.lit(i / n) for i in range(1, n)])
+        ).alias("cuts")
+    )
+    bucket = (
+        F.lit(1)
+        + F.aggregate(
+            F.col("cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("c_acctbal") > c, 1).otherwise(0),
+        )
+    ).alias("decile")
+    return (
+        cust.crossJoin(F.broadcast(cuts))
+        .select("c_acctbal", bucket)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            N.dround(F.min("c_acctbal"), 2).alias("min_bal"),
+            N.dround(F.max("c_acctbal"), 2).alias("max_bal"),
+            N.davg_rounded(F.col("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("decile")
+    )

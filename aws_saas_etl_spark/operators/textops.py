@@ -76,6 +76,34 @@ def doc_bpe_token_counts(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprint_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, fps) winnowing fingerprint sets — the shared kernel of
+    ``doc_winnow_fingerprints`` (per-doc digests) and
+    ``doc_contamination_pairs`` (cross-doc overlap join). Docs without a
+    complete k-gram window produce no row (callers restore them)."""
+    k, w = T.WINNOW_K, T.WINNOW_W
+    base = docs.select("doc_id", T.normalized_text("text").alias("txt"))
+    n = F.length("txt")
+    positions = F.when(
+        # guard: sequence(1, non-positive) would DESCEND, not return empty
+        n >= k, F.sequence(F.lit(1), (n - k + 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    hashed = base.select("doc_id", "txt", F.explode(positions).alias("i")).select(
+        "doc_id",
+        "i",
+        (F.length("txt") - (k - 1)).alias("m"),
+        T.kgram_hash(F.col("txt").substr(F.col("i"), F.lit(k)), k).alias("h"),
+    )
+    sliding = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("wmin", F.min("h").over(sliding))
+        # only positions with a COMPLETE w-window ahead of them
+        .where(F.col("i") <= F.col("m") - (w - 1))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("wmin"))).alias("fps"))
+    )
+
+
 def doc_winnow_fingerprints(spark, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting via winnowing (SURVEY §2b):
     k-gram rolling hashes → per-window minima → distinct fingerprint set.
@@ -91,7 +119,7 @@ def doc_winnow_fingerprints(spark, sf_dir: str) -> DataFrame:
     groupBy reuses the window's hash partitioning (one shuffle for both).
     Docs with no complete k-gram window are restored by a left join and
     fingerprint to the empty set (digest = md5(''))."""
-    k, w = T.WINNOW_K, T.WINNOW_W
+    k = T.WINNOW_K
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
     # join side: (doc_id, n_kgrams) computed arithmetically — no gram
     # array is built or shipped through the join shuffle
@@ -101,26 +129,7 @@ def doc_winnow_fingerprints(spark, sf_dir: str) -> DataFrame:
             F.length(T.normalized_text("text")) - (k - 1), F.lit(0)
         ).alias("n_kgrams"),
     )
-    base = docs.select("doc_id", T.normalized_text("text").alias("txt"))
-    n = F.length("txt")
-    positions = F.when(
-        # guard: sequence(1, non-positive) would DESCEND, not return empty
-        n >= k, F.sequence(F.lit(1), (n - k + 1).cast("int"))
-    ).otherwise(F.array().cast("array<int>"))
-    hashed = base.select("doc_id", "txt", F.explode(positions).alias("i")).select(
-        "doc_id",
-        "i",
-        (F.length("txt") - (k - 1)).alias("m"),
-        T.kgram_hash(F.col("txt").substr(F.col("i"), F.lit(k)), k).alias("h"),
-    )
-    sliding = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
-    winmins = (
-        hashed.withColumn("wmin", F.min("h").over(sliding))
-        # only positions with a COMPLETE w-window ahead of them
-        .where(F.col("i") <= F.col("m") - (w - 1))
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.array_distinct(F.collect_list("wmin"))).alias("fps"))
-    )
+    winmins = winnow_fingerprint_sets(docs)
     fps = F.coalesce("fps", F.array().cast("array<bigint>"))
     digest = F.md5(F.concat_ws(",", F.transform(fps, lambda h: h.cast("string"))))
     return counts.join(winmins, "doc_id", "left").select(
@@ -407,4 +416,47 @@ def doc_length_histogram(spark, sf_dir: str) -> DataFrame:
         .groupBy("log2_bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("log2_bucket")
+    )
+
+
+# Decontamination thresholds: fingerprints shared by more than
+# CONTAM_MAX_DF documents are corpus-idiomatic (stop-fingerprints), not
+# contamination evidence — dropping them is what bounds the join fan-out.
+CONTAM_MAX_DF = 10
+CONTAM_MIN_SHARED = 3
+
+
+def doc_contamination_pairs(spark, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: document pairs sharing ≥
+    ``CONTAM_MIN_SHARED`` rare winnowing fingerprints — the overlap check
+    a training pipeline runs between its corpus and an eval set (here:
+    the corpus against itself; pointing side A at a second table is the
+    same plan).
+
+    Scale shape: explode fingerprint sets → drop stop-fingerprints with a
+    document-frequency filter (df ≤ CONTAM_MAX_DF) → fp-keyed self-join →
+    per-pair count. The df cut bounds every per-fingerprint join block to
+    ≤ max_df² pair rows, so the join is linear in corpus size times a
+    constant — the same frequency-cut that makes suffix-array / Bloom
+    decontamination tractable. The df aggregate reuses the explode's
+    (doc_id, fp) rows; AQE handles residual fp skew.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    ex = winnow_fingerprint_sets(docs).select("doc_id", F.explode("fps").alias("fp"))
+    rare = ex.join(
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("fp_df"))
+        .where(F.col("fp_df") <= CONTAM_MAX_DF)
+        .select("fp"),
+        "fp",
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
     )

@@ -1198,3 +1198,93 @@ DOC_LENGTH_HIST_SQL = f"""
     SELECT log2_bucket, count(*) AS n_docs
     FROM b GROUP BY log2_bucket ORDER BY log2_bucket
 """
+
+
+def _contamination_sql() -> str:
+    from aws_saas_etl_spark.functions.text import WINNOW_K, WINNOW_W
+    from aws_saas_etl_spark.operators.textops import CONTAM_MAX_DF, CONTAM_MIN_SHARED
+
+    k, w = WINNOW_K, WINNOW_W
+    h = _winnow_kgram_hash_sql(f"substr(txt, i, {k})")
+    return f"""
+    WITH t AS (SELECT doc_id, {_NORM_TEXT} AS txt FROM documents WHERE {DOC_DROPNA}),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN length(txt) >= {k}
+                    THEN list_transform(generate_series(1, length(txt) - {k - 1}),
+                         i -> {h})
+                    ELSE CAST([] AS BIGINT[]) END AS hs
+        FROM t
+    ),
+    wmin AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= {w}
+                    THEN list_sort(list_distinct(
+                         list_transform(generate_series(1, len(hs) - {w - 1}),
+                         j -> list_aggregate(hs[j:j+{w - 1}], 'min'))))
+                    ELSE CAST([] AS BIGINT[]) END AS fps
+        FROM g
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM wmin),
+    rare AS (
+        SELECT ex.doc_id, ex.fp FROM ex
+        JOIN (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= {CONTAM_MAX_DF}) r
+          ON ex.fp = r.fp
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= {CONTAM_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+"""
+
+
+DOC_CONTAMINATION_SQL = _contamination_sql()
+
+
+def _per_type_sample_sql() -> str:
+    from aws_saas_etl_spark.operators.sampling import PER_GROUP_K
+
+    return f"""
+    WITH e AS (
+        SELECT event_id, event_type, user_id,
+               md5(CAST(event_id AS VARCHAR)) AS sample_key
+        FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY sample_key, event_id
+        ) AS sample_rank FROM e
+    )
+    SELECT event_type, sample_rank, event_id, user_id
+    FROM r WHERE sample_rank <= {PER_GROUP_K}
+    ORDER BY event_type, sample_rank
+"""
+
+
+EVENTS_PER_TYPE_SAMPLE_SQL = _per_type_sample_sql()
+
+
+def _deciles_sql() -> str:
+    from aws_saas_etl_spark.operators.sampling import N_DECILES
+
+    n = N_DECILES
+    fracs = ", ".join(str(i / n) for i in range(1, n))
+    return f"""
+    WITH cuts AS (
+        SELECT quantile_cont(c_acctbal, [{fracs}]) AS cuts FROM customer
+    ),
+    b AS (
+        SELECT c_acctbal,
+               1 + len(list_filter(cuts, c -> c_acctbal > c)) AS decile
+        FROM customer CROSS JOIN cuts
+    )
+    SELECT decile, count(*) AS n_customers,
+           {dround_sql("min(c_acctbal)", 2)} AS min_bal,
+           {dround_sql("max(c_acctbal)", 2)} AS max_bal,
+           {davg_sql("c_acctbal", 4)} AS avg_bal
+    FROM b GROUP BY decile ORDER BY decile
+"""
+
+
+CUSTOMER_DECILES_SQL = _deciles_sql()

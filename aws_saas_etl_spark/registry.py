@@ -487,3 +487,20 @@ register("doc_sequence_packing", textops.doc_sequence_packing, oracles.DOC_PACKI
 register("doc_length_histogram", textops.doc_length_histogram, oracles.DOC_LENGTH_HIST_SQL)
 
 register("stream_upsert_state", runners.stream_upsert_state, None)
+
+register(
+    "doc_contamination_pairs",
+    textops.doc_contamination_pairs,
+    oracles.DOC_CONTAMINATION_SQL,
+)
+
+register(
+    "events_per_type_sample",
+    sampling.events_per_type_sample,
+    oracles.EVENTS_PER_TYPE_SAMPLE_SQL,
+)
+register(
+    "customer_balance_deciles",
+    sampling.customer_balance_deciles,
+    oracles.CUSTOMER_DECILES_SQL,
+)
