@@ -157,3 +157,30 @@ def test_sequence_packing_no_global_window(spark):
     df = doc_sequence_packing(spark, SF_SMOKE)
     plan = PI.physical_plan(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_per_group_sample_uses_window_group_limit(spark):
+    """The per-group top-k-by-hash must run as WindowGroupLimit
+    (Partial map-side + Final), never a full per-group sort: no executor
+    may materialize a whole group at 100 TB."""
+    from aws_saas_etl_spark.operators.sampling import events_per_type_sample
+
+    df = events_per_type_sample(spark, SF_SMOKE)
+    plan = PI.physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or plan.count(
+        "WindowGroupLimit"
+    ) >= 2
+
+
+def test_deciles_have_no_global_sort(spark):
+    """Quantile bucketing must not ntile-sort the table in one partition:
+    the only single-partition stage is the 1-row percentile aggregate."""
+    from aws_saas_etl_spark.operators.sampling import customer_balance_deciles
+
+    df = customer_balance_deciles(spark, SF_SMOKE)
+    plan = PI.physical_plan(df)
+    assert " ntile(" not in plan.lower()  # no NTile window anywhere
+    # the bucket assignment itself adds no exchange beyond the 1-row
+    # percentile aggregate + final groupBy
+    assert PI.count_shuffles(df) <= 4

@@ -245,3 +245,14 @@ def test_partitioned_write_prunes_partitions(spark, workdir):
     )[1].split("]", 1)[0], plan
     n_click = ev.where(F.col("event_type") == "click").count()
     assert back.count() == n_click
+
+
+def test_orc_roundtrip(spark, workdir):
+    """ORC source/sink parity: the third columnar format a lakehouse
+    ingest meets; same reader/writer contract as parquet."""
+    df = spark.range(50).withColumn("v", F.col("id") * 3)
+    path = os.path.join(workdir, "orc_out")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == 50
+    assert sorted(r["v"] for r in back.collect())[:3] == [0, 3, 6]
