@@ -504,3 +504,5 @@ register(
     sampling.customer_balance_deciles,
     oracles.CUSTOMER_DECILES_SQL,
 )
+
+register("stream_hourly_to_parquet", runners.stream_hourly_to_parquet, None)

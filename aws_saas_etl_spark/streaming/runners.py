@@ -160,3 +160,35 @@ def stream_upsert_state(spark, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
         .orderBy("user_id")
     )
+
+
+def stream_hourly_to_parquet(spark, sf_dir: str) -> DataFrame:
+    """Windowed aggregate → PARQUET FILE SINK (not memory): the
+    production sink path. Append mode emits each window once its
+    watermark closes; the checkpoint + the sink's file manifest
+    (_spark_metadata) give end-to-end exactly-once on files — a retried
+    batch atomically replaces, never duplicates. Returns the sink
+    directory read back as a normal parquet table."""
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="etl_spark_fsink_"), "out")
+    q = (
+        P.hourly_stats(_stream(spark, sf_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="etl_spark_fsink_ckpt_")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
