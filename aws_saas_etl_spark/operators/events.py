@@ -294,3 +294,39 @@ def events_resample_locf(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+def events_daily_funnel(spark, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per day: users whose first view precedes
+    their first click precedes their first purchase (strict event-time
+    order, same day). The canonical product-analytics query over an event
+    stream.
+
+    Scale shape: one shuffle on (user_id, day) into a conditional-min
+    aggregate (map-side partial), then a tiny per-day rollup — stage
+    ordering is decided per user from three timestamps, never by joining
+    the event table to itself per stage (the k-way self-join formulation
+    shuffles the fact table once per funnel step).
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts", "user_id"])
+    stage_min = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).agg(
+        stage_min("view").alias("t_view"),
+        stage_min("click").alias("t_click"),
+        stage_min("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return (
+        per_user.groupBy("day")
+        .agg(
+            F.count("t_view").alias("n_viewed"),
+            F.count(F.when(clicked, 1)).alias("n_clicked_after_view"),
+            F.count(F.when(purchased, 1)).alias("n_purchased_after_click"),
+        )
+        .orderBy("day")
+    )

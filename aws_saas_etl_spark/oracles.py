@@ -1288,3 +1288,24 @@ def _deciles_sql() -> str:
 
 
 CUSTOMER_DECILES_SQL = _deciles_sql()
+
+
+EVENTS_FUNNEL_SQL = """
+    WITH per_user AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY day, user_id
+    )
+    SELECT day,
+           count(t_view) AS n_viewed,
+           count(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after_view,
+           count(CASE WHEN t_click > t_view AND t_purchase > t_click
+                      THEN 1 END) AS n_purchased_after_click
+    FROM per_user
+    GROUP BY day
+    ORDER BY day
+"""

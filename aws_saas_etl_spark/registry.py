@@ -506,3 +506,5 @@ register(
 )
 
 register("stream_hourly_to_parquet", runners.stream_hourly_to_parquet, None)
+
+register("events_daily_funnel", events.events_daily_funnel, oracles.EVENTS_FUNNEL_SQL)
