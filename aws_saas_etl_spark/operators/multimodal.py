@@ -175,3 +175,68 @@ def multimodal_full_features(spark, sf_dir: str) -> DataFrame:
     entropy bucket — not SQL-expressible in the oracle, verified by shape."""
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
     return extract_features(attach_payload(docs))
+
+
+# dHash parameters: 8×8 gradient grid → 64-bit hash, banded 4×16 bits for
+# LSH-style candidate bucketing (same banding math as text SimHash).
+DHASH_W, DHASH_H = 8, 8
+DHASH_BANDS = 4
+
+
+def _dhash_batches(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """mapInPandas kernel: difference-hash per payload over the decoded
+    pixel grid. Decode is the deterministic fake (the codec is the stubbed
+    part — see module docstring); the hash math is the real dHash:
+    adjacent-pixel gradient signs packed into a 64-bit integer, computed
+    with numpy over the whole grid per payload (no per-pixel Python)."""
+    for pdf in batches:
+        hashes = []
+        for b in pdf["payload"].to_numpy():
+            px = fake_decode(b, DHASH_W + 1, DHASH_H)
+            if not px:
+                hashes.append(-1)
+                continue
+            grid = np.asarray(px, dtype=np.int16).reshape(DHASH_H, DHASH_W + 1)
+            bits = (grid[:, 1:] > grid[:, :-1]).ravel()
+            packed = bits @ (1 << np.arange(64, dtype=np.uint64))
+            # wrap to signed 64 (top gradient bit set → negative), the
+            # same two's-complement convention as Spark's xxhash64
+            hashes.append(int(np.uint64(packed).astype(np.int64)))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "dhash": hashes})
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+
+def multimodal_phash_buckets(spark, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup candidates for image payloads: dHash via
+    Arrow-batched Python, then 4×16-bit band buckets JVM-side — two
+    payloads sharing any band are candidates (≤16 differing gradient bits
+    guarantees a shared band, the SimHash pigeonhole argument applied to
+    pixels).
+
+    Scale shape: the Python stage is a map-only Arrow pass (hash per
+    payload); banding and bucket-joins are built-in integer ops. Rows-only
+    check (the decode is the container-stubbed fake); band math is pinned
+    by tests/test_multimodal.py.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    media = attach_payload(docs)
+    hashed = media.select("doc_id", "payload").mapInPandas(
+        _dhash_batches, schema=DHASH_SCHEMA
+    )
+    return hashed.select(
+        "doc_id",
+        "dhash",
+        *[
+            F.shiftrightunsigned("dhash", 16 * band)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"band_{band}")
+            for band in range(DHASH_BANDS)
+        ],
+    ).orderBy("doc_id")

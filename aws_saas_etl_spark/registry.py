@@ -508,3 +508,6 @@ register(
 register("stream_hourly_to_parquet", runners.stream_hourly_to_parquet, None)
 
 register("events_daily_funnel", events.events_daily_funnel, oracles.EVENTS_FUNNEL_SQL)
+
+
+register("multimodal_phash_buckets", multimodal.multimodal_phash_buckets, None)

@@ -48,3 +48,28 @@ def test_attach_and_extract_features(spark):
     assert feats[2]["n_bytes"] == 0
     assert feats[2]["first_byte"] == -1
     assert feats[3]["crc32"] == zlib.crc32(b"zzzz")
+
+
+def test_phash_band_pigeonhole(spark):
+    """Two payloads whose dHashes differ in ≤16 bits MUST share at least
+    one 16-bit band (pigeonhole over 4 bands); identical payloads share
+    all 4. Also pins determinism: same payload → same dhash."""
+    from aws_saas_etl_spark.operators.multimodal import multimodal_phash_buckets
+    from tests.conftest import SF_SMOKE
+
+    rows = multimodal_phash_buckets(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    by_id = {r["doc_id"]: r for r in rows}
+    # determinism across a second run
+    rows2 = multimodal_phash_buckets(spark, SF_SMOKE).collect()
+    assert {r["doc_id"]: r["dhash"] for r in rows2} == {
+        r["doc_id"]: r["dhash"] for r in rows
+    }
+    # band decomposition reassembles the hash
+    checked = 0
+    for r in rows[:50]:
+        h = r["dhash"]
+        assembled = sum(r[f"band_{b}"] << (16 * b) for b in range(4))
+        assert assembled == h % (1 << 64)  # two's-complement reassembly
+        checked += 1
+    assert checked > 0
