@@ -270,9 +270,12 @@ def events_resample_locf(spark, sf_dir: str) -> DataFrame:
         davg_rounded(F.col("value"), 4).alias("avg_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    spans = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    # span bounds derive from the hourly aggregate, not a second scan of
+    # raw events: date_trunc(hour, min(ts)) == min(date_trunc(hour, ts)),
+    # and the re-aggregation reuses hourly's exchange (AQE ReusedExchange)
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
     )
     grid = spans.select(
         "user_id",
