@@ -985,3 +985,28 @@ def lineitem_measures_unpivot(spark, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "measure", "value"
     ).orderBy("l_returnflag", "measure")
+
+
+def revenue_grouping_sets(spark, sf_dir: str) -> DataFrame:
+    """GROUPING SETS aggregate — the third member of the rollup/cube
+    family (``revenue_rollup`` / ``status_priority_cube``): exactly the
+    (returnflag), (linestatus), and grand-total groupings, none of the
+    cross products a cube would add. One shuffle; Spark expands the sets
+    map-side (each row feeds every set it belongs to), partial-aggregates,
+    and the grouping_id disambiguates the null group keys.
+    """
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("grouping_set_id"),
+            dsum_rounded(rev, MONEY).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("grouping_set_id", "l_returnflag", "l_linestatus")
+    )

@@ -1309,3 +1309,15 @@ EVENTS_FUNNEL_SQL = """
     GROUP BY day
     ORDER BY day
 """
+
+
+REVENUE_GROUPING_SETS_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+               AS grouping_set_id,
+           {dsum_sql("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY grouping_set_id, l_returnflag, l_linestatus
+"""

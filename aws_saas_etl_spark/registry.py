@@ -511,3 +511,9 @@ register("events_daily_funnel", events.events_daily_funnel, oracles.EVENTS_FUNNE
 
 
 register("multimodal_phash_buckets", multimodal.multimodal_phash_buckets, None)
+
+register(
+    "revenue_grouping_sets",
+    relational.revenue_grouping_sets,
+    oracles.REVENUE_GROUPING_SETS_SQL,
+)
