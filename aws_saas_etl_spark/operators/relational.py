@@ -1010,3 +1010,36 @@ def revenue_grouping_sets(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("grouping_set_id", "l_returnflag", "l_linestatus")
     )
+
+
+APPROX_PCT_ACCURACY = 1000  # GK sketch: error <= 1/accuracy of rank space
+
+
+def order_value_percentiles_approx(spark, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles beside their exact twins, with the realized
+    rank-space error — the scale path for percentiles: approx_percentile
+    is a mergeable Greenwald-Khanna sketch (partial per partition, merged
+    on the driver-side agg), so it never sorts or collects the column,
+    while exact percentile must buffer each group. Rows-only check
+    (sketch internals are engine-specific); the emitted abs_err column is
+    the self-audit, bounded by max-min over accuracy.
+    """
+    t = load_tables(spark, sf_dir)
+    ps = [0.25, 0.5, 0.75, 0.95, 0.99]
+    agg = t.orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(p) for p in ps])).alias("exact"),
+        F.percentile_approx(
+            "o_totalprice", F.array(*[F.lit(p) for p in ps]), F.lit(APPROX_PCT_ACCURACY)
+        ).alias("approx"),
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in ps]).alias("pct"),
+        F.col("exact").alias("exact"),
+        F.col("approx").alias("approx"),
+    )
+    return agg.select(F.explode(pairs).alias("z")).select(
+        F.col("z.pct").alias("pct"),
+        dround(F.col("z.exact"), 2).alias("exact_value"),
+        dround(F.col("z.approx"), 2).alias("approx_value"),
+        dround(F.abs(F.col("z.exact") - F.col("z.approx")), 2).alias("abs_err"),
+    )

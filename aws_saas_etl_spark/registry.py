@@ -517,3 +517,9 @@ register(
     relational.revenue_grouping_sets,
     oracles.REVENUE_GROUPING_SETS_SQL,
 )
+
+register(
+    "order_value_percentiles_approx",
+    relational.order_value_percentiles_approx,
+    None,
+)
