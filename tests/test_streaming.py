@@ -191,3 +191,29 @@ def test_stream_upsert_state_matches_batch_latest(spark):
         .collect()
     )
     assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+
+
+def test_file_sink_matches_memory_drain(spark):
+    """The parquet file sink and the memory sink must emit identical rows
+    for the same availableNow drain (same watermark, same windows closed):
+    sink choice cannot change semantics."""
+    from aws_saas_etl_spark.streaming.runners import (
+        stream_hourly_stats,
+        stream_hourly_to_parquet,
+    )
+    from tests.conftest import SF_SMOKE
+
+    via_file = stream_hourly_to_parquet(spark, SF_SMOKE).collect()
+    via_mem = (
+        stream_hourly_stats(spark, SF_SMOKE)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    assert sorted(tuple(r) for r in via_file) == sorted(tuple(r) for r in via_mem)
