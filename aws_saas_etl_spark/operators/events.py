@@ -333,3 +333,32 @@ def events_daily_funnel(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+RETENTION_MAX_OFFSET = 7
+
+
+def events_retention_cohorts(spark, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, and
+    for each day-offset 0..N, how many of that cohort were active again —
+    the canonical growth-analytics triangle.
+
+    Scale shape: per-user first day (one agg), distinct active (user,
+    day) pairs (map-side distinct partials), a user-keyed join (both
+    sides already partitioned by user_id — exchange reuse), then a tiny
+    (cohort, offset) aggregate. Never a per-offset self-join.
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts", "user_id"])
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offset = F.datediff("day", "cohort_day")
+    return (
+        active.join(first, "user_id")
+        .where(offset <= RETENTION_MAX_OFFSET)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            offset.alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -1321,3 +1321,27 @@ REVENUE_GROUPING_SETS_SQL = f"""
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     ORDER BY grouping_set_id, l_returnflag, l_linestatus
 """
+
+
+def _retention_sql() -> str:
+    from aws_saas_etl_spark.operators.events import RETENTION_MAX_OFFSET
+
+    return f"""
+    WITH active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    first AS (
+        SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           (day - cohort_day) AS day_offset,
+           count(DISTINCT a.user_id) AS n_active
+    FROM active a JOIN first f USING (user_id)
+    WHERE (day - cohort_day) <= {RETENTION_MAX_OFFSET}
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+"""
+
+
+EVENTS_RETENTION_SQL = _retention_sql()

@@ -523,3 +523,9 @@ register(
     relational.order_value_percentiles_approx,
     None,
 )
+
+register(
+    "events_retention_cohorts",
+    events.events_retention_cohorts,
+    oracles.EVENTS_RETENTION_SQL,
+)

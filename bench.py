@@ -83,6 +83,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # context: totals grow with operator coverage; per-query
+                # cost is the comparable number across rounds
+                "n_queries": len(timings),
+                "mean_query_seconds": round(total / max(len(timings), 1), 4),
             }
         )
     )
