@@ -1043,3 +1043,55 @@ def order_value_percentiles_approx(spark, sf_dir: str) -> DataFrame:
         dround(F.col("z.approx"), 2).alias("approx_value"),
         dround(F.abs(F.col("z.exact") - F.col("z.approx")), 2).alias("abs_err"),
     )
+
+
+RFM_QUANTILES = [0.2, 0.4, 0.6, 0.8]  # quintile cuts → scores 1..5
+
+
+def customer_rfm_segments(spark, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency (days since last order),
+    Frequency (order count), Monetary (total spend), each scored 1-5 by
+    quintile, rolled up to segment counts.
+
+    Scale shape: one orders aggregate (partial map-side), one 1-row
+    quantile aggregate over that result broadcast back (the same
+    no-global-sort bucketing as customer_balance_deciles), and a final
+    bounded (r,f,m) rollup — ≤125 output rows at any scale. Recency is
+    scored DESCENDING (most recent = 5) via the same strict-> cut walk on
+    the negated axis both engines share.
+    """
+    t = load_tables(spark, sf_dir)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum_rounded(F.col("o_totalprice"), MONEY).alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("anchor", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qarr = F.array(*[F.lit(q) for q in RFM_QUANTILES])
+    cuts = base.agg(
+        F.percentile("recency_days", qarr).alias("rc"),
+        F.percentile("frequency", qarr).alias("fc"),
+        F.percentile("monetary", qarr).alias("mc"),
+    )
+    score = lambda col, cutcol: 1 + F.aggregate(  # noqa: E731
+        F.col(cutcol),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col(col) > c, 1).otherwise(0),
+    )
+    return (
+        base.crossJoin(F.broadcast(cuts))
+        .select(
+            (6 - score("recency_days", "rc")).alias("r_score"),  # recent = 5
+            score("frequency", "fc").alias("f_score"),
+            score("monetary", "mc").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -1345,3 +1345,42 @@ def _retention_sql() -> str:
 
 
 EVENTS_RETENTION_SQL = _retention_sql()
+
+
+def _rfm_sql() -> str:
+    from aws_saas_etl_spark.operators.relational import RFM_QUANTILES
+
+    qs = ", ".join(str(q) for q in RFM_QUANTILES)
+    score = lambda col, cuts: f"1 + len(list_filter({cuts}, c -> {col} > c))"  # noqa: E731
+    return f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               {dsum_sql("o_totalprice", 2)} AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT max(last_order) AS anchor FROM per_cust),
+    base AS (
+        SELECT o_custkey,
+               datediff('day', last_order, anchor) AS recency_days,
+               frequency, monetary
+        FROM per_cust CROSS JOIN anchor
+    ),
+    cuts AS (
+        SELECT quantile_cont(recency_days, [{qs}]) AS rc,
+               quantile_cont(frequency, [{qs}]) AS fc,
+               quantile_cont(monetary, [{qs}]) AS mc
+        FROM base
+    )
+    SELECT (6 - ({score("recency_days", "rc")})) AS r_score,
+           {score("frequency", "fc")} AS f_score,
+           {score("monetary", "mc")} AS m_score,
+           count(*) AS n_customers
+    FROM base CROSS JOIN cuts
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+"""
+
+
+CUSTOMER_RFM_SQL = _rfm_sql()

@@ -529,3 +529,5 @@ register(
     events.events_retention_cohorts,
     oracles.EVENTS_RETENTION_SQL,
 )
+
+register("customer_rfm_segments", relational.customer_rfm_segments, oracles.CUSTOMER_RFM_SQL)
