@@ -460,3 +460,39 @@ def doc_contamination_pairs(spark, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def doc_unigram_logprob(spark, sf_dir: str) -> DataFrame:
+    """Mean unigram negative log-probability per document — the cheapest
+    LM-based quality signal (a degenerate 1-gram language model scored on
+    its own corpus; high values flag rare-token / noisy documents, the
+    same role the perplexity filter plays in LLM data pipelines).
+
+    Scale shape: corpus unigram counts (word-count plan), token-keyed
+    join back to the exploded docs (both sides partitioned by token — the
+    count's exchange is reused), per-doc average. The vocabulary side is
+    sublinear in corpus size and never collected.
+
+    ln(count/total) uses the per-engine double log — scores are rounded
+    to 6dp and both engines compute the identical expression tree
+    (log of a ratio of exact integers), so the doubles agree bitwise.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    neglogp = -F.log(F.col("c").cast("double") / F.col("n_total"))
+    return (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # decimal-accumulated average: per-element double→decimal cast
+            # is deterministic (the doubles are the same expression tree in
+            # both engines); a plain double avg would be summation-order-
+            # dependent across partitions
+            N.davg_rounded(neglogp, 6).alias("mean_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )

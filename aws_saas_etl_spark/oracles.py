@@ -1384,3 +1384,19 @@ def _rfm_sql() -> str:
 
 
 CUSTOMER_RFM_SQL = _rfm_sql()
+
+
+DOC_UNIGRAM_LOGPROB_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({toks('text')}) AS token
+        FROM documents WHERE {DOC_DROPNA}
+    ),
+    counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    total AS (SELECT count(*) AS n_total FROM tok)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           {davg_sql("-ln(CAST(c AS DOUBLE) / n_total)", 6)} AS mean_neg_logp
+    FROM tok JOIN counts USING (token) CROSS JOIN total
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""

@@ -531,3 +531,7 @@ register(
 )
 
 register("customer_rfm_segments", relational.customer_rfm_segments, oracles.CUSTOMER_RFM_SQL)
+
+register(
+    "doc_unigram_logprob", textops.doc_unigram_logprob, oracles.DOC_UNIGRAM_LOGPROB_SQL
+)
