@@ -496,3 +496,54 @@ def doc_unigram_logprob(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BIGRAM_MIN_COUNT = 5
+BIGRAM_TOP_K = 3
+
+
+def corpus_bigram_lm(spark, sf_dir: str) -> DataFrame:
+    """Bigram conditional probabilities — the 2-gram language-model table:
+    for each context token, the top-k continuations by P(w2|w1) =
+    c(w1,w2)/c(w1), over bigrams seen ≥ BIGRAM_MIN_COUNT times.
+
+    Scale shape: one explode builds positions once; bigram and unigram
+    counts are two aggregates over it (token-keyed, evenly partitioned);
+    the probability join is on the context token so the unigram side's
+    exchange is reused. Top-k per context runs as WindowGroupLimit. The
+    ranking key is the ROUNDED probability + token so both engines break
+    near-ties identically.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    tk = T.tokens("text")
+    n = F.size("tk")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("tk", 1, n - 1),
+            F.slice("tk", 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    base = docs.select(tk.alias("tk")).select(F.explode(bigrams).alias("bg"))
+    bg_counts = (
+        base.select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= BIGRAM_MIN_COUNT)
+    )
+    ctx_counts = (
+        base.select(F.col("bg.w1").alias("cw"))
+        .groupBy("cw")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    prob = N.dround(F.col("c12").cast("double") / F.col("c1"), 6)
+    scored = bg_counts.join(ctx_counts, F.col("w1") == F.col("cw")).select(
+        "w1", "w2", "c12", "c1", prob.alias("p_cond")
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("p_cond"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BIGRAM_TOP_K)
+        .orderBy("w1", "rank")
+    )

@@ -1400,3 +1400,40 @@ DOC_UNIGRAM_LOGPROB_SQL = f"""
     GROUP BY doc_id
     ORDER BY doc_id
 """
+
+
+def _bigram_lm_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import BIGRAM_MIN_COUNT, BIGRAM_TOP_K
+
+    return f"""
+    WITH t AS (SELECT {toks('text')} AS tk FROM documents WHERE {DOC_DROPNA}),
+    bg AS (
+        SELECT unnest(CASE WHEN len(tk) >= 2
+                   THEN list_transform(range(1, len(tk)),
+                        i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))
+                   ELSE [] END) AS g
+        FROM t
+    ),
+    pairs AS (SELECT g.w1 AS w1, g.w2 AS w2 FROM bg),
+    bgc AS (
+        SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+        HAVING count(*) >= {BIGRAM_MIN_COUNT}
+    ),
+    ctx AS (SELECT w1 AS cw, count(*) AS c1 FROM pairs GROUP BY w1),
+    scored AS (
+        SELECT w1, w2, c12, c1,
+               {dround_sql("CAST(c12 AS DOUBLE) / c1", 6)} AS p_cond
+        FROM bgc JOIN ctx ON w1 = cw
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY w1 ORDER BY p_cond DESC, w2
+        ) AS rank FROM scored
+    )
+    SELECT w1, w2, c12, c1, p_cond, rank
+    FROM ranked WHERE rank <= {BIGRAM_TOP_K}
+    ORDER BY w1, rank
+"""
+
+
+CORPUS_BIGRAM_LM_SQL = _bigram_lm_sql()

@@ -535,3 +535,5 @@ register("customer_rfm_segments", relational.customer_rfm_segments, oracles.CUST
 register(
     "doc_unigram_logprob", textops.doc_unigram_logprob, oracles.DOC_UNIGRAM_LOGPROB_SQL
 )
+
+register("corpus_bigram_lm", textops.corpus_bigram_lm, oracles.CORPUS_BIGRAM_LM_SQL)
