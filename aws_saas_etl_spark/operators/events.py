@@ -362,3 +362,45 @@ def events_retention_cohorts(spark, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+ANOMALY_Z = 2.0
+
+
+def events_hourly_anomalies(spark, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count deviates ≥
+    ``ANOMALY_Z`` sample standard deviations from that event type's mean
+    hourly volume.
+
+    Determinism: mean and variance are derived from Σc and Σc² over
+    INTEGER hourly counts — exact in both engines at any parallelism (a
+    stddev_samp over doubles would be accumulation-order-dependent).
+    Scale shape: two bounded aggregates (hour×type, then type) and a
+    broadcast join of the per-type stats back onto the hourly table.
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts"])
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_hours")) / (
+        F.col("n_hours") - 1
+    )
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats), F.col("event_type") == F.col("et"))
+        .where((F.col("n_hours") > 1) & (var > 0))
+        .select(
+            "event_type",
+            F.date_format("hour", TS_FMT).alias("hour"),
+            "c",
+            dround(z, 4).alias("z_score"),
+        )
+        .where(F.abs(F.col("z_score")) >= ANOMALY_Z)
+        .orderBy("event_type", "hour")
+    )

@@ -1437,3 +1437,36 @@ def _bigram_lm_sql() -> str:
 
 
 CORPUS_BIGRAM_LM_SQL = _bigram_lm_sql()
+
+
+def _anomaly_sql() -> str:
+    from aws_saas_etl_spark.operators.events import ANOMALY_Z
+
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS c
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+        SELECT event_type AS et, count(*) AS n_hours,
+               sum(c) AS s1, sum(c * c) AS s2
+        FROM hourly GROUP BY event_type
+    ),
+    scored AS (
+        SELECT event_type, strftime(hour, '{TS_FMT_DUCK}') AS hour, c,
+               {dround_sql(
+                   "(c - CAST(s1 AS DOUBLE) / n_hours)"
+                   " / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hours)"
+                   " / (n_hours - 1))", 4)} AS z_score
+        FROM hourly JOIN stats ON event_type = et
+        WHERE n_hours > 1
+          AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hours)
+              / (n_hours - 1) > 0
+    )
+    SELECT * FROM scored WHERE abs(z_score) >= {ANOMALY_Z}
+    ORDER BY event_type, hour
+"""
+
+
+EVENTS_ANOMALY_SQL = _anomaly_sql()

@@ -537,3 +537,7 @@ register(
 )
 
 register("corpus_bigram_lm", textops.corpus_bigram_lm, oracles.CORPUS_BIGRAM_LM_SQL)
+
+register(
+    "events_hourly_anomalies", events.events_hourly_anomalies, oracles.EVENTS_ANOMALY_SQL
+)
