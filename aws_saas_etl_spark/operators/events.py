@@ -404,3 +404,36 @@ def events_hourly_anomalies(spark, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("z_score")) >= ANOMALY_Z)
         .orderBy("event_type", "hour")
     )
+
+
+def events_scd2_history(spark, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from a change
+    log: each user's event stream becomes versioned validity intervals
+    [valid_from, valid_to) carrying the value in force during the
+    interval — the historized form of the reference's in-place jobs-row
+    UPDATE lifecycle (reference app.py:216-233 overwrites status; SCD2
+    keeps every version queryable as-of any time).
+
+    One shuffle: a single window over (user_id ORDER BY ts, event_id)
+    supplies version_no (row_number) and each version's end (lead). The
+    final version per key is open-ended (valid_to NULL, is_current=1).
+    At 100 TB the window key is the entity id — high cardinality and
+    evenly distributed, so partitions stay balanced and there is no
+    global sort; AQE computes both window functions in one pass over
+    one exchange.
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("version_no", F.row_number().over(w))
+        .withColumn("valid_to_ts", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "version_no",
+            F.date_format("ts", TS_FMT).alias("valid_from"),
+            F.date_format("valid_to_ts", TS_FMT).alias("valid_to"),
+            F.col("valid_to_ts").isNull().cast("int").alias("is_current"),
+            dround(F.col("value"), 2).alias("value"),
+        )
+    )

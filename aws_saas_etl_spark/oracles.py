@@ -1470,3 +1470,19 @@ def _anomaly_sql() -> str:
 
 
 EVENTS_ANOMALY_SQL = _anomaly_sql()
+
+
+# SCD2 history: engine-neutral window twin — row_number + lead over the
+# same (user_id, ts, event_id) order; strftime(NULL) is NULL, matching
+# date_format on the open-ended current version.
+EVENTS_SCD2_SQL = f"""
+    SELECT user_id,
+           row_number() OVER w AS version_no,
+           strftime(ts, '{TS_FMT_DUCK}') AS valid_from,
+           strftime(lead(ts) OVER w, '{TS_FMT_DUCK}') AS valid_to,
+           CAST(lead(ts) OVER w IS NULL AS INT) AS is_current,
+           {dround_sql("value", 2)} AS value
+    FROM events
+    WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -541,3 +541,5 @@ register("corpus_bigram_lm", textops.corpus_bigram_lm, oracles.CORPUS_BIGRAM_LM_
 register(
     "events_hourly_anomalies", events.events_hourly_anomalies, oracles.EVENTS_ANOMALY_SQL
 )
+
+register("events_scd2_history", events.events_scd2_history, oracles.EVENTS_SCD2_SQL)
