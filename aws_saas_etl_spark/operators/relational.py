@@ -357,7 +357,7 @@ def promo_revenue_share(spark, sf_dir: str) -> DataFrame:
         .join(t.part.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
         .agg(
-            F.round(
+            dround(
                 dsum_rounded(promo, 9) * 100.0 / dsum_rounded(rev, 9), 4
             ).alias("promo_pct"),
             dsum_rounded(rev, MONEY).alias("total_revenue"),
@@ -470,7 +470,7 @@ def order_value_percentiles(spark, sf_dir: str) -> DataFrame:
     """Exact percentiles (median/quartiles) per order status — the exact
     variant; approx_percentile is the sketch path at 100 TB (rows-only)."""
     t = load_tables(spark, sf_dir)
-    pct = lambda p: F.round(F.percentile("o_totalprice", F.lit(p)), 4)  # noqa: E731
+    pct = lambda p: dround(F.percentile("o_totalprice", F.lit(p)), 4)  # noqa: E731
     return (
         t.orders.groupBy("o_orderstatus")
         .agg(

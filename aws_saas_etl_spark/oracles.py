@@ -547,8 +547,8 @@ MULTIMODAL_FEATURES_SQL = """
 
 PROMO_REVENUE_SQL = """
     SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-           round(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
-                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE), 4) AS promo_pct,
+           CAST(round(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS DECIMAL(22,6)), 4) AS DOUBLE) AS promo_pct,
            CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE)   AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
@@ -646,11 +646,11 @@ STATUS_CUBE_SQL = """
     ORDER BY gid, o_orderstatus, o_orderpriority
 """
 
-PERCENTILES_SQL = """
+PERCENTILES_SQL = f"""
     SELECT o_orderstatus,
-           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           {dround_sql("quantile_cont(o_totalprice, 0.25)", 4)} AS p25,
+           {dround_sql("quantile_cont(o_totalprice, 0.50)", 4)} AS p50,
+           {dround_sql("quantile_cont(o_totalprice, 0.75)", 4)} AS p75,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_orderstatus
