@@ -547,3 +547,78 @@ def corpus_bigram_lm(spark, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= BIGRAM_TOP_K)
         .orderBy("w1", "rank")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("hash", "join", "stream")
+
+
+def doc_bm25_search(spark, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of the corpus against a fixed term query —
+    the lexical-retrieval ranking a data pipeline runs for search-style
+    corpus triage (Robertson/Sparck-Jones BM25 with the Lucene
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf, k1=1.2, b=0.75).
+
+    Scale shape: ONE corpus scan. Per-doc term frequencies and length
+    are array built-ins on the tokenized column; the corpus-level stats
+    the formula needs (N, Σdl, per-term df) collapse into a single
+    1-row aggregate that is broadcast back — no token explode, no
+    vocabulary shuffle, because the query term set is a small constant.
+    Scoring is then embarrassingly parallel; the only shuffle is the
+    stats aggregate's single-row exchange.
+
+    Determinism: every double (idf, length norm, per-term partial) is
+    the same expression tree over exact integers in both engines —
+    constants are embedded via ``repr`` so Spark and DuckDB parse the
+    identical literals; the 3 per-term partials sum in fixed left-to-
+    right order. Scores round to 4dp only at the output edge.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    base = docs.select("doc_id", T.tokens("text").alias("tk")).withColumn(
+        "dl", F.size("tk")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.array_contains("tk", t).cast("long")).alias(f"df_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    dl = F.col("dl").cast("double")
+
+    def term_partial(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        df = F.col(f"df_{t}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - df + 0.5) / (df + 0.5) + 1.0
+        )
+        denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl))
+        return idf * (tf * (BM25_K1 + 1.0)) / denom
+
+    def tf_col(t: str):
+        # single-arg lambda: a 2-arg lambda would make F.filter pass the
+        # element INDEX as the second argument
+        return F.size(F.filter("tk", lambda x: x == t)).alias(f"tf_{t}")
+
+    scored = base.select(
+        "doc_id",
+        "dl",
+        *[tf_col(t) for t in BM25_QUERY_TERMS],
+    ).crossJoin(F.broadcast(stats))
+    score = term_partial(BM25_QUERY_TERMS[0])
+    for t in BM25_QUERY_TERMS[1:]:
+        score = score + term_partial(t)
+    any_hit = sum(F.col(f"tf_{t}") for t in BM25_QUERY_TERMS) > 0
+    return (
+        scored.where(any_hit)
+        .select(
+            "doc_id",
+            F.col("dl").alias("n_tokens"),
+            *[F.col(f"tf_{t}") for t in BM25_QUERY_TERMS],
+            N.dround(score, 4).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )

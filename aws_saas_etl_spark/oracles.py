@@ -1486,3 +1486,63 @@ EVENTS_SCD2_SQL = f"""
     WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def _bm25_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY_TERMS,
+    )
+
+    # identical double literals and expression nesting as the Spark side:
+    # constants embedded via repr (round-trips to the same double), per-term
+    # partials summed left-to-right
+    k1, b = repr(BM25_K1), repr(BM25_B)
+    k1p1, one_m_b = repr(BM25_K1 + 1.0), repr(1.0 - BM25_B)
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+
+    def partial(t: str) -> str:
+        tf = f"CAST(tf_{t} AS DOUBLE)"
+        df = f"CAST(df_{t} AS DOUBLE)"
+        idf = (
+            f"ln((CAST(n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5) + 1.0)"
+        )
+        denom = f"({tf} + {k1} * ({one_m_b} + {b} * (CAST(dl AS DOUBLE) / {avgdl})))"
+        return f"{idf} * ({tf} * {k1p1}) / {denom}"
+
+    score = " + ".join(partial(t) for t in BM25_QUERY_TERMS)
+    dfs = ",\n               ".join(
+        f"sum(CAST(list_contains(tk, '{t}') AS BIGINT)) AS df_{t}"
+        for t in BM25_QUERY_TERMS
+    )
+    tfs = ",\n               ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf_{t}"
+        for t in BM25_QUERY_TERMS
+    )
+    tf_cols = ", ".join(f"tf_{t}" for t in BM25_QUERY_TERMS)
+    any_hit = " + ".join(f"tf_{t}" for t in BM25_QUERY_TERMS)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {toks('text')} AS tk FROM documents WHERE {DOC_DROPNA}
+    ),
+    b AS (SELECT doc_id, tk, len(tk) AS dl FROM base),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+               {dfs}
+        FROM b
+    ),
+    tf AS (
+        SELECT doc_id, dl,
+               {tfs}
+        FROM b
+    )
+    SELECT doc_id, dl AS n_tokens, {tf_cols},
+           {dround_sql(score, 4)} AS bm25
+    FROM tf CROSS JOIN stats
+    WHERE {any_hit} > 0
+    ORDER BY doc_id
+"""
+
+
+DOC_BM25_SQL = _bm25_sql()
