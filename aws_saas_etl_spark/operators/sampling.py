@@ -168,3 +168,63 @@ def customer_balance_deciles(spark, sf_dir: str, n: int = N_DECILES) -> DataFram
         )
         .orderBy("decile")
     )
+
+
+# Mixture spec: keep-percent per source for training-corpus composition
+# (upsample-by-keeping-all vs downsample rare/noisy sources). Sources not
+# listed fall back to the default — the spec stays a bounded constant no
+# matter how many sources the corpus has.
+MIXTURE_WEIGHTS = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}
+MIXTURE_DEFAULT_PCT = 10
+
+
+def mixture_pct(source: Column | str) -> Column:
+    """Target keep-percent for a source (CASE chain over the bounded
+    spec — a broadcast-join against a weights dim degenerates to the
+    same plan, without the extra input)."""
+    s = F.col(source) if isinstance(source, str) else source
+    expr = F.lit(MIXTURE_DEFAULT_PCT)
+    for src, pct in sorted(MIXTURE_WEIGHTS.items(), reverse=True):
+        expr = F.when(s == src, F.lit(pct)).otherwise(expr)
+    return expr
+
+
+def corpus_mixture_sample(spark, sf_dir: str) -> DataFrame:
+    """Weighted corpus-mixture sampling audit: each document is kept iff
+    its stable hash bucket falls under its source's target keep-percent,
+    and the per-source audit (docs and tokens kept, realized vs target
+    rate) is what a pipeline signs off before training. Membership is a
+    pure function of (doc_id, source spec) — rerunning, resharding, or
+    scaling the cluster cannot change the sampled corpus.
+
+    Scale shape: map-only assignment (no shuffle to decide membership),
+    then one bounded aggregate on source. Token counting rides the same
+    scan — kept tokens cost nothing extra.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    kept = (hash_bucket("doc_id") < mixture_pct("source")).cast("int")
+    return (
+        docs.select(
+            "source",
+            mixture_pct("source").alias("target_pct"),
+            kept.alias("kept"),
+            (kept * T.token_count("text")).alias("kept_toks"),
+        )
+        .groupBy("source", "target_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.sum("kept_toks").alias("n_tokens_kept"),
+        )
+        .select(
+            "source",
+            "target_pct",
+            "n_total",
+            "n_kept",
+            "n_tokens_kept",
+            N.dround(F.col("n_kept") / F.col("n_total") * 100, 4).alias(
+                "realized_pct"
+            ),
+        )
+        .orderBy("source")
+    )

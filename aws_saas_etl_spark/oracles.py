@@ -1546,3 +1546,33 @@ def _bm25_sql() -> str:
 
 
 DOC_BM25_SQL = _bm25_sql()
+
+
+def _mixture_sample_sql() -> str:
+    from aws_saas_etl_spark.operators.sampling import (
+        MIXTURE_DEFAULT_PCT,
+        MIXTURE_WEIGHTS,
+    )
+
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {p}" for s, p in sorted(MIXTURE_WEIGHTS.items())
+    )
+    pct = f"(CASE {whens} ELSE {MIXTURE_DEFAULT_PCT} END)"
+    b = _hash_bucket_sql("doc_id")
+    return f"""
+    WITH t AS (
+        SELECT source,
+               {pct} AS target_pct,
+               CASE WHEN {b} < {pct} THEN 1 ELSE 0 END AS kept,
+               CASE WHEN {b} < {pct} THEN len({toks('text')}) ELSE 0 END AS kept_toks
+        FROM documents WHERE {DOC_DROPNA}
+    )
+    SELECT source, target_pct, count(*) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(kept_toks) AS BIGINT) AS n_tokens_kept,
+           {dround_sql("sum(kept) / CAST(count(*) AS DOUBLE) * 100", 4)} AS realized_pct
+    FROM t GROUP BY source, target_pct ORDER BY source
+"""
+
+
+CORPUS_MIXTURE_SQL = _mixture_sample_sql()

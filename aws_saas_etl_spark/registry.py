@@ -545,3 +545,5 @@ register(
 register("events_scd2_history", events.events_scd2_history, oracles.EVENTS_SCD2_SQL)
 
 register("doc_bm25_search", textops.doc_bm25_search, oracles.DOC_BM25_SQL)
+
+register("corpus_mixture_sample", sampling.corpus_mixture_sample, oracles.CORPUS_MIXTURE_SQL)
