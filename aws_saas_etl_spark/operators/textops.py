@@ -622,3 +622,68 @@ def doc_bm25_search(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 1024  # buckets per row: eps ~ e/width ≈ 0.27% of total mass
+CMS_PROBE_TOP_K = 20
+
+
+def corpus_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's top tokens,
+    with the sketch built AS A RELATION: cells (row_i, bucket, cell_n)
+    are an ordinary aggregate, so the sketch is mergeable by construction
+    (union + re-aggregate = CMS merge), partial-aggregates map-side, and
+    never lives on the driver. Probing is a join, not a collect.
+
+    The estimate for token t is min_i cells[i][h_i(t)] ≥ exact count —
+    the classic CMS overestimate-only guarantee, reported side-by-side
+    with the exact count so the error is self-auditing (pytest asserts
+    the bound; the driver hash-checks the values).
+
+    Scale shape: vocab-sized aggregate (sublinear in corpus), a bounded
+    DEPTH-way explode over the vocab, a DEPTH×WIDTH-row cell table, and
+    a broadcast probe of the top-k tokens. Buckets use the engine-neutral
+    md5 bucket function, so DuckDB reproduces the sketch bit-for-bit.
+    """
+    from aws_saas_etl_spark.operators.sampling import hash_bucket
+
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    counts = (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows_arr = F.array([F.lit(i) for i in range(CMS_DEPTH)])
+    seeded = counts.select(
+        "token", "c", F.explode(rows_arr).alias("row_i")
+    ).withColumn(
+        "bucket",
+        hash_bucket(
+            F.concat_ws(":", F.col("row_i").cast("string"), F.col("token")),
+            CMS_WIDTH,
+        ),
+    )
+    cells = seeded.groupBy("row_i", "bucket").agg(F.sum("c").alias("cell_n"))
+    topk = counts.orderBy(F.desc("c"), F.asc("token")).limit(CMS_PROBE_TOP_K)
+    probes = topk.select(
+        "token", "c", F.explode(rows_arr).alias("row_i")
+    ).withColumn(
+        "bucket",
+        hash_bucket(
+            F.concat_ws(":", F.col("row_i").cast("string"), F.col("token")),
+            CMS_WIDTH,
+        ),
+    )
+    return (
+        probes.join(cells, ["row_i", "bucket"])
+        .groupBy("token", "c")
+        .agg(F.min("cell_n").alias("cms_estimate"))
+        .select(
+            "token",
+            F.col("c").alias("exact_n"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("c")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+    )

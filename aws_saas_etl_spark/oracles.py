@@ -1576,3 +1576,44 @@ def _mixture_sample_sql() -> str:
 
 
 CORPUS_MIXTURE_SQL = _mixture_sample_sql()
+
+
+def _cms_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import (
+        CMS_DEPTH,
+        CMS_PROBE_TOP_K,
+        CMS_WIDTH,
+    )
+
+    b = _hash_bucket_sql("(CAST(row_i AS VARCHAR) || ':' || token)", CMS_WIDTH)
+    rows = ", ".join(str(i) for i in range(CMS_DEPTH))
+    return f"""
+    WITH tok AS (
+        SELECT unnest({toks('text')}) AS token
+        FROM documents WHERE {DOC_DROPNA}
+    ),
+    counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    seeded AS (
+        SELECT token, c, unnest([{rows}]) AS row_i FROM counts
+    ),
+    cells AS (
+        SELECT row_i, {b} AS bucket, CAST(sum(c) AS BIGINT) AS cell_n
+        FROM seeded GROUP BY 1, 2
+    ),
+    topk AS (
+        SELECT token, c FROM counts ORDER BY c DESC, token LIMIT {CMS_PROBE_TOP_K}
+    ),
+    probes AS (
+        SELECT token, c, unnest([{rows}]) AS row_i FROM topk
+    )
+    SELECT p.token, p.c AS exact_n,
+           min(cells.cell_n) AS cms_estimate,
+           min(cells.cell_n) - p.c AS overcount
+    FROM (SELECT token, c, row_i, {b} AS bucket FROM probes) p
+    JOIN cells ON p.row_i = cells.row_i AND p.bucket = cells.bucket
+    GROUP BY p.token, p.c
+    ORDER BY exact_n DESC, p.token
+"""
+
+
+CORPUS_CMS_SQL = _cms_sql()

@@ -547,3 +547,7 @@ register("events_scd2_history", events.events_scd2_history, oracles.EVENTS_SCD2_
 register("doc_bm25_search", textops.doc_bm25_search, oracles.DOC_BM25_SQL)
 
 register("corpus_mixture_sample", sampling.corpus_mixture_sample, oracles.CORPUS_MIXTURE_SQL)
+
+register(
+    "corpus_cms_heavy_hitters", textops.corpus_cms_heavy_hitters, oracles.CORPUS_CMS_SQL
+)
