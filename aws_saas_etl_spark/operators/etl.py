@@ -109,3 +109,90 @@ def doc_sentiment_udf(spark, sf_dir: str) -> DataFrame:
     return with_sentiment(drop_null_rows(docs), "text", use_udf=True).select(
         "doc_id", "sentiment_result"
     )
+
+
+# --------------------------------------------------------------------------
+# Table profiling (ANALYZE-style column statistics)
+# --------------------------------------------------------------------------
+
+# (column, kind, count_distinct?) — the shared spec the Spark profiler and
+# the DuckDB oracle twin are both generated from. kind drives the
+# engine-neutral string rendering of min/max: doubles go through
+# DECIMAL(22,6) (fixed-scale text in both engines; raw double→string
+# formatting is engine-specific), ints/dates/strings cast directly.
+# Exact distinct counts only for the bounded-cardinality columns — the
+# 100 TB path for the rest is approx_count_distinct (demonstrated by
+# approx_distinct_parts), which one Expand-free pass computes for every
+# column at once.
+PROFILE_COLS = (
+    ("l_orderkey", "int", False),
+    ("l_partkey", "int", False),
+    ("l_suppkey", "int", False),
+    ("l_linenumber", "int", True),
+    ("l_quantity", "double", True),
+    ("l_extendedprice", "double", False),
+    ("l_discount", "double", True),
+    ("l_tax", "double", True),
+    ("l_returnflag", "str", True),
+    ("l_linestatus", "str", True),
+    ("l_shipdate", "date", False),
+)
+
+
+def _render(col, kind: str):
+    if kind == "double":
+        return col.cast("decimal(22,6)").cast("string")
+    return col.cast("string")
+
+
+def table_profile(spark, sf_dir: str) -> DataFrame:
+    """Column-level data profile of ``lineitem`` — null counts, min/max,
+    and exact distinct counts for bounded-cardinality columns — the
+    ANALYZE / data-quality pass a pipeline runs before trusting a new
+    drop of data.
+
+    Scale shape: ONE aggregate over one scan produces every statistic
+    (count/min/max partial-aggregate map-side; the multi-column exact
+    COUNT(DISTINCT) family is planned by Spark as a single Expand —
+    rows × n_distinct_cols — which is the standard profiler cost; at
+    100 TB swap those for approx_count_distinct and the pass is
+    Expand-free). The wide 1-row result is exploded driver-trivially
+    into the long (column_name, stats) form.
+    """
+    li = load_tables(spark, sf_dir).lineitem
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind, want_distinct in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(_render(F.min(c), kind).alias(f"mn_{c}"))
+        aggs.append(_render(F.max(c), kind).alias(f"mx_{c}"))
+        if want_distinct:
+            aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    row = li.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                (
+                    F.col(f"nd_{c}")
+                    if want_distinct
+                    else F.lit(None).cast("long")
+                ).alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_value"),
+                F.col(f"mx_{c}").alias("max_value"),
+            )
+            for c, kind, want_distinct in PROFILE_COLS
+        ]
+    )
+    return (
+        row.select("n_rows", F.explode(entries).alias("e"))
+        .select(
+            F.col("e.column_name").alias("column_name"),
+            "n_rows",
+            F.col("e.n_nulls").alias("n_nulls"),
+            F.col("e.n_distinct").alias("n_distinct"),
+            F.col("e.min_value").alias("min_value"),
+            F.col("e.max_value").alias("max_value"),
+        )
+        .orderBy("column_name")
+    )

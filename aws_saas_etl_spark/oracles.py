@@ -1617,3 +1617,36 @@ def _cms_sql() -> str:
 
 
 CORPUS_CMS_SQL = _cms_sql()
+
+
+def _table_profile_sql() -> str:
+    from aws_saas_etl_spark.operators.etl import PROFILE_COLS
+
+    def render(expr: str, kind: str) -> str:
+        if kind == "double":
+            return f"CAST(CAST({expr} AS DECIMAL(22,6)) AS VARCHAR)"
+        return f"CAST({expr} AS VARCHAR)"
+
+    stats = ["count(*) AS n_rows"]
+    arms = []
+    for c, kind, want_distinct in PROFILE_COLS:
+        stats.append(f"count({c}) AS nn_{c}")
+        stats.append(f"{render(f'min({c})', kind)} AS mn_{c}")
+        stats.append(f"{render(f'max({c})', kind)} AS mx_{c}")
+        nd = f"CAST(nd_{c} AS BIGINT)" if want_distinct else "CAST(NULL AS BIGINT)"
+        if want_distinct:
+            stats.append(f"count(DISTINCT {c}) AS nd_{c}")
+        arms.append(
+            f"SELECT '{c}' AS column_name, n_rows, n_rows - nn_{c} AS n_nulls,\n"
+            f"       {nd} AS n_distinct, mn_{c} AS min_value, mx_{c} AS max_value\n"
+            f"FROM s"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+    WITH s AS (SELECT {", ".join(stats)} FROM lineitem)
+    {union}
+    ORDER BY column_name
+"""
+
+
+TABLE_PROFILE_SQL = _table_profile_sql()

@@ -551,3 +551,5 @@ register("corpus_mixture_sample", sampling.corpus_mixture_sample, oracles.CORPUS
 register(
     "corpus_cms_heavy_hitters", textops.corpus_cms_heavy_hitters, oracles.CORPUS_CMS_SQL
 )
+
+register("table_profile", etl.table_profile, oracles.TABLE_PROFILE_SQL)
