@@ -160,3 +160,45 @@ def s3a_conf(
             "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
         )
     return conf
+
+
+# --- Small-file compaction --------------------------------------------------
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # the canonical HDFS/S3 target size
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> int:
+    """Compact a small-file parquet directory into ~target-sized files,
+    returning the output file count. Streaming sinks, per-batch upserts,
+    and over-parallel writes all accrete kilobyte files; at 100 TB the
+    resulting open/seek storm dominates scan time (and S3 LIST cost), so
+    compaction is periodic maintenance, not an optimization.
+
+    The file count derives from the ACTUAL on-disk byte size (Hadoop
+    FileSystem listing — no data pass), and the rewrite is one
+    round-robin repartition: even output sizes, a single narrow-input
+    shuffle, no driver materialization. Row order is not preserved
+    (parquet directories carry no order contract).
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(hconf)
+    total = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    out = jvm.org.apache.hadoop.fs.Path(dst)
+    return sum(
+        1
+        for f in fs.listStatus(out)
+        if f.getPath().getName().endswith(".parquet")
+    )

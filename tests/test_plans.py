@@ -184,3 +184,47 @@ def test_deciles_have_no_global_sort(spark):
     # the bucket assignment itself adds no exchange beyond the 1-row
     # percentile aggregate + final groupBy
     assert PI.count_shuffles(df) <= 4
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark):
+    """Runtime row-level filtering — the 100 TB fact-scan pruner: when a
+    dim side carries a selective filter and the fact side is large, Spark
+    injects bloom_filter_agg on the dim and might_contain on the fact scan,
+    so fact rows that cannot join die at the scan instead of shuffling.
+    Local fixtures sit under the default 10 GB application-side threshold,
+    so the test lowers it to 0 (prod keeps the default: injection arms
+    itself exactly when the scan is big enough to matter)."""
+    from aws_saas_etl_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: broadcast joins don't need the runtime filter
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = load_tables(spark, SF_SMOKE)
+        dim = t.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        fact = t.lineitem.join(
+            dim, F.col("l_orderkey") == F.col("o_orderkey")
+        ).agg(F.sum("l_quantity").alias("sum_qty"))
+        plan = fact._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom filter on creation side"
+        assert "might_contain" in plan, "no runtime filter on application side"
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -256,3 +256,21 @@ def test_orc_roundtrip(spark, workdir):
     back = spark.read.orc(path)
     assert back.count() == 50
     assert sorted(r["v"] for r in back.collect())[:3] == [0, 3, 6]
+
+
+def test_compact_parquet_reduces_file_count(spark, workdir):
+    import os
+
+    from aws_saas_etl_spark.sources import io as sio
+
+    src = os.path.join(workdir, "shards")
+    dst = os.path.join(workdir, "compacted")
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    df.repartition(32).write.mode("overwrite").parquet(src)
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 32
+    n_out = sio.compact_parquet(spark, src, dst, target_file_bytes=10**9)
+    assert n_out == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg({"k": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
