@@ -434,3 +434,52 @@ def duplicate_clusters(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+ER_MAX_EDITS = 2  # fuzzy-match threshold on edit distance
+
+
+def customer_fuzzy_matches(spark, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage over ``customer``: candidate
+    duplicate identities found by blocked fuzzy name matching — blocking
+    key first (only within-block pairs are compared, the standard ER
+    move that turns O(n²) into Σ block²), then exact Levenshtein edit
+    distance on the survivors.
+
+    Blocking here is the name's last two characters (uniform over the
+    fixture's numbered names); real pipelines block on several cheap
+    keys (phonetic code, zip, normalized phone) and union the candidate
+    sets — the plan shape (self-join on the blocking key, inequality on
+    the id to emit each pair once, edit-distance filter) is identical.
+    Block sizes are data-bounded: the shuffle is on the blocking key and
+    AQE splits skewed blocks.
+    """
+    cust = ensure_parallelism(load_tables(spark, sf_dir).customer).select(
+        F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey")
+    )
+    blocked = cust.withColumn("blk", F.substring("c_name", -2, 2))
+    a = blocked.select(
+        F.col("blk"),
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nation_a"),
+    )
+    b = blocked.select(
+        F.col("blk"),
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nation_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("cust_a") < F.col("cust_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= ER_MAX_EDITS)
+        .select(
+            "cust_a",
+            "cust_b",
+            "edit_dist",
+            (F.col("nation_a") == F.col("nation_b")).cast("int").alias("same_nation"),
+        )
+        .orderBy("cust_a", "cust_b")
+    )

@@ -1095,3 +1095,49 @@ def customer_rfm_segments(spark, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+SKEW_TOP_KEYS = 5
+
+
+def join_key_skew_profile(spark, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for lineitem.l_orderkey — the profile a
+    pipeline inspects BEFORE a big fact-fact join to decide between a
+    plain shuffle join, AQE skew splitting, and salting
+    (operators/joins.py): the heaviest keys with their share of the
+    table, alongside corpus-wide per-key distribution stats.
+
+    Two bounded aggregates: per-key counts (map-side partial combine —
+    the shuffle carries one row per key, not per record), then a 1-row
+    stats aggregate broadcast onto the top-k keys. The exact percentile
+    over per-key counts is the sf-test twin; at 100 TB swap in
+    approx_percentile and the shape is unchanged.
+    """
+    t = load_tables(spark, sf_dir)
+    per_key = t.lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("key_n")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_n").alias("n_rows"),
+        F.max("key_n").alias("max_key_n"),
+        dround(F.percentile("key_n", F.lit(0.5)), 4).alias("p50_key_n"),
+        dround(F.percentile("key_n", F.lit(0.99)), 4).alias("p99_key_n"),
+    )
+    topk = per_key.orderBy(F.desc("key_n"), F.asc("l_orderkey")).limit(
+        SKEW_TOP_KEYS
+    )
+    skew = F.col("max_key_n") * F.col("n_keys") / F.col("n_rows")
+    return (
+        topk.crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "key_n",
+            dround(F.col("key_n") * 100.0 / F.col("n_rows"), 6).alias("pct_of_rows"),
+            "n_keys",
+            "p50_key_n",
+            "p99_key_n",
+            dround(skew, 4).alias("skew_factor"),
+        )
+        .orderBy(F.desc("key_n"), F.asc("l_orderkey"))
+    )

@@ -1650,3 +1650,54 @@ def _table_profile_sql() -> str:
 
 
 TABLE_PROFILE_SQL = _table_profile_sql()
+
+
+def _fuzzy_match_sql() -> str:
+    from aws_saas_etl_spark.operators.dedup import ER_MAX_EDITS
+
+    return f"""
+    WITH c AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               substr(c_name, length(c_name) - 1, 2) AS blk
+        FROM customer
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist,
+           CAST(a.c_nationkey = b.c_nationkey AS INT) AS same_nation
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {ER_MAX_EDITS}
+    ORDER BY cust_a, cust_b
+"""
+
+
+CUSTOMER_FUZZY_SQL = _fuzzy_match_sql()
+
+
+def _skew_profile_sql() -> str:
+    from aws_saas_etl_spark.operators.relational import SKEW_TOP_KEYS
+
+    return f"""
+    WITH per_key AS (
+        SELECT l_orderkey, count(*) AS key_n FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+        SELECT count(*) AS n_keys, CAST(sum(key_n) AS BIGINT) AS n_rows,
+               max(key_n) AS max_key_n,
+               {dround_sql("quantile_cont(key_n, 0.5)", 4)} AS p50_key_n,
+               {dround_sql("quantile_cont(key_n, 0.99)", 4)} AS p99_key_n
+        FROM per_key
+    ),
+    topk AS (
+        SELECT l_orderkey, key_n FROM per_key
+        ORDER BY key_n DESC, l_orderkey LIMIT {SKEW_TOP_KEYS}
+    )
+    SELECT l_orderkey, key_n,
+           {dround_sql("key_n * 100.0 / n_rows", 6)} AS pct_of_rows,
+           n_keys, p50_key_n, p99_key_n,
+           {dround_sql("CAST(max_key_n AS DOUBLE) * n_keys / n_rows", 4)} AS skew_factor
+    FROM topk CROSS JOIN stats
+    ORDER BY key_n DESC, l_orderkey
+"""
+
+
+JOIN_KEY_SKEW_SQL = _skew_profile_sql()
