@@ -395,3 +395,41 @@ def embedding_centroid_assign(spark, sf_dir: str, k: int = K_CENTROIDS) -> DataF
         )
         .orderBy("centroid_id")
     )
+
+
+def embedding_int8_quantization(spark, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization of the embedding corpus
+    with a per-vector reconstruction-error audit — the 4× storage/IO
+    compression a 100 TB vector corpus takes before ANN serving, kept
+    honest by reporting the error it introduces.
+
+    scale_d = max|v_d| over the corpus (one dim-keyed aggregate, ≤ dim
+    rows — broadcast back); q = round(v/scale·127) via the decimal
+    half-up path (a raw double round() is the engine-divergence class
+    num.py exists to avoid); the audit is Σ(v - q·scale/127)² per
+    vector, accumulated in DECIMAL(30,12) so the sum is order-
+    independent at any parallelism. Two shuffles (dim agg, vec agg),
+    both on uniform keys.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    scales = dims.groupBy("dim").agg(F.max(F.abs(F.col("v"))).alias("scale"))
+    q = F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+        F.round((F.col("v") / F.col("scale") * 127.0).cast("decimal(22,6)"), 0)
+        .cast("int")
+    )
+    joined = dims.join(scales, "dim").withColumn("q", q)
+    err = F.col("v") - F.col("q").cast("double") * F.col("scale") / 127.0
+    return (
+        joined.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.max(F.abs(F.col("q"))).alias("max_abs_q"),
+            F.round(F.sum((err * err).cast("decimal(30,12)")), 9)
+            .cast("double")
+            .alias("sum_sq_err"),
+        )
+        .orderBy("vec_id")
+    )

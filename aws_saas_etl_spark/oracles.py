@@ -1701,3 +1701,26 @@ def _skew_profile_sql() -> str:
 
 
 JOIN_KEY_SKEW_SQL = _skew_profile_sql()
+
+
+EMBEDDING_INT8_SQL = """
+    WITH dims AS (
+        SELECT vec_id,
+               unnest(range(len(embedding))) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    scales AS (SELECT dim, max(abs(v)) AS scale FROM dims GROUP BY dim),
+    j AS (
+        SELECT vec_id, v, scale,
+               CASE WHEN scale = 0.0 THEN 0
+                    ELSE CAST(round(CAST(v / scale * 127.0 AS DECIMAL(22,6)), 0) AS INT)
+               END AS q
+        FROM dims JOIN scales USING (dim)
+    )
+    SELECT vec_id, count(*) AS n_dims, max(abs(q)) AS max_abs_q,
+           CAST(round(sum(CAST((v - CAST(q AS DOUBLE) * scale / 127.0)
+                               * (v - CAST(q AS DOUBLE) * scale / 127.0)
+                               AS DECIMAL(30,12))), 9) AS DOUBLE) AS sum_sq_err
+    FROM j GROUP BY vec_id ORDER BY vec_id
+"""

@@ -557,3 +557,9 @@ register("table_profile", etl.table_profile, oracles.TABLE_PROFILE_SQL)
 register("customer_fuzzy_matches", dedup.customer_fuzzy_matches, oracles.CUSTOMER_FUZZY_SQL)
 
 register("join_key_skew_profile", relational.join_key_skew_profile, oracles.JOIN_KEY_SKEW_SQL)
+
+register(
+    "embedding_int8_quantization",
+    similarity.embedding_int8_quantization,
+    oracles.EMBEDDING_INT8_SQL,
+)
