@@ -144,3 +144,88 @@ class JobStore:
         broadcast semi-join against the incoming batch, never a collect."""
         if self.events().where(F.col("job_id") == job_id).limit(1).count() > 0:
             raise ValueError(f"job_id {job_id} already exists")
+
+
+# --- MERGE INTO (set-based upsert) -----------------------------------------
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    action_col: str | None = "merge_action",
+) -> DataFrame:
+    """MERGE INTO semantics as one set-based join — the batch generalization
+    of the reference's row-at-a-time UPDATE loop (reference app.py:156-179
+    mutates one jobs row per request; a warehouse merges the whole changeset
+    in one pass):
+
+      WHEN MATCHED THEN UPDATE SET * (source wins)
+      WHEN NOT MATCHED THEN INSERT *   (new source keys appear)
+      (target rows without a source match pass through unchanged)
+
+    Shape: a single full-outer shuffle join on ``key``; every non-key column
+    resolves as coalesce(source, target). No window, no collect, no
+    broadcast assumption — at 100 TB both sides hash-partition on the merge
+    key and AQE splits skewed keys; this is exactly the join Delta/Iceberg
+    MERGE plans under the hood. Requires identical schemas (the SQL MERGE
+    precondition); raises otherwise rather than silently dropping columns.
+    """
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"merge_upsert: schema mismatch {sorted(target.columns)} vs "
+            f"{sorted(source.columns)}"
+        )
+    t = target.alias("t")
+    s = source.alias("s")
+    merged = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    cols = [
+        F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c) for c in target.columns
+    ]
+    if action_col:
+        cols.append(
+            F.when(F.col(f"t.{key}").isNull(), F.lit("inserted"))
+            .when(F.col(f"s.{key}").isNull(), F.lit("kept"))
+            .otherwise(F.lit("updated"))
+            .alias(action_col)
+        )
+    return merged.select(*cols)
+
+
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: MERGE a deterministic changeset into ``orders``.
+
+    The changeset is derived from the table itself so the oracle can
+    rebuild it exactly: every 97th key becomes an UPDATE (status → 'F',
+    price × 1.05) and every (97k+1)th key spawns an INSERT under a fresh
+    negative key (guaranteed absent from the fixture). The merged relation
+    carries a ``merge_action`` audit column — the row-level answer to
+    "what did this MERGE do", which is what a pipeline asserts on before
+    swapping the table pointer.
+    """
+    from aws_saas_etl_spark.catalog import load_tables
+    from aws_saas_etl_spark.functions.num import dround
+
+    orders = load_tables(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("F").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(1.05)).alias("o_totalprice"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 97 == 1).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merged = merge_upsert(orders, updates.unionByName(inserts), "o_orderkey")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        dround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "merge_action",
+    )

@@ -240,3 +240,61 @@ def multimodal_phash_buckets(spark, sf_dir: str) -> DataFrame:
             for band in range(DHASH_BANDS)
         ],
     ).orderBy("doc_id")
+
+
+# --- Video frame sampling ---------------------------------------------------
+
+N_FRAMES = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("frame_no", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("frame_md5", StringType(), True),
+    ]
+)
+
+
+def _frame_batches(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """mapInPandas kernel: strided frame extraction + per-frame digest.
+
+    One interpreted pass per payload producing all N_FRAMES rows; the
+    per-frame md5 is a C call. Explodes batch rows 1→N_FRAMES, which Arrow
+    handles as a plain longer batch — no Spark-side explode needed."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, b in zip(pdf["doc_id"].to_numpy(), pdf["payload"].to_numpy()):
+            for fno, fb in enumerate(frame_sample(bytes(b), N_FRAMES)):
+                rows.append((doc_id, fno, len(fb), hashlib.md5(fb).hexdigest()))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "n_bytes", "frame_md5"])
+
+
+def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
+    """Registry query: deterministic 'video' frame sampling over binary
+    payloads (SURVEY §2b multimodal: the frame-sample verb).
+
+    The payload stands in for an encoded clip; ``frame_sample`` takes
+    N_FRAMES fixed-stride slices (the access pattern of a real keyframe
+    sampler — strided range reads of one blob) and the kernel emits one
+    row per frame with its byte length and md5. Because the fixture
+    payload is the utf-8 text, the whole operator is oracle-checkable:
+    DuckDB reproduces the slice arithmetic with substring + md5 — the
+    Arrow plumbing (binary columns in, 1→N row explosion inside the
+    kernel, typed schema out) is exactly what a codec-backed sampler
+    uses, with only the decode call swapped.
+
+    Scale shape: map-only Arrow pass, no shuffle; output is 4 narrow rows
+    per payload (digests, not bytes), so the stage SHRINKS data ~stride×.
+    """
+    docs = (
+        ensure_parallelism(load_tables(spark, sf_dir).documents)
+        .na.drop(subset=["doc_id", "text"])
+        .where(F.length("text") > 0)
+    )
+    media = attach_payload(docs)
+    return media.select("doc_id", "payload").mapInPandas(
+        _frame_batches, schema=FRAME_SCHEMA
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
-from aws_saas_etl_spark.functions.num import davg_rounded
+from aws_saas_etl_spark.functions.num import davg_rounded, dround
 
 N_QUERY_VECS = 10  # queries = vec_id < 10 (deterministic demo query set)
 TOP_K = 5
@@ -433,3 +433,47 @@ def embedding_int8_quantization(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- Random-projection dimensionality reduction ----------------------------
+
+RP_OUT_DIMS = 8  # projected width: 64 → 8 (JL-style sketch for ANN prefilter)
+
+
+def rp_sign(i: int, j: int) -> int:
+    """Deterministic Achlioptas sparse-projection weight in {-1, 0, +1}
+    for (input dim i, output dim j): density 1/3, derived from a fixed
+    integer formula so the DuckDB oracle regenerates the identical matrix
+    (no RNG state to ship)."""
+    m = (i * 37 + j * 101) % 6
+    return 1 if m == 0 else (-1 if m == 1 else 0)
+
+
+def embedding_random_projection(spark, sf_dir: str) -> DataFrame:
+    """Sparse random projection (Achlioptas / Johnson-Lindenstrauss) of the
+    64-dim embedding corpus down to ``RP_OUT_DIMS`` — the standard cheap
+    sketch a 100 TB vector pipeline computes before LSH/IVF so candidate
+    generation touches 8 doubles per row instead of 64 floats.
+
+    Each output dim is an explicit ±1-weighted sum over ~1/3 of the input
+    dims, folded left in ascending input-dim order — plain double adds of
+    per-element casts, so the value is bit-identical in any engine that
+    evaluates the same expression tree (the DuckDB oracle generates the
+    same chain from ``rp_sign``). Map-only: no shuffle, no UDF, whole-stage
+    codegen over array element_at; output is 8 doubles per vector (the 8×
+    width reduction IS the operator's point at scale).
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    cols = [F.col("vec_id")]
+    for j in range(RP_OUT_DIMS):
+        acc = None
+        for i in range(EMBED_DIM):
+            s = rp_sign(i, j)
+            if s == 0:
+                continue
+            term = F.col("embedding").getItem(i).cast("double")
+            if s < 0:
+                term = -term
+            acc = term if acc is None else acc + term
+        cols.append(dround(acc, 6).alias(f"p{j}"))
+    return emb.select(*cols)

@@ -1724,3 +1724,106 @@ EMBEDDING_INT8_SQL = """
                                AS DECIMAL(30,12))), 9) AS DOUBLE) AS sum_sq_err
     FROM j GROUP BY vec_id ORDER BY vec_id
 """
+
+
+# --- MERGE INTO upsert (W2 batch generalization) ---------------------------
+
+ORDERS_MERGE_SQL = f"""
+    WITH tgt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    src AS (
+        SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+               o_totalprice * CAST(1.05 AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT -o_orderkey, o_custkey, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 1
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey)       AS o_orderkey,
+           coalesce(s.o_custkey, t.o_custkey)         AS o_custkey,
+           coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           {dround_sql("coalesce(s.o_totalprice, t.o_totalprice)")} AS o_totalprice,
+           CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+                WHEN s.o_orderkey IS NULL THEN 'kept'
+                ELSE 'updated' END                    AS merge_action
+    FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+"""
+
+
+# --- Random-projection dim reduction (fold-order-exact twin) ----------------
+
+
+def _rp_sql() -> str:
+    from aws_saas_etl_spark.operators.similarity import (
+        EMBED_DIM,
+        RP_OUT_DIMS,
+        rp_sign,
+    )
+
+    outs = []
+    for j in range(RP_OUT_DIMS):
+        terms = []
+        for i in range(EMBED_DIM):
+            s = rp_sign(i, j)
+            if s == 0:
+                continue
+            t = f"CAST(embedding[{i + 1}] AS DOUBLE)"
+            terms.append(f"(-{t})" if s < 0 else t)
+        outs.append(f"{dround_sql(' + '.join(terms), 6)} AS p{j}")
+    return "SELECT vec_id, " + ",\n           ".join(outs) + " FROM embeddings"
+
+
+EMBEDDING_RP_SQL = _rp_sql()
+
+
+# --- Z-order (Morton) clustering key ----------------------------------------
+
+
+def _zorder_sql() -> str:
+    from aws_saas_etl_spark.operators.layout import Z_BITS, Z_GRID, z_value_sql
+
+    zx = f"o_custkey % {Z_GRID}"
+    zy = f"date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % {Z_GRID}"
+    z = z_value_sql("zx", "zy")
+    return f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST({zx} AS BIGINT) AS zx,
+               CAST({zy} AS BIGINT) AS zy
+        FROM orders
+    )
+    SELECT o_orderkey, zx, zy, {z} AS zval,
+           (({z}) >> {2 * Z_BITS - 8}) AS tile_id
+    FROM base
+    """
+
+
+ORDERS_ZORDER_SQL = _zorder_sql()
+
+
+# --- Frame sampling (strided slice + digest twin) ----------------------------
+
+
+def _frame_sample_sql() -> str:
+    from aws_saas_etl_spark.operators.multimodal import N_FRAMES
+
+    sl = "substring(text, CAST(frame_no * stride + 1 AS INT), CAST(stride AS INT))"
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text, greatest(length(text) // {N_FRAMES}, 1) AS stride
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+    ),
+    f AS (
+        SELECT doc_id, stride, text, unnest(range({N_FRAMES})) AS frame_no FROM d
+    )
+    SELECT doc_id,
+           CAST(frame_no AS INT)      AS frame_no,
+           CAST(length({sl}) AS BIGINT) AS n_bytes,
+           md5({sl})                  AS frame_md5
+    FROM f
+    """
+
+
+MULTIMODAL_FRAME_SQL = _frame_sample_sql()

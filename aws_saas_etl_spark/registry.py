@@ -563,3 +563,26 @@ register(
     similarity.embedding_int8_quantization,
     oracles.EMBEDDING_INT8_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# Round 2: table maintenance (MERGE, Z-order layout), JL projection,
+# video frame sampling
+# --------------------------------------------------------------------------
+
+from aws_saas_etl_spark.operators import jobs, layout  # noqa: E402
+
+register("orders_merge_upsert", jobs.orders_merge_upsert, oracles.ORDERS_MERGE_SQL)
+register("orders_zorder_index", layout.orders_zorder_index, oracles.ORDERS_ZORDER_SQL)
+register(
+    "embedding_random_projection",
+    similarity.embedding_random_projection,
+    oracles.EMBEDDING_RP_SQL,
+)
+# frame_md5 parity note: fixture text is pure ASCII at every SF (asserted in
+# tests), so DuckDB's char-substring md5 equals the kernel's byte-slice md5.
+register(
+    "multimodal_frame_sample",
+    multimodal.multimodal_frame_sample,
+    oracles.MULTIMODAL_FRAME_SQL,
+)

@@ -73,3 +73,45 @@ def test_phash_band_pigeonhole(spark):
         assert assembled == h % (1 << 64)  # two's-complement reassembly
         checked += 1
     assert checked > 0
+
+
+def test_frame_sample_query_shape_and_digest(spark):
+    """Kernel emits N_FRAMES rows per payload; md5 matches hashlib over
+    the same byte slice."""
+    import hashlib
+
+    from aws_saas_etl_spark.operators.multimodal import (
+        N_FRAMES,
+        multimodal_frame_sample,
+    )
+
+    out = multimodal_frame_sample(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = {r.doc_id: r.text for r in docs.collect() if r.text}
+    n_expected = sum(1 for t in texts.values() if len(t) > 0) * N_FRAMES
+    assert len(rows) == n_expected
+    by_key = {(r.doc_id, r.frame_no): r for r in rows}
+    some = sorted(texts)[:5]
+    for doc_id in some:
+        b = texts[doc_id].encode()
+        stride = max(len(b) // N_FRAMES, 1)
+        for fno in range(N_FRAMES):
+            fb = b[fno * stride : (fno + 1) * stride]
+            r = by_key[(doc_id, fno)]
+            assert r.n_bytes == len(fb)
+            assert r.frame_md5 == hashlib.md5(fb).hexdigest()
+
+
+def test_documents_fixture_is_ascii(spark):
+    """The frame-sample oracle equates DuckDB char-substring md5 with the
+    kernel's byte-slice md5 — valid only while the fixture text is pure
+    ASCII. Pin that invariant so a fixture change fails loudly here, not
+    as a silent oracle mismatch."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_bad = docs.where(
+        F.length("text") != F.octet_length(F.col("text").cast("binary"))
+    ).count()
+    assert n_bad == 0

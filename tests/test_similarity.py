@@ -91,3 +91,43 @@ def test_ivf_cells_cover_corpus(spark):
     assert assigned.count() == n
     assert assigned.select("vec_id").distinct().count() == n
     assert cells.count() == ivf_cells_for(n)
+
+
+def test_random_projection_unit_vectors(spark):
+    """Projecting e_i must yield exactly rp_sign(i, j) in output dim j —
+    pins both the weight formula and the element order."""
+    from aws_saas_etl_spark.operators import similarity as S
+
+    dim = S.EMBED_DIM
+    rows = [(i, [1.0 if d == i else 0.0 for d in range(dim)]) for d, i in [(0, 0), (0, 17), (0, 63)]]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    df.createOrReplaceTempView("__rp_unit")
+    from pyspark.sql import functions as F
+
+    cols = [F.col("vec_id")]
+    for j in range(S.RP_OUT_DIMS):
+        acc = None
+        for i in range(dim):
+            s = S.rp_sign(i, j)
+            if s == 0:
+                continue
+            t = F.col("embedding").getItem(i).cast("double")
+            t = -t if s < 0 else t
+            acc = t if acc is None else acc + t
+        cols.append(acc.alias(f"p{j}"))
+    got = {r.vec_id: r for r in df.select(*cols).collect()}
+    for vec_id in (0, 17, 63):
+        for j in range(S.RP_OUT_DIMS):
+            assert got[vec_id][f"p{j}"] == float(S.rp_sign(vec_id, j)), (vec_id, j)
+
+
+def test_random_projection_density(spark):
+    """Achlioptas density: ~1/3 of weights nonzero, both signs present."""
+    from aws_saas_etl_spark.operators import similarity as S
+
+    weights = [
+        S.rp_sign(i, j) for i in range(S.EMBED_DIM) for j in range(S.RP_OUT_DIMS)
+    ]
+    nonzero = sum(1 for w in weights if w != 0)
+    assert 0.2 < nonzero / len(weights) < 0.45
+    assert any(w > 0 for w in weights) and any(w < 0 for w in weights)
