@@ -383,24 +383,26 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        # neighbor labels: node a hears the component of each neighbor b
+        # neighbor labels: node a hears the component of each neighbor b.
+        # Each node's OLD label rides along through the same aggregate
+        # (min over exactly one non-null value), so the fixpoint probe is
+        # a filter over the just-checkpointed result — no extra join.
         msgs = sym.join(
             labels.select(F.col("node").alias("b"), "comp"), "b"
-        ).select(F.col("a").alias("node"), "comp")
+        ).select(
+            F.col("a").alias("node"),
+            "comp",
+            F.lit(None).cast("long").alias("old"),
+        )
+        own = labels.select("node", "comp", F.col("comp").alias("old"))
         new_labels = (
-            msgs.union(labels)
+            msgs.unionByName(own)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.min("old").alias("old_comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("comp").alias("old_comp")), "node"
-            )
-            .where(F.col("comp") != F.col("old_comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("comp") != F.col("old_comp")).count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
     return labels

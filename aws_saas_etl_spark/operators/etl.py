@@ -151,13 +151,19 @@ def table_profile(spark, sf_dir: str) -> DataFrame:
     ANALYZE / data-quality pass a pipeline runs before trusting a new
     drop of data.
 
-    Scale shape: ONE aggregate over one scan produces every statistic
-    (count/min/max partial-aggregate map-side; the multi-column exact
-    COUNT(DISTINCT) family is planned by Spark as a single Expand —
-    rows × n_distinct_cols — which is the standard profiler cost; at
-    100 TB swap those for approx_count_distinct and the pass is
-    Expand-free). The wide 1-row result is exploded driver-trivially
-    into the long (column_name, stats) form.
+    Scale shape: the null/min/max family comes from ONE aggregate over one
+    scan (all partial-aggregate map-side). The exact COUNT(DISTINCT)s are
+    deliberately NOT folded into that aggregate: Spark plans a
+    multi-distinct aggregate as an Expand — rows × n_distinct_cols — which
+    at 100 TB turns one pass over the table into seven. Instead each
+    distinct column runs as its own two-phase aggregate (map-side partial
+    dedup → shuffle of the distinct values only, a few thousand rows for
+    these bounded-cardinality columns) over a single-column pruned scan,
+    and the 1-row results broadcast-cross-join back onto the stats row —
+    same answer, no Expand, and the per-column scans read ~1/16th of the
+    table each (verified Expand-free by tests/test_plans.py). The wide
+    1-row result is exploded driver-trivially into the long
+    (column_name, stats) form.
     """
     li = load_tables(spark, sf_dir).lineitem
     aggs = [F.count(F.lit(1)).alias("n_rows")]
@@ -165,9 +171,11 @@ def table_profile(spark, sf_dir: str) -> DataFrame:
         aggs.append(F.count(c).alias(f"nn_{c}"))
         aggs.append(_render(F.min(c), kind).alias(f"mn_{c}"))
         aggs.append(_render(F.max(c), kind).alias(f"mx_{c}"))
-        if want_distinct:
-            aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
     row = li.agg(*aggs)
+    for c, _kind, want_distinct in PROFILE_COLS:
+        if want_distinct:
+            nd = li.agg(F.countDistinct(c).alias(f"nd_{c}"))
+            row = row.crossJoin(F.broadcast(nd))
     entries = F.array(
         *[
             F.struct(

@@ -228,3 +228,16 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_table_profile_has_no_expand(spark):
+    """Multi-column exact distinct must NOT plan as one Expand (rows ×
+    n_distinct_cols — a 7× table blowup at 100 TB): each distinct column
+    runs its own two-phase partial-dedup aggregate over a pruned
+    single-column scan, broadcast back onto the stats row."""
+    from aws_saas_etl_spark.operators.etl import table_profile
+
+    df = table_profile(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, "profiler re-introduced the multi-distinct Expand"
+    assert plan.count("BroadcastNestedLoopJoin") >= 1  # 1-row stat joins
