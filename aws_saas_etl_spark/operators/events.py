@@ -437,3 +437,51 @@ def events_scd2_history(spark, sf_dir: str) -> DataFrame:
             dround(F.col("value"), 2).alias("value"),
         )
     )
+
+
+def events_pointintime_join(spark, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the feature-store primitive: each
+    purchase is joined to the click-stream VERSION in force at its
+    timestamp, i.e. the SCD2 validity interval [valid_from, valid_to)
+    that contains it (open-ended for each user's latest version).
+
+    Different physical shape from the as-of window (`events_asof_last_click`
+    computes last-non-null within one sorted stream): here the versions are
+    a separate relation, joined on user_id with the interval test as a
+    residual range predicate — the form a feature store uses when features
+    and observations live in different tables. At 100 TB this is one
+    sort-merge join on user_id (high-cardinality, evenly spread); interval
+    disjointness per user bounds matches to ≤1, so no row blowup. Purchases
+    before a user's first click survive as unattributed (left join).
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("version_no", F.row_number().over(w))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            "version_no",
+            F.col("value").alias("v_value"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (purchases.user_id == versions.v_user_id)
+        & (purchases.p_ts >= versions.valid_from)
+        & (versions.valid_to.isNull() | (purchases.p_ts < versions.valid_to))
+    )
+    return purchases.join(versions, cond, "left").select(
+        "user_id",
+        "purchase_id",
+        F.date_format("p_ts", TS_FMT).alias("purchase_ts"),
+        "version_no",
+        dround(F.col("v_value"), 2).alias("value_in_force"),
+        F.col("version_no").isNull().cast("int").alias("is_unattributed"),
+    )

@@ -1827,3 +1827,30 @@ def _frame_sample_sql() -> str:
 
 
 MULTIMODAL_FRAME_SQL = _frame_sample_sql()
+
+
+# --- Point-in-time (temporal interval) join ---------------------------------
+
+EVENTS_PIT_SQL = f"""
+    WITH clicks AS (
+        SELECT user_id, ts AS valid_from, value,
+               row_number() OVER w AS version_no,
+               lead(ts) OVER w AS valid_to
+        FROM events
+        WHERE event_type = 'click' AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    p AS (
+        SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    )
+    SELECT p.user_id, p.purchase_id,
+           strftime(p.p_ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           c.version_no,
+           {dround_sql("c.value")} AS value_in_force,
+           CASE WHEN c.version_no IS NULL THEN 1 ELSE 0 END AS is_unattributed
+    FROM p LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND p.p_ts >= c.valid_from
+     AND (c.valid_to IS NULL OR p.p_ts < c.valid_to)
+"""

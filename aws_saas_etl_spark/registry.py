@@ -586,3 +586,7 @@ register(
     multimodal.multimodal_frame_sample,
     oracles.MULTIMODAL_FRAME_SQL,
 )
+
+register(
+    "events_pointintime_join", events.events_pointintime_join, oracles.EVENTS_PIT_SQL
+)

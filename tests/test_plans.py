@@ -241,3 +241,21 @@ def test_table_profile_has_no_expand(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan, "profiler re-introduced the multi-distinct Expand"
     assert plan.count("BroadcastNestedLoopJoin") >= 1  # 1-row stat joins
+
+
+def test_pointintime_join_is_equi_keyed(spark):
+    """The PIT interval join must extract user_id as the join key (hash or
+    sort-merge with the interval test as residual) — never a
+    BroadcastNestedLoopJoin/cartesian over the range predicate, which is
+    the quadratic trap for interval joins at scale."""
+    from aws_saas_etl_spark.operators.events import events_pointintime_join
+
+    plan = (
+        events_pointintime_join(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
