@@ -485,3 +485,48 @@ def events_pointintime_join(spark, sf_dir: str) -> DataFrame:
         dround(F.col("v_value"), 2).alias("value_in_force"),
         F.col("version_no").isNull().cast("int").alias("is_unattributed"),
     )
+
+
+def events_incremental_hourly_merge(spark, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the hourly rollup is
+    built as BASE partials (history) merged with DELTA partials (the last
+    24h of the stream), then re-aggregated — the nightly-increment pattern
+    that avoids rescanning history at 100 TB: yesterday's stored partial
+    states + today's batch, one small merge.
+
+    Correct merging demands algebraic (mergeable) state: COUNT merges by
+    +, and the value sum accumulates in DECIMAL so the merge is exact and
+    order-independent (a double sum would drift between the merged and
+    recomputed paths). The oracle is the straight one-pass rollup over all
+    events — the check proves merge(partials) == recompute(whole), which
+    is the invariant incremental ETL lives on.
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts"])
+    bounds = ev.agg(F.date_trunc("hour", F.max("ts")).alias("hmax"))
+    tagged = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+            (
+                F.date_trunc("hour", "ts")
+                >= F.col("hmax") - F.expr("INTERVAL 24 HOURS")
+            ).alias("is_delta"),
+        )
+    )
+    partials = tagged.groupBy("hour", "is_delta").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(22,6)")).alias("ps"),
+    )
+    base = partials.where(~F.col("is_delta"))
+    delta = partials.where(F.col("is_delta"))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("hour")
+        .agg(F.sum("pn").alias("n_events"), F.sum("ps").alias("s"))
+    )
+    return merged.select(
+        F.date_format("hour", TS_FMT).alias("hour"),
+        "n_events",
+        F.col("s").cast("decimal(38,2)").cast("double").alias("total_value"),
+    )

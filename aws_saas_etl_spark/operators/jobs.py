@@ -119,12 +119,19 @@ class JobStore:
         )
         row.write.mode("append").parquet(self.path)
 
-    def current(self) -> DataFrame:
-        """Latest-wins view: the newest event per job_id (W2 read side)."""
+    def current(self, as_of_seq: int | None = None) -> DataFrame:
+        """Latest-wins view: the newest event per job_id (W2 read side).
+
+        ``as_of_seq`` is time travel over the append-only log — the state
+        of every job as of that ordering key, for free, because appends
+        never destroy history (the same trick Delta/Iceberg snapshots
+        play with their commit log)."""
+        ev = self.events()
+        if as_of_seq is not None:
+            ev = ev.where(F.col("seq") <= as_of_seq)
         w = Window.partitionBy("job_id").orderBy(F.desc("seq"), F.desc("writer"))
         return (
-            self.events()
-            .withColumn("rn", F.row_number().over(w))
+            ev.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .drop("rn")
         )

@@ -1854,3 +1854,15 @@ EVENTS_PIT_SQL = f"""
      AND p.p_ts >= c.valid_from
      AND (c.valid_to IS NULL OR p.p_ts < c.valid_to)
 """
+
+
+# --- Incremental MV maintenance: merge(partials) == recompute(whole) --------
+
+EVENTS_INCR_MERGE_SQL = f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS hour,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1
+"""

@@ -590,3 +590,9 @@ register(
 register(
     "events_pointintime_join", events.events_pointintime_join, oracles.EVENTS_PIT_SQL
 )
+
+register(
+    "events_incremental_hourly_merge",
+    events.events_incremental_hourly_merge,
+    oracles.EVENTS_INCR_MERGE_SQL,
+)

@@ -274,3 +274,21 @@ def test_compact_parquet_reduces_file_count(spark, workdir):
     back = spark.read.parquet(dst)
     assert back.count() == 10_000
     assert back.agg({"k": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_jobstore_time_travel(spark, tmp_path):
+    """as_of_seq replays the append-only log to any historical state —
+    the snapshot/time-travel read the latest-wins view gets for free."""
+    from aws_saas_etl_spark.operators.jobs import JobStore
+
+    store = JobStore(spark, str(tmp_path / "jobs_tt"))
+    store.append(7, "a.csv", "Pending", user_id=1)
+    seq_after_pending = store.events().agg({"seq": "max"}).collect()[0][0]
+    store.append(7, "a.csv", "Processing", user_id=1)
+    store.append(7, "a.csv", "Completed", user_id=1, result_url="s3://out/a")
+
+    assert store.current().collect()[0].status == "Completed"
+    past = store.current(as_of_seq=seq_after_pending).collect()
+    assert len(past) == 1 and past[0].status == "Pending"
+    # as-of before any append: empty state, not an error
+    assert store.current(as_of_seq=seq_after_pending - 10**6).count() == 0
