@@ -292,3 +292,38 @@ def test_jobstore_time_travel(spark, tmp_path):
     assert len(past) == 1 and past[0].status == "Pending"
     # as-of before any append: empty state, not an error
     assert store.current(as_of_seq=seq_after_pending - 10**6).count() == 0
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    """Dynamic partition overwrite replaces ONLY the partitions present in
+    the incoming frame — the incremental-reload path; static overwrite
+    would truncate the whole table."""
+    from aws_saas_etl_spark.sources.io import write_partitioned
+
+    path = str(tmp_path / "pt")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)], "day STRING, v INT"
+    )
+    write_partitioned(full, path, ["day"])
+    # reprocess day 1 only: day 2 must survive untouched
+    redo = spark.createDataFrame([("2024-01-01", 99)], "day STRING, v INT")
+    write_partitioned(redo, path, ["day"])
+    # partition-directory values are type-inferred on read (day= → DATE),
+    # so compare through str
+    got = {(str(r.day), r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 99), ("2024-01-02", 3)}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema reconciles files written before and after a column was
+    added — the read-side half of schema evolution (old rows surface the
+    new column as null)."""
+    path = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id INT, name STRING").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id INT, name STRING, score DOUBLE"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
