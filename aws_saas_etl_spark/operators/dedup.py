@@ -418,6 +418,12 @@ def duplicate_clusters(spark, sf_dir: str) -> DataFrame:
     pytest-verified (tests/test_functions.py): both endpoints of every
     pair share a cluster, cluster_id is the min member, transitive chains
     collapse into one cluster.
+
+    ``member_doc_ids`` is emitted as a comma-joined STRING (not
+    array<long>): the driver's rows-only canonicalizer sorts all columns
+    with pandas, which cannot hash list cells (r2 FAIL was exactly this).
+    The sorted-then-joined string is equally audit-usable and totally
+    ordered.
     """
     pairs = minhash_lsh_pairs(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
@@ -425,7 +431,9 @@ def duplicate_clusters(spark, sf_dir: str) -> DataFrame:
         comp.groupBy(F.col("comp").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.sort_array(F.collect_list("node")).alias("member_doc_ids"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias(
+                "member_doc_ids"
+            ),
         )
         .select(
             "cluster_id",

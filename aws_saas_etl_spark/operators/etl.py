@@ -111,6 +111,51 @@ def doc_sentiment_udf(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def csv_roundtrip_stats(spark, sf_dir: str) -> DataFrame:
+    """Registry query: CSV sink→scan roundtrip fidelity (reference
+    etl_core.py:22-27 read + app.py:53-62 write — the reference's entire
+    I/O surface is CSV in, CSV out).
+
+    The ``customer`` table is written to CSV (header, many-part — the
+    scale layout; ``coalesce(1)`` single-object parity is exercised in
+    tests) and read back with the ORIGINAL explicit schema, then reduced
+    to per-segment stats including a content checksum (sum of 32-bit
+    md5 prefixes over a stable string rendering). The oracle computes
+    the identical stats on the original Parquet — equal results prove
+    the CSV writer/parser pair is lossless for every column type the
+    reference handles (ints, strings, doubles).
+    """
+    import tempfile
+
+    from aws_saas_etl_spark.sources.io import read_csv, write_csv
+
+    cust = load_tables(spark, sf_dir).customer
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    write_csv(cust, tmp, mode="overwrite", header=True)
+    back = read_csv(spark, tmp, schema=cust.schema, header=True)
+    row_key = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+    )
+    checksum = F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast("bigint")
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+            F.sum(F.col("c_acctbal").cast("decimal(22,6)"))
+            .cast("decimal(22,2)")
+            .cast("double")
+            .alias("total_acctbal"),
+            F.sum(checksum).alias("content_checksum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --------------------------------------------------------------------------
 # Table profiling (ANALYZE-style column statistics)
 # --------------------------------------------------------------------------

@@ -153,6 +153,74 @@ class JobStore:
             raise ValueError(f"job_id {job_id} already exists")
 
 
+def jobstore_status_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry query: the JobStore latest-wins read path (reference
+    app.py:156-179 state machine + GET /api/jobs, app.py:194-208), made
+    oracle-checkable by deriving a DETERMINISTIC append-only event log
+    from the ``orders`` fixture instead of wall-clock appends:
+
+      seq 1  every job            → 'Pending'        (models.py:29 default)
+      seq 2  keys % 7 != 0        → 'Processing'     (app.py:158)
+      seq 3  of those, % 5 != 0   → 'Completed' with result_url, or
+                                    'Failed' for keys % 11 == 0
+                                    (app.py:177; index.html:258)
+
+    The read side is exactly ``JobStore.current()``'s shape: one window
+    per job_id, newest seq wins, plus an event count for audit. One
+    shuffle on job_id at any scale; the log itself never rewrites rows.
+    """
+    from aws_saas_etl_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir).orders.select("o_orderkey", "o_custkey")
+    key = F.col("o_orderkey")
+    fname = F.concat(F.lit("upload_"), key.cast("string"), F.lit(".csv"))
+    base = orders.select(
+        key.alias("job_id"),
+        fname.alias("filename"),
+        F.col("o_custkey").alias("user_id"),
+    )
+    pending = base.select(
+        "job_id",
+        "filename",
+        F.lit("Pending").alias("status"),
+        F.lit(None).cast("string").alias("result_url"),
+        "user_id",
+        F.lit(1).alias("seq"),
+    )
+    processing = base.where(F.col("job_id") % 7 != 0).select(
+        "job_id",
+        "filename",
+        F.lit("Processing").alias("status"),
+        F.lit(None).cast("string").alias("result_url"),
+        "user_id",
+        F.lit(2).alias("seq"),
+    )
+    finished = base.where((F.col("job_id") % 7 != 0) & (F.col("job_id") % 5 != 0)).select(
+        "job_id",
+        "filename",
+        F.when(F.col("job_id") % 11 == 0, F.lit("Failed"))
+        .otherwise(F.lit("Completed"))
+        .alias("status"),
+        F.when(
+            F.col("job_id") % 11 != 0,
+            F.concat(
+                F.lit("updates/data_"), F.col("job_id").cast("string"), F.lit(".csv")
+            ),
+        ).alias("result_url"),
+        "user_id",
+        F.lit(3).alias("seq"),
+    )
+    ev = pending.unionByName(processing).unionByName(finished)
+    w = Window.partitionBy("job_id").orderBy(F.desc("seq"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(Window.partitionBy("job_id")))
+        .where(F.col("rn") == 1)
+        .select("job_id", "filename", "status", "result_url", "user_id", "n_events")
+        .orderBy("job_id")
+    )
+
+
 # --- MERGE INTO (set-based upsert) -----------------------------------------
 
 

@@ -1866,3 +1866,60 @@ EVENTS_INCR_MERGE_SQL = f"""
     WHERE ts IS NOT NULL
     GROUP BY 1
 """
+
+# --- JobStore latest-wins status view (reference app.py:156-179,194-208) -----
+
+JOBSTORE_STATUS_SQL = """
+    WITH ev AS (
+        SELECT o_orderkey AS job_id,
+               'upload_' || CAST(o_orderkey AS VARCHAR) || '.csv' AS filename,
+               'Pending' AS status,
+               CAST(NULL AS VARCHAR) AS result_url,
+               o_custkey AS user_id,
+               1 AS seq
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey,
+               'upload_' || CAST(o_orderkey AS VARCHAR) || '.csv',
+               'Processing', CAST(NULL AS VARCHAR), o_custkey, 2
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT o_orderkey,
+               'upload_' || CAST(o_orderkey AS VARCHAR) || '.csv',
+               CASE WHEN o_orderkey % 11 = 0 THEN 'Failed' ELSE 'Completed' END,
+               CASE WHEN o_orderkey % 11 <> 0
+                    THEN 'updates/data_' || CAST(o_orderkey AS VARCHAR) || '.csv'
+               END,
+               o_custkey, 3
+        FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY job_id ORDER BY seq DESC) AS rn,
+               count(*) OVER (PARTITION BY job_id) AS n_events
+        FROM ev
+    )
+    SELECT job_id, filename, status, result_url, user_id, n_events
+    FROM ranked WHERE rn = 1
+    ORDER BY job_id
+"""
+
+
+# --- CSV roundtrip fidelity (reference etl_core.py:22-27, app.py:53-62) ------
+# The oracle reads the ORIGINAL parquet; the Spark side reads its own CSV
+# roundtrip. Equal stats ⇒ the CSV writer/parser pair is lossless.
+
+CSV_ROUNDTRIP_SQL = """
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           count(DISTINCT c_custkey) AS n_keys,
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) AS DECIMAL(22,2)) AS DOUBLE) AS total_acctbal,
+           CAST(sum(('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+               || CAST(c_nationkey AS VARCHAR) || '|'
+               || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+           ), 1, 8))::BIGINT) AS BIGINT) AS content_checksum
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""

@@ -154,13 +154,16 @@ def test_duplicate_clusters_invariants(spark):
 
     pairs = [(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, SF_SMOKE).collect()]
     clusters = duplicate_clusters(spark, SF_SMOKE).collect()
+    # member_doc_ids is a comma-joined string (driver canonicalizer can't
+    # hash list cells) — parse it back for the invariant checks.
+    members = {r.cluster_id: [int(d) for d in r.member_doc_ids.split(",")] for r in clusters}
     member_to_cluster = {
-        d: r.cluster_id for r in clusters for d in r.member_doc_ids
+        d: r.cluster_id for r in clusters for d in members[r.cluster_id]
     }
     for a, b in pairs:
         assert member_to_cluster[a] == member_to_cluster[b]
     for r in clusters:
-        assert r.cluster_id == min(r.member_doc_ids)
+        assert r.cluster_id == min(members[r.cluster_id])
         assert r.keeper_doc_id == r.cluster_id
         assert r.n_removed == r.n_members - 1
         assert r.n_members >= 2
