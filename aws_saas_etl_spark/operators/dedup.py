@@ -214,10 +214,17 @@ def ngram_jaccard_pairs(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFra
 
     The oracle-checkable baseline for fuzzy dedup. Blocking bounds the
     quadratic term: candidates must share a language AND a token-count
-    decade (near-identical documents have near-identical lengths). At
-    100 TB the block key becomes LSH bands (minhash_lsh_pairs); this
-    operator freezes the exact semantics LSH approximates.
+    decade (near-identical documents have near-identical lengths). The
+    block key is data-dependent, so the pair space goes through
+    ``bounded_self_pairs``: a hot block (one dominant language + length
+    decade) is triangle-partitioned instead of landing its whole O(n²)
+    pair set on a single join key — same exact output, bounded task size.
+    At 100 TB the preferred candidate generator is LSH bands
+    (minhash_lsh_pairs); this operator freezes the exact semantics LSH
+    approximates.
     """
+    from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
+
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
     # Shingles are hashed to int64 BEFORE the pair join: 8-byte compares
     # and a narrow shuffle instead of moving string arrays. (A shingle-level
@@ -233,20 +240,11 @@ def ngram_jaccard_pairs(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFra
         (T.token_count("text").cast("int") / F.lit(LENGTH_BUCKET))
         .cast("int")
         .alias("lb"),
-    )
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-        F.col("sh").alias("sh_a"), F.col("lb").alias("lb_a"),
-        F.size("sh").alias("sz_a"),
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-        F.col("sh").alias("sh_b"), F.col("lb").alias("lb_b"),
-        F.size("sh").alias("sz_b"),
-    )
+    ).withColumn("sz", F.size("sh"))
+    pairs = bounded_self_pairs(sh, ["lang", "lb"], "doc_id", ["sh", "sz"])
     # Set-similarity length filter: jaccard >= J implies min|A|,|B| >=
-    # J * max|A|,|B| (inter <= min, union >= max). Applying it in the join
-    # predicate skips the O(|A|+|B|) array_intersect for most pairs. The
+    # J * max|A|,|B| (inter <= min, union >= max). Applying it before the
+    # O(|A|+|B|) array_intersect skips the verify for most pairs. The
     # 1e-6 slack keeps boundary pairs whose round(j, 6) lands exactly on J.
     length_ok = (
         F.least("sz_a", "sz_b").cast("double")
@@ -257,17 +255,11 @@ def ngram_jaccard_pairs(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFra
     # size is |A| + |B| - inter — no array_union materialization per pair.
     union = F.col("sz_a") + F.col("sz_b") - inter
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("lb_a") == F.col("lb_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & length_ok,
-        )
+        pairs.where(length_ok)
         .select(
-            "doc_a",
-            "doc_b",
-            F.col("lang_a").alias("lang"),
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            "lang",
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= min_jaccard)
@@ -461,35 +453,27 @@ def customer_fuzzy_matches(spark, sf_dir: str) -> DataFrame:
     keys (phonetic code, zip, normalized phone) and union the candidate
     sets — the plan shape (self-join on the blocking key, inequality on
     the id to emit each pair once, edit-distance filter) is identical.
-    Block sizes are data-bounded: the shuffle is on the blocking key and
-    AQE splits skewed blocks.
+    A popular suffix would make one block quadratic, so the pair space
+    goes through ``bounded_self_pairs`` (triangle partitioning): same
+    exact output, per-join-key pair count capped.
     """
+    from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
+
     cust = ensure_parallelism(load_tables(spark, sf_dir).customer).select(
         F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey")
     )
     blocked = cust.withColumn("blk", F.substring("c_name", -2, 2))
-    a = blocked.select(
-        F.col("blk"),
-        F.col("c_custkey").alias("cust_a"),
-        F.col("c_name").alias("name_a"),
-        F.col("c_nationkey").alias("nation_a"),
-    )
-    b = blocked.select(
-        F.col("blk"),
-        F.col("c_custkey").alias("cust_b"),
-        F.col("c_name").alias("name_b"),
-        F.col("c_nationkey").alias("nation_b"),
-    )
+    pairs = bounded_self_pairs(blocked, ["blk"], "c_custkey", ["c_name", "c_nationkey"])
     return (
-        a.join(b, "blk")
-        .where(F.col("cust_a") < F.col("cust_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        pairs.withColumn("edit_dist", F.levenshtein("c_name_a", "c_name_b"))
         .where(F.col("edit_dist") <= ER_MAX_EDITS)
         .select(
-            "cust_a",
-            "cust_b",
+            F.col("c_custkey_a").alias("cust_a"),
+            F.col("c_custkey_b").alias("cust_b"),
             "edit_dist",
-            (F.col("nation_a") == F.col("nation_b")).cast("int").alias("same_nation"),
+            (F.col("c_nationkey_a") == F.col("c_nationkey_b"))
+            .cast("int")
+            .alias("same_nation"),
         )
         .orderBy("cust_a", "cust_b")
     )

@@ -115,25 +115,28 @@ def embedding_neardup_pairs(
     rung): exact cosine over LABEL-blocked candidate pairs.
 
     Blocking bounds the quadratic term exactly like ngram_jaccard_pairs'
-    (lang, length) key: only same-label pairs are compared, so the join
-    shuffles on label and each block is quadratic only within itself. At
+    (lang, length) key: only same-label pairs are compared. Labels are
+    data-dependent (one dominant label is the norm in real corpora), so
+    the pair space goes through ``bounded_self_pairs`` — a hot label is
+    triangle-partitioned across join keys instead of concentrating its
+    whole O(n²) pair set on one; output identical, task size capped. At
     100 TB the blocking key becomes the LSH bucket (``ann_lsh_topk``'s
     signature); this operator freezes the exact semantics LSH approximates
     and is the oracle-checked baseline.
     """
+    from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
+
     emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("q_emb")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("c_emb"),
-    )
-    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    base = emb.select("vec_id", "label", "embedding")
+    pairs = bounded_self_pairs(base, ["label"], "vec_id", ["embedding"])
+    sim = F.round(cosine(F.col("embedding_a"), F.col("embedding_b")), 6)
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", "label", sim.alias("cos_sim"))
+        pairs.select(
+            F.col("vec_id_a").alias("vec_a"),
+            F.col("vec_id_b").alias("vec_b"),
+            "label",
+            sim.alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )

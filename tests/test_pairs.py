@@ -1,0 +1,79 @@
+"""bounded_self_pairs: exactness vs the quadratic reference, and the
+per-join-key bound that makes hot blocks survivable at scale."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
+
+
+def _reference_pairs(rows):
+    """Naive quadratic within-block pair set: {(block, id_a, id_b)}."""
+    out = set()
+    by_block = {}
+    for blk, rid in rows:
+        by_block.setdefault(blk, []).append(rid)
+    for blk, ids in by_block.items():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            out.add((blk, a, b))
+    return out
+
+
+@pytest.mark.parametrize("cap", [3, 10, 1_000_000])
+def test_bounded_pairs_match_quadratic_reference(spark, cap):
+    """One hot block (60 rows), two small ones — every cap must emit the
+    identical pair set (triangle partitioning is an exact rewrite)."""
+    rows = [("hot", i) for i in range(60)]
+    rows += [("small", i) for i in range(100, 104)]
+    rows += [("single", 999)]
+    df = spark.createDataFrame(rows, "blk STRING, rid BIGINT")
+    got = {
+        (r.blk, r.rid_a, r.rid_b)
+        for r in bounded_self_pairs(df, ["blk"], "rid", [], max_block_rows=cap).collect()
+    }
+    assert got == _reference_pairs(rows)
+
+
+def test_bounded_pairs_caps_per_key_pair_count(spark):
+    """A hot block's pair space must spread across many (block, cell) join
+    keys, each holding ≈cap² pairs (hash sub-buckets fluctuate, so assert
+    with slack) — vs the naive join's single key holding ALL C(n,2)."""
+    cap = 5
+    n = 40
+    rows = [("hot", i) for i in range(n)]
+    df = spark.createDataFrame(rows, "blk STRING, rid BIGINT")
+    # re-derive the per-cell pair counts by grouping the helper's internals:
+    # cell identity is recoverable from the sub-bucket of each emitted pair.
+    counts = df.groupBy("blk").agg(F.count(F.lit(1)).alias("_n"))
+    s_col = F.greatest(F.ceil(F.col("_n") / F.lit(cap)).cast("int"), F.lit(1))
+    d = df.join(counts.select("blk", s_col.alias("_s")), ["blk"])
+    g = F.pmod(F.xxhash64(F.col("rid")), F.col("_s")).cast("int")
+    bucket = {r.rid: r.g for r in d.select("rid", g.alias("g")).collect()}
+    pairs = bounded_self_pairs(df, ["blk"], "rid", [], max_block_rows=cap).collect()
+    per_cell = {}
+    for r in pairs:
+        cell = tuple(sorted((bucket[r.rid_a], bucket[r.rid_b])))
+        per_cell[cell] = per_cell.get(cell, 0) + 1
+    total = n * (n - 1) // 2
+    assert len(pairs) == total
+    # the hot block actually split into s = ceil(40/5) = 8 sub-buckets ...
+    assert len(set(bucket.values())) == 8
+    # ... spreading pairs over many join keys, none near the naive single
+    # key's C(40,2)=780; 6× slack over cap² covers hash imbalance at n=40
+    assert len(per_cell) > 10
+    assert max(per_cell.values()) <= 6 * cap * cap
+
+
+def test_bounded_pairs_payloads_swap_with_ids(spark):
+    """Payload columns must travel with their row when a cross-cell pair
+    arrives id-unordered and gets normalized."""
+    rows = [("b", i, f"name_{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "blk STRING, rid BIGINT, nm STRING")
+    for r in bounded_self_pairs(df, ["blk"], "rid", ["nm"], max_block_rows=4).collect():
+        assert r.rid_a < r.rid_b
+        assert r.nm_a == f"name_{r.rid_a}"
+        assert r.nm_b == f"name_{r.rid_b}"
