@@ -75,6 +75,25 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # STREAM_BENCH: the stream_* drains are excluded from the latency table
+    # (fixed micro-batch/checkpoint overhead would swamp query cost), but
+    # their end-to-end throughput IS a regression signal for the 9
+    # streaming pipelines: input events per second through a full
+    # availableNow drain (file source → watermark → stateful op → sink).
+    from aws_saas_etl_spark.catalog import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    stream_bench: dict[str, dict[str, float]] = {}
+    for name in sorted(n for n in qs if n.startswith("stream_")):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        secs = time.perf_counter() - t0
+        stream_bench[name] = {
+            "drain_seconds": round(secs, 4),
+            "input_rows_per_sec": round(n_events / secs, 1),
+        }
+
     print(
         json.dumps(
             {
@@ -87,6 +106,8 @@ def main() -> None:
                 # cost is the comparable number across rounds
                 "n_queries": len(timings),
                 "mean_query_seconds": round(total / max(len(timings), 1), 4),
+                "stream_bench": stream_bench,
+                "stream_input_rows": n_events,
             }
         )
     )

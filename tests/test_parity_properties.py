@@ -138,3 +138,80 @@ def test_hash_bucket_matches_duckdb(spark, keys):
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """ADVICE/VERDICT follow-up: pin the documented boundary semantics with
+    an exact-gap fixture. Two events EXACTLY gap apart must merge into ONE
+    session (F.session_window overlap rule), and the gaps-and-islands twin
+    (strict `>` on the lag difference) must agree; one second beyond the
+    gap must split into two sessions."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    gap = dt.timedelta(minutes=10)
+    rows = [
+        (1, t0), (1, t0 + gap),                           # exact gap -> merge
+        (2, t0), (2, t0 + gap + dt.timedelta(seconds=1)), # beyond gap -> split
+    ]
+    ev = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP_NTZ")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "w.start", "w.end", "n")
+        .collect()
+    )
+    by_user = {}
+    for r in sessions:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 1
+    assert by_user[1][0].n == 2
+    # session end = last event + gap
+    assert by_user[1][0].end == t0 + gap + gap
+    assert len(by_user[2]) == 2
+    # gaps-and-islands twin (strict >) agrees on both users
+    from pyspark.sql import Window
+
+    lag = F.lag("ts").over(Window.partitionBy("user_id").orderBy("ts"))
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            lag.isNull() | (F.col("ts") - lag > F.expr("INTERVAL 10 MINUTES")), 1
+        ).otherwise(0),
+    )
+    n_sessions = {
+        r.user_id: r.s
+        for r in marked.groupBy("user_id").agg(F.sum("new_sess").alias("s")).collect()
+    }
+    assert n_sessions == {1: 1, 2: 2}
+
+
+def test_language_id_null_text_is_und(spark):
+    """ADVICE follow-up: NULL text must yield 'und' on the Spark side, and
+    the oracle CASE's ELSE branch yields 'und' for the same rows (alignment
+    is masked in doc_language_id by the dropna filter; pin it directly)."""
+    import duckdb
+
+    from aws_saas_etl_spark.functions.text import language_id
+    from aws_saas_etl_spark.oracles import DOC_LANGUAGE_ID_SQL
+
+    df = spark.createDataFrame(
+        [(None,), ("",), ("the of and to a in is it",)], "text STRING"
+    )
+    got = [r.p for r in df.select(language_id("text").alias("p")).collect()]
+    assert got[0] == "und"  # NULL text
+    assert got[1] == "und"  # empty text
+    assert got[2] == "en"
+    # oracle twin on the same three rows (documents view shape)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(CAST(NULL AS VARCHAR), 'x'), ('', 'x'), ('the of and to a in is it', 'x')"
+        ") AS t(text, lang)"
+    )
+    duck_rows = con.execute(DOC_LANGUAGE_ID_SQL).fetchall()
+    con.close()
+    preds = sorted((r[1], r[2]) for r in duck_rows)
+    assert preds == [("en", 1), ("und", 2)]
