@@ -530,3 +530,51 @@ def events_incremental_hourly_merge(spark, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("s").cast("decimal(38,2)").cast("double").alias("total_value"),
     )
+
+
+ROLLING_DAYS = 7  # trailing window width (days, inclusive of current day)
+
+
+def events_rolling_features(spark, sf_dir: str) -> DataFrame:
+    """Per-user daily activity with trailing 7-day rolling features — the
+    time-series feature-engineering shape (user embeddings, churn models)
+    over event data.
+
+    Two-level aggregation keeps the window cheap at scale: events first
+    collapse to (user, day) partials — one shuffle on (user_id, day),
+    map-side combined — and the RANGE-frame window then runs over the
+    ~365-rows-per-user daily series, never the raw events. The frame
+    orders by integer day number with RANGE BETWEEN 6 PRECEDING so gap
+    days are handled by VALUE range, not row count (a user active on day
+    1 and day 20 must not see day 1 in day 20's trailing week).
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts"])
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day_ts"),
+            F.col("value"),
+        )
+        .groupBy("user_id", "day_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).alias("day_sum6"),
+        )
+        .withColumn("day_num", F.datediff("day_ts", F.lit("1970-01-01").cast("date")))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.col("day_sum6").cast("decimal(38,2)").cast("double").alias("day_value"),
+        F.sum("n_events").over(w).alias("rolling_7d_events"),
+        F.sum("day_sum6").over(w).cast("decimal(38,2)").cast("double").alias(
+            "rolling_7d_value"
+        ),
+        F.count(F.lit(1)).over(w).alias("active_days_7d"),
+    ).orderBy("user_id", "day")

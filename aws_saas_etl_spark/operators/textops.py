@@ -687,3 +687,53 @@ def corpus_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), F.asc("token"))
     )
+
+
+COMMON_SHINGLE_DF = 5  # a shingle in >= this many docs is "corpus-common"
+
+
+def doc_common_ngram_ratio(spark, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram novelty: per document, the fraction of its
+    distinct word-3-gram shingles that are corpus-common (document
+    frequency >= COMMON_SHINGLE_DF). High ratio = boilerplate/template
+    text; the cross-doc complement of the WITHIN-doc repetition metrics
+    (doc_repetition_metrics' Gopher-style scores).
+
+    Scale shape: shingles are hashed to int64 before the explode, so the
+    doc-frequency aggregate and the back-join shuffle 8-byte keys, never
+    strings. Two shuffles total (df groupBy + per-doc re-aggregate); the
+    (shingle, df) side joins on the hash. The oracle computes the same
+    ratio on string shingles — equal modulo 2^-64 hash collisions, the
+    same equivalence ngram_jaccard_pairs relies on.
+    """
+    from aws_saas_etl_spark.operators.dedup import shingles
+
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))
+        ).alias("fp"),
+    )
+    df_counts = sh.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_counts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= COMMON_SHINGLE_DF).cast("long")).alias(
+                "n_common"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("n_shingles"), 6).alias(
+                "common_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1923,3 +1923,145 @@ CSV_ROUNDTRIP_SQL = """
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
 """
+
+
+# --- Data-quality constraint report ------------------------------------------
+
+DATA_QUALITY_SQL = """
+    WITH li AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END)  AS qty_low,
+               sum(CASE WHEN l_quantity > 50 THEN 1 ELSE 0 END) AS qty_high,
+               sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS disc_range,
+               sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS ship_null
+        FROM lineitem
+    ),
+    o AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS price_pos,
+               sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS status_enum
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'lineitem' AS table_name, 'l_quantity_min_1' AS constraint_name,
+               CAST(n AS BIGINT) AS n_checked, CAST(qty_low AS BIGINT) AS n_violations FROM li
+        UNION ALL
+        SELECT 'lineitem', 'l_quantity_max_50', CAST(n AS BIGINT), CAST(qty_high AS BIGINT) FROM li
+        UNION ALL
+        SELECT 'lineitem', 'l_discount_range', CAST(n AS BIGINT), CAST(disc_range AS BIGINT) FROM li
+        UNION ALL
+        SELECT 'lineitem', 'l_shipdate_not_null', CAST(n AS BIGINT), CAST(ship_null AS BIGINT) FROM li
+        UNION ALL
+        SELECT 'orders', 'o_totalprice_positive', CAST(n AS BIGINT), CAST(price_pos AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'orders', 'o_orderstatus_enum', CAST(n AS BIGINT), CAST(status_enum AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'customer', 'c_custkey_unique',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+        UNION ALL
+        SELECT 'orders', 'o_custkey_fk_customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        UNION ALL
+        SELECT 'lineitem', 'l_orderkey_fk_orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    )
+    ORDER BY table_name, constraint_name
+"""
+
+
+# --- CDC snapshot diff -------------------------------------------------------
+
+def _snapshot_diff_sql() -> str:
+    from aws_saas_etl_spark.operators.quality import DIFF_DELETE_MOD, DIFF_UPDATE_MOD
+
+    return f"""
+    WITH b AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % {DIFF_UPDATE_MOD} = 0
+                    THEN o_totalprice * 1.10 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % {DIFF_DELETE_MOD} <> 0
+        UNION ALL
+        SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % {DIFF_UPDATE_MOD} = 1
+    ),
+    j AS (
+        SELECT CASE WHEN a.o_orderkey IS NULL THEN 'inserted'
+                    WHEN b.o_orderkey IS NULL THEN 'deleted'
+                    WHEN a.o_totalprice <> b.o_totalprice THEN 'updated'
+                    ELSE 'unchanged' END AS change_type,
+               abs(coalesce(b.o_totalprice, 0.0) - coalesce(a.o_totalprice, 0.0)) AS price_delta
+        FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, count(*) AS n_keys,
+           {dsum_sql("price_delta", 2)} AS total_price_delta
+    FROM j GROUP BY change_type ORDER BY change_type
+"""
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = _snapshot_diff_sql()
+
+
+# --- Per-user daily rolling features (RANGE frame over day numbers) ----------
+
+def _rolling_features_sql() -> str:
+    from aws_saas_etl_spark.operators.events import ROLLING_DAYS
+
+    prec = ROLLING_DAYS - 1
+    return f"""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day_ts,
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(22,6))) AS day_sum6
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    d2 AS (
+        SELECT *, date_diff('day', DATE '1970-01-01', CAST(day_ts AS DATE)) AS day_num
+        FROM daily
+    )
+    SELECT user_id,
+           strftime(day_ts, '%Y-%m-%d') AS day,
+           n_events,
+           CAST(round(day_sum6, 2) AS DOUBLE) AS day_value,
+           CAST(sum(n_events) OVER w AS BIGINT) AS rolling_7d_events,
+           CAST(round(sum(day_sum6) OVER w, 2) AS DOUBLE) AS rolling_7d_value,
+           count(*) OVER w AS active_days_7d
+    FROM d2
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+                 RANGE BETWEEN {prec} PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day
+"""
+
+
+EVENTS_ROLLING_SQL = _rolling_features_sql()
+
+
+# --- Cross-document common-shingle ratio -------------------------------------
+
+def _common_ngram_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import COMMON_SHINGLE_DF
+
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES}) AS g
+        FROM (SELECT doc_id, {toks('text')} AS tk FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+    ),
+    dfc AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN dfc.df >= {COMMON_SHINGLE_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           round(CAST(sum(CASE WHEN dfc.df >= {COMMON_SHINGLE_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS common_ratio
+    FROM sh JOIN dfc ON sh.g = dfc.g
+    GROUP BY sh.doc_id
+    ORDER BY sh.doc_id
+"""
+
+
+DOC_COMMON_NGRAM_SQL = _common_ngram_sql()

@@ -609,6 +609,26 @@ register("csv_roundtrip_stats", etl.csv_roundtrip_stats, oracles.CSV_ROUNDTRIP_S
 
 
 # --------------------------------------------------------------------------
+# Round 3: data-quality expectations, CDC snapshot diff, rolling
+# time-series features, cross-doc n-gram novelty, left-outer stream join
+# --------------------------------------------------------------------------
+
+from aws_saas_etl_spark.operators import quality  # noqa: E402
+
+register("data_quality_report", quality.data_quality_report, oracles.DATA_QUALITY_SQL)
+register(
+    "orders_snapshot_diff", quality.orders_snapshot_diff, oracles.ORDERS_SNAPSHOT_DIFF_SQL
+)
+register(
+    "events_rolling_features", events.events_rolling_features, oracles.EVENTS_ROLLING_SQL
+)
+register(
+    "doc_common_ngram_ratio", textops.doc_common_ngram_ratio, oracles.DOC_COMMON_NGRAM_SQL
+)
+register("stream_click_unmatched", runners.stream_click_unmatched, None)
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation.
 #
 # The driver's per-round correctness gate checks the FIRST 50 names in

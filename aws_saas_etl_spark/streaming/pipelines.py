@@ -271,3 +271,51 @@ def upsert_state(spark: SparkSession, log_path: str) -> DataFrame:
     return (
         log.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
     )
+
+
+def click_attribution_with_unmatched(
+    stream_df: DataFrame, watermark: str = DEFAULT_WATERMARK, horizon_min: int = 60
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits — matched
+    rows as soon as both sides arrive, UNMATCHED clicks only once the
+    click-side watermark passes the join horizon (state eviction proves no
+    match can still arrive). The outer side is the semantics inner joins
+    can't give: "clicks that never converted" as a first-class stream.
+    Same state bounds as the inner variant (both sides watermarked, the
+    condition bounds purchase_ts from both directions).
+    """
+    clicks = (
+        stream_df.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream_df.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {horizon_min} MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("purchase_id").isNull().cast("int").alias("unconverted"),
+        F.col("value").alias("purchase_value"),
+    )

@@ -192,3 +192,12 @@ def stream_hourly_to_parquet(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def stream_click_unmatched(spark, sf_dir: str) -> DataFrame:
+    """availableNow drain of the stream-stream LEFT OUTER interval join —
+    unmatched clicks emit with NULL purchase columns after watermark
+    expiry (the conversion-funnel "never converted" stream)."""
+    return _drain(
+        P.click_attribution_with_unmatched(_stream(spark, sf_dir)), "append"
+    )

@@ -217,3 +217,51 @@ def test_file_sink_matches_memory_drain(spark):
         .collect()
     )
     assert sorted(tuple(r) for r in via_file) == sorted(tuple(r) for r in via_mem)
+
+
+def test_stream_left_outer_join_unmatched_clicks(spark):
+    """The left-outer interval join must emit every click exactly once per
+    match (inner-join rows identical to the inner variant) PLUS one
+    null-extended row per never-matched click after watermark expiry."""
+    from aws_saas_etl_spark.streaming.runners import (
+        stream_click_attribution,
+        stream_click_unmatched,
+    )
+    from tests.conftest import SF_SMOKE
+
+    outer = stream_click_unmatched(spark, SF_SMOKE).collect()
+    inner = stream_click_attribution(spark, SF_SMOKE).collect()
+
+    matched_outer = sorted(
+        (r.user_id, r.click_id, r.purchase_id) for r in outer if r.purchase_id is not None
+    )
+    matched_inner = sorted((r.user_id, r.click_id, r.purchase_id) for r in inner)
+    assert matched_outer == matched_inner
+
+    unmatched = [r for r in outer if r.purchase_id is None]
+    assert all(r.unconverted == 1 and r.purchase_value is None for r in unmatched)
+    assert unmatched, "fixture should contain never-converted clicks"
+    # Completeness bound: a click's unmatched row emits only once the final
+    # GLOBAL watermark passes its join horizon (click_ts + 60min). The
+    # global watermark under the default multipleWatermarkPolicy=min is
+    # min(max click_ts, max purchase_ts) - 30min — clicks later than that
+    # are correctly still pending (a future purchase could match), not
+    # dropped.
+    import datetime as dt
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    per_side_max = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .collect()
+    )
+    final_wm = min(r.m for r in per_side_max) - dt.timedelta(minutes=30)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts").collect()
+    must_emit = {
+        r.event_id for r in clicks if r.ts + dt.timedelta(minutes=60) < final_wm
+    }
+    all_clicks = {r.event_id for r in clicks}
+    emitted = {r.click_id for r in outer}
+    assert emitted.issubset(all_clicks)
+    assert must_emit.issubset(emitted)
