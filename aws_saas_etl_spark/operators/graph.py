@@ -1,0 +1,108 @@
+"""Iterative graph analytics over relational edges.
+
+Second iterative-algorithm pattern alongside min-label connected
+components (operators/dedup.py:connected_components): weighted PageRank
+as repeated join + aggregate rounds with localCheckpoint lineage cuts —
+the control shape every iterative Spark computation shares (fixed
+per-round plan, driver loop, checkpointed state).
+
+The reference has no graph surface at all; the driver's star schema
+implies one naturally: the customer↔supplier trade graph induced by
+lineitem (who buys through whom), the classic entity-importance input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.catalog import load_tables
+
+PR_ITERS = 10
+PR_DAMPING = 0.85
+# contributions accumulate in DECIMAL: double sums across shuffle
+# partitions are order-dependent, which would make ranks (and the
+# resulting top-k ordering) flap between runs of an iterative algorithm
+PR_DEC = "decimal(28,12)"
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPING) -> DataFrame:
+    """PageRank over a weighted directed edge list (src, dst, weight) →
+    (node, rank). Per round: one join (ranks onto out-edges) + one
+    aggregate (contributions per dst) + a union for dangling/isolated
+    nodes — all shuffling on node id. Ranks checkpoint per round so the
+    lineage (and plan compile time) stays flat in the iteration count.
+    """
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    e = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("share"))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.select("node", F.lit(1.0).cast(PR_DEC).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum((F.col("rank") * F.col("share")).cast(PR_DEC)).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0).cast(PR_DEC))
+                )
+                .cast(PR_DEC)
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def supplier_pagerank(spark: SparkSession, sf_dir: str, top_k: int = 20) -> DataFrame:
+    """Registry query: supplier importance in the customer→supplier trade
+    graph. Edges: customer c → supplier s weighted by their lineitem
+    count (via orders); plus the reverse s → c edges so rank circulates
+    in the bipartite graph. Returns the top suppliers by rank.
+
+    Rows-only check (iterative; no fixpoint SQL twin) — determinism and
+    rank-sanity invariants are pinned in tests/test_functions.py.
+    """
+    t = load_tables(spark, sf_dir)
+    trade = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(t.orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    # disjoint id spaces: customers negative, suppliers positive
+    c2s = trade.select(
+        (-F.col("o_custkey")).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    s2c = trade.select(
+        F.col("l_suppkey").alias("src"),
+        (-F.col("o_custkey")).alias("dst"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    ranks = pagerank(c2s.unionByName(s2c))
+    return (
+        ranks.where(F.col("node") > 0)
+        .select(
+            F.col("node").alias("s_suppkey"),
+            F.col("rank").cast("decimal(38,6)").cast("double").alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("s_suppkey"))
+        .limit(top_k)
+    )

@@ -480,3 +480,67 @@ def embedding_random_projection(spark, sf_dir: str) -> DataFrame:
             acc = term if acc is None else acc + term
         cols.append(dround(acc, 6).alias(f"p{j}"))
     return emb.select(*cols)
+
+
+PCA_POWER_ITERS = 50  # fixed iteration count -> deterministic output
+
+
+def label_principal_axis(spark, sf_dir: str) -> DataFrame:
+    """Per-label top principal axis of the embedding cloud via
+    ``applyInPandas`` — the group-map custom-operator escape hatch
+    (SURVEY §2b "custom operators" rung c): semantics no built-in
+    aggregate expresses (an eigenvector per group), run as one Arrow
+    batch per group with a deterministic numpy kernel.
+
+    Kernel: mean-center, then ``PCA_POWER_ITERS`` power iterations on the
+    Gram matrix from a FIXED start vector (e_0), sign-normalized so the
+    first nonzero component is positive — bit-stable across runs and
+    partitionings (no randomness, fp ops in fixed order per group).
+
+    Scale: one shuffle on label; per-group memory is the group's vectors
+    (d×n), the natural bound for per-cluster spectral ops — groups too
+    big for one task would first go through the IVF cells
+    (``ann_ivf_topk``) exactly like every other per-cluster statistic.
+    Rows-only check (no linear algebra in the oracle engine); invariants
+    (unit norm, Rayleigh quotient maximality vs random directions,
+    determinism) are pinned in tests/test_similarity.py.
+    """
+    import pandas as pd
+
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["embedding"].to_numpy())  # (n, d) float
+        x = x.astype(np.float64)
+        mu = x.mean(axis=0)
+        xc = x - mu
+        v = np.zeros(xc.shape[1])
+        v[0] = 1.0
+        for _ in range(PCA_POWER_ITERS):
+            w = xc.T @ (xc @ v)
+            n = np.linalg.norm(w)
+            if n == 0.0:
+                break
+            v = w / n
+        nz = np.nonzero(np.abs(v) > 1e-12)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        eigval = float(v @ (xc.T @ (xc @ v))) / max(len(x) - 1, 1)
+        return pd.DataFrame(
+            {
+                "label": [pdf["label"].iloc[0]],
+                "n_vectors": [len(x)],
+                "explained_variance": [round(eigval, 6)],
+                "axis": [",".join(f"{c:.6f}" for c in v)],
+            }
+        )
+
+    return (
+        emb.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(
+            kernel,
+            schema="label int, n_vectors long, explained_variance double, axis string",
+        )
+        .orderBy("label")
+    )

@@ -737,3 +737,163 @@ def doc_common_ngram_ratio(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def doc_char_entropy(spark, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the letter distribution — the
+    gibberish/compression-artifact signal (natural language sits ~4.1
+    bits/letter; keyboard mash and base64 blobs deviate sharply).
+
+    Shape: explode letters → (doc, letter) counts → per-doc entropy, two
+    shuffles both keyed by doc_id (the second re-uses the first's
+    partitioning). Letters only ([a-z] of the lowercased text) so both
+    engines tokenize identically.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    letters = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]', 0)")
+        ).alias("ch"),
+    )
+    counts = letters.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.sum("c").over(tot)
+    return (
+        counts.select("doc_id", (-p * F.log2(p)).alias("term"), F.col("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_letters"),
+            F.count(F.lit(1)).alias("n_distinct_letters"),
+            F.round(F.sum("term"), 6).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ZIPF_TOP_N = 1000  # rank cutoff for the log-log regression
+
+
+def corpus_zipf_fit(spark, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    log(freq) on log(rank) for the top-N tokens — natural corpora slope
+    ≈ -1; synthetic/templated corpora deviate. Demonstrates regression
+    as pure aggregates (no ML library): slope = cov(x,y)/var(x) over the
+    ranked frequency table, one row out.
+
+    Shape: token explode → corpus freq aggregate → global rank window
+    over the top-N slice (tiny) → one scalar aggregate.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("text").isNotNull()
+    )
+    freq = (
+        docs.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = freq.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= ZIPF_TOP_N
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return stats.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+TFIDF_NN_QUERY_DOCS = 10  # query set: doc_id < 10 (mirrors knn_bruteforce)
+TFIDF_NN_TOP_K = 5
+
+
+def doc_tfidf_neighbors(spark, sf_dir: str) -> DataFrame:
+    """Sparse lexical top-k document similarity via an INVERTED-INDEX join
+    — the IR-classic complement of the dense-embedding ANN path: tf-idf
+    weight per (doc, token), cosine computed by joining postings on the
+    token and summing weight products, never materializing doc×doc.
+
+    Scale shape: the corpus-side postings list shuffles on token once;
+    the query side (10 docs' postings) broadcasts. Candidate pairs exist
+    ONLY where a token is shared — the sparse analog of LSH bucketing —
+    and common-token fan-out is bounded by idf (a token in every doc has
+    idf ~ 0 and can be pruned; here df < half the corpus).
+
+    All weight sums accumulate in DECIMAL so cosine is order-independent
+    (double accumulation across shuffle partitions would flip last digits
+    between runs/engines).
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(df_counts, "tok")
+        .crossJoin(F.broadcast(n_docs_df))
+        # prune near-stopwords: df >= half the corpus contributes ~nothing
+        # to cosine but dominates the postings join fan-out
+        .where(F.col("df") * 2 < F.col("n_docs"))
+        .select(
+            "doc_id",
+            "tok",
+            # DECIMAL(18,6): product of two fits DECIMAL(37,12) in BOTH
+            # engines without precision-cap divergence (22,6 would need 45)
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).cast("double")).alias("nrm")
+    )
+    q = w.where(F.col("doc_id") < TFIDF_NN_QUERY_DOCS).select(
+        F.col("doc_id").alias("q_doc"), "tok", F.col("w").alias("wq")
+    )
+    dots = (
+        w.join(F.broadcast(q), "tok")
+        .where(F.col("doc_id") != F.col("q_doc"))
+        .groupBy("q_doc", F.col("doc_id").alias("c_doc"))
+        .agg(F.sum((F.col("wq") * F.col("w")).cast("decimal(38,12)")).alias("dot"))
+    )
+    sims = (
+        dots.join(norms.select(F.col("doc_id").alias("q_doc"), F.col("nrm").alias("qn")), "q_doc")
+        .join(norms.select(F.col("doc_id").alias("c_doc"), F.col("nrm").alias("cn")), "c_doc")
+        .select(
+            "q_doc",
+            "c_doc",
+            F.round(F.col("dot").cast("double") / (F.col("qn") * F.col("cn")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    rk = Window.partitionBy("q_doc").orderBy(F.desc("cos_sim"), F.asc("c_doc"))
+    return (
+        sims.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= TFIDF_NN_TOP_K)
+        .orderBy("q_doc", "rank")
+    )

@@ -2065,3 +2065,120 @@ def _common_ngram_sql() -> str:
 
 
 DOC_COMMON_NGRAM_SQL = _common_ngram_sql()
+
+
+# --- Character-entropy quality signal -----------------------------------------
+
+DOC_CHAR_ENTROPY_SQL = """
+    WITH letters AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    counts AS (SELECT doc_id, ch, count(*) AS c FROM letters GROUP BY doc_id, ch),
+    withp AS (
+        SELECT doc_id, c,
+               CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id) AS p
+        FROM counts
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_letters,
+           count(*) AS n_distinct_letters,
+           round(sum(-p * log2(p)), 6) AS entropy_bits
+    FROM withp
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+# --- Zipf log-log OLS fit ------------------------------------------------------
+
+def _zipf_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import ZIPF_TOP_N
+
+    return f"""
+    WITH freq AS (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest({toks('text')}) AS tok FROM documents
+              WHERE text IS NOT NULL)
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+        FROM freq
+    ),
+    top AS (SELECT * FROM ranked WHERE rank <= {ZIPF_TOP_N}),
+    s AS (
+        SELECT count(*) AS n,
+               sum(ln(CAST(rank AS DOUBLE))) AS sx,
+               sum(ln(CAST(freq AS DOUBLE))) AS sy,
+               sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy,
+               sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+        FROM top
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS zipf_slope,
+           round((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n, 6)
+               AS zipf_intercept
+    FROM s
+"""
+
+
+CORPUS_ZIPF_SQL = _zipf_sql()
+
+
+# --- Inverted-index tf-idf top-k neighbors -----------------------------------
+
+def _tfidf_neighbors_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import (
+        TFIDF_NN_QUERY_DOCS,
+        TFIDF_NN_TOP_K,
+    )
+
+    return f"""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest({toks('text')}) AS tok FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        GROUP BY doc_id, tok
+    ),
+    dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT count(*) AS n_docs FROM documents
+           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    w AS (
+        SELECT doc_id, tok,
+               CAST(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df)
+                    AS DECIMAL(18,6)) AS w
+        FROM tf JOIN dfc USING (tok) CROSS JOIN nd
+        WHERE df * 2 < n_docs
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+    ),
+    q AS (SELECT doc_id AS q_doc, tok, w AS wq FROM w WHERE doc_id < {TFIDF_NN_QUERY_DOCS}),
+    dots AS (
+        SELECT q.q_doc, w.doc_id AS c_doc,
+               sum(CAST(q.wq * w.w AS DECIMAL(38,12))) AS dot
+        FROM w JOIN q USING (tok)
+        WHERE w.doc_id <> q.q_doc
+        GROUP BY q.q_doc, w.doc_id
+    ),
+    sims AS (
+        SELECT q_doc, c_doc,
+               round(CAST(dot AS DOUBLE) / (qn.nrm * cn.nrm), 6) AS cos_sim
+        FROM dots
+        JOIN norms qn ON qn.doc_id = dots.q_doc
+        JOIN norms cn ON cn.doc_id = dots.c_doc
+    )
+    SELECT q_doc, c_doc, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_doc ORDER BY cos_sim DESC, c_doc ASC
+        ) AS rank
+        FROM sims
+    )
+    WHERE rank <= {TFIDF_NN_TOP_K}
+    ORDER BY q_doc, rank
+"""
+
+
+DOC_TFIDF_NEIGHBORS_SQL = _tfidf_neighbors_sql()

@@ -626,6 +626,19 @@ register(
     "doc_common_ngram_ratio", textops.doc_common_ngram_ratio, oracles.DOC_COMMON_NGRAM_SQL
 )
 register("stream_click_unmatched", runners.stream_click_unmatched, None)
+register("doc_char_entropy", textops.doc_char_entropy, oracles.DOC_CHAR_ENTROPY_SQL)
+register("corpus_zipf_fit", textops.corpus_zipf_fit, oracles.CORPUS_ZIPF_SQL)
+# per-group eigenvector via applyInPandas: no linear algebra in the oracle
+# engine -> rows-only; invariants pinned in tests/test_similarity.py
+register("label_principal_axis", similarity.label_principal_axis, None)
+register(
+    "doc_tfidf_neighbors", textops.doc_tfidf_neighbors, oracles.DOC_TFIDF_NEIGHBORS_SQL
+)
+
+from aws_saas_etl_spark.operators import graph  # noqa: E402
+
+# iterative (no fixpoint SQL twin) -> rows-only; invariants pytest-pinned
+register("supplier_pagerank", graph.supplier_pagerank, None)
 
 
 # --------------------------------------------------------------------------

@@ -167,3 +167,26 @@ def test_duplicate_clusters_invariants(spark):
         assert r.keeper_doc_id == r.cluster_id
         assert r.n_removed == r.n_members - 1
         assert r.n_members >= 2
+
+
+def test_supplier_pagerank_invariants(spark):
+    """PageRank sanity: deterministic reruns (decimal accumulation), ranks
+    >= the teleport floor, and a supplier with strictly more weighted
+    in-trade than another outranks it in a 2-customer toy graph."""
+    from aws_saas_etl_spark.operators.graph import pagerank, supplier_pagerank
+    from tests.conftest import SF_SMOKE
+
+    got = supplier_pagerank(spark, SF_SMOKE).collect()
+    assert got
+    again = supplier_pagerank(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    assert all(r.pagerank >= 0.15 - 1e-9 for r in got)
+
+    # toy: both customers buy from s1, only one from s2 -> rank(s1) > rank(s2)
+    edges = spark.createDataFrame(
+        [(-1, 1, 2.0), (-2, 1, 2.0), (-2, 2, 1.0),
+         (1, -1, 2.0), (1, -2, 2.0), (2, -2, 1.0)],
+        "src BIGINT, dst BIGINT, weight DOUBLE",
+    )
+    ranks = {r.node: float(r.rank) for r in pagerank(edges).collect()}
+    assert ranks[1] > ranks[2]

@@ -131,3 +131,37 @@ def test_random_projection_density(spark):
     nonzero = sum(1 for w in weights if w != 0)
     assert 0.2 < nonzero / len(weights) < 0.45
     assert any(w > 0 for w in weights) and any(w < 0 for w in weights)
+
+
+def test_label_principal_axis_invariants(spark):
+    """applyInPandas eigen-kernel: unit-norm axis, non-negative explained
+    variance that dominates random directions (Rayleigh maximality), and
+    bit-stable reruns (fixed start vector + iteration count)."""
+    import numpy as np
+
+    from aws_saas_etl_spark.catalog import load_tables
+    from aws_saas_etl_spark.operators.similarity import label_principal_axis
+    from tests.conftest import SF_SMOKE
+
+    rows = label_principal_axis(spark, SF_SMOKE).collect()
+    assert rows
+    again = label_principal_axis(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    emb = load_tables(spark, SF_SMOKE).embeddings.collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    rng = np.random.RandomState(0)
+    for r in rows:
+        v = np.array([float(c) for c in r.axis.split(",")])
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+        x = np.stack(by_label[r.label]).astype(np.float64)
+        xc = x - x.mean(axis=0)
+        assert r.n_vectors == len(x)
+        ray = float(v @ (xc.T @ (xc @ v))) / max(len(x) - 1, 1)
+        assert abs(ray - r.explained_variance) < 1e-4
+        for _ in range(5):
+            u = rng.randn(x.shape[1])
+            u /= np.linalg.norm(u)
+            assert ray >= float(u @ (xc.T @ (xc @ u))) / max(len(x) - 1, 1) - 1e-9

@@ -265,3 +265,68 @@ def test_stream_left_outer_join_unmatched_clicks(spark):
     emitted = {r.click_id for r in outer}
     assert emitted.issubset(all_clicks)
     assert must_emit.issubset(emitted)
+
+
+def test_stream_checkpoint_restart_resumes_state(spark, tmp_path):
+    """Kill-and-restart recovery: a watermarked aggregate drained in two
+    separate query runs over the SAME checkpoint must end with exactly the
+    rows a single uninterrupted drain produces — offsets and window state
+    come back from the checkpoint, nothing is lost or double-counted."""
+    import os
+
+    from aws_saas_etl_spark.streaming import pipelines as P
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # split by TIME, not randomly: run 2's input must be later than run 1's
+    # watermark, else it is genuinely late data (correctly dropped) and the
+    # comparison would measure watermark semantics, not restart recovery
+    mid = ev.agg(F.expr("percentile(cast(ts as double), 0.5)")).collect()[0][0]
+    half_a = ev.where(F.col("ts").cast("double") <= mid)
+    half_b = ev.where(F.col("ts").cast("double") > mid)
+
+    def drain(out_dir, ckpt_dir):
+        # file sink: the only production sink with full checkpoint recovery
+        # (memory sink refuses to resume)
+        stream = P.read_event_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            P.hourly_stats(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half_a.coalesce(1).write.mode("append").parquet(src)
+    drain(out, ckpt)
+    first = spark.read.parquet(out).collect()
+    # second batch of files arrives while the query is DOWN; the restarted
+    # query resumes from the SAME checkpoint + sink
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    drain(out, ckpt)
+    resumed = spark.read.parquet(out).collect()
+
+    # reference: one uninterrupted drain over all files, fresh checkpoint
+    ref_out, ref_ckpt = str(tmp_path / "ref_out"), str(tmp_path / "ref_ckpt")
+    stream = P.read_event_stream(spark, src, max_files_per_trigger=10)
+    q = (
+        P.hourly_stats(stream)
+        .writeStream.format("parquet")
+        .option("path", ref_out)
+        .option("checkpointLocation", ref_ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = spark.read.parquet(ref_out).collect()
+    assert sorted(tuple(r) for r in resumed) == sorted(tuple(r) for r in want)
+    assert len(resumed) > len(first), "restart must emit the newly closed windows"
