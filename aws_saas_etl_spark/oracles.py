@@ -2149,7 +2149,7 @@ def _tfidf_neighbors_sql() -> str:
                CAST(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df)
                     AS DECIMAL(18,6)) AS w
         FROM tf JOIN dfc USING (tok) CROSS JOIN nd
-        WHERE df * 2 < n_docs
+        WHERE df * 10 < n_docs * 9
     ),
     norms AS (
         SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
@@ -2182,3 +2182,28 @@ def _tfidf_neighbors_sql() -> str:
 
 
 DOC_TFIDF_NEIGHBORS_SQL = _tfidf_neighbors_sql()
+
+
+# --- Inactivity-gap detection -------------------------------------------------
+
+def _gap_detection_sql() -> str:
+    from aws_saas_etl_spark.operators.events import GAP_HOURS_MIN
+
+    return f"""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           strftime(prev_ts, '{TS_FMT_DUCK}') AS gap_start,
+           strftime(ts, '{TS_FMT_DUCK}')      AS gap_end,
+           round((epoch(ts) - epoch(prev_ts)) / 3600.0, 4) AS gap_hours
+    FROM g
+    WHERE prev_ts IS NOT NULL
+      AND epoch(ts) - epoch(prev_ts) > {GAP_HOURS_MIN} * 3600
+    ORDER BY user_id, gap_start
+"""
+
+
+EVENTS_GAP_SQL = _gap_detection_sql()

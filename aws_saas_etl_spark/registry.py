@@ -639,6 +639,10 @@ from aws_saas_etl_spark.operators import graph  # noqa: E402
 
 # iterative (no fixpoint SQL twin) -> rows-only; invariants pytest-pinned
 register("supplier_pagerank", graph.supplier_pagerank, None)
+register("events_gap_detection", events.events_gap_detection, oracles.EVENTS_GAP_SQL)
+# byte-level Arrow kernel, no SQL twin -> rows-only; numpy reference pinned
+# in tests/test_multimodal.py
+register("multimodal_audio_energy", multimodal.multimodal_audio_energy, None)
 
 
 # --------------------------------------------------------------------------

@@ -115,3 +115,41 @@ def test_documents_fixture_is_ascii(spark):
         F.length("text") != F.octet_length(F.col("text").cast("binary"))
     ).count()
     assert n_bad == 0
+
+
+def test_audio_energy_matches_numpy_reference(spark):
+    """The mapInPandas audio kernel must equal a direct numpy computation
+    over the same payload bytes (framing, RMS, peak)."""
+    import numpy as np
+
+    from aws_saas_etl_spark.catalog import load_tables
+    from aws_saas_etl_spark.operators.multimodal import (
+        N_AUDIO_FRAMES,
+        multimodal_audio_energy,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.doc_id, r.frame_no): (r.n_samples, r.rms, r.peak)
+        for r in multimodal_audio_energy(spark, SF_SMOKE).collect()
+    }
+    docs = load_tables(spark, SF_SMOKE).documents.where(
+        "doc_id is not null"
+    ).select("doc_id", "text").collect()
+    n_expected = 0
+    for d in docs:
+        b = (d.text or "").encode("utf-8")
+        if not b:
+            continue
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+        stride = max(len(arr) // N_AUDIO_FRAMES, 1)
+        for f in range(N_AUDIO_FRAMES):
+            seg = arr[f * stride : (f + 1) * stride]
+            if len(seg) == 0:
+                break
+            n_expected += 1
+            ns, rms, peak = got[(d.doc_id, f)]
+            assert ns == len(seg)
+            assert rms == round(float(np.sqrt(np.mean(seg * seg))), 6)
+            assert peak == int(seg.max())
+    assert len(got) == n_expected
