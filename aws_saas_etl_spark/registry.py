@@ -646,95 +646,67 @@ register("multimodal_audio_energy", multimodal.multimodal_audio_energy, None)
 
 
 # --------------------------------------------------------------------------
-# Driver-window rotation.
+# Driver-window rotation (self-maintaining).
 #
 # The driver's per-round correctness gate checks the FIRST 50 names in
-# queries() iteration order (CORRECTNESS_r02.json is exactly that prefix of
-# round 2's registration order). With >50 registered queries, registration
-# order alone would leave every later operator invisible to the hard gate,
-# so the window below is rotated each round: queries already proven green
-# in a prior round's CORRECTNESS file move to the back, and not-yet-checked
-# queries move to the front. Round 3's window = the one round-2 FAIL (now
-# fixed), the two new §2a-parity queries, and 47 oracle-backed queries that
-# had no driver row in rounds 1-2.
+# queries() iteration order (each CORRECTNESS_r*.json is exactly that
+# prefix of the round's registration order). With 100+ registered queries,
+# registration order alone would leave later operators permanently
+# invisible to the hard gate, so queries() is reordered at import time
+# from the accumulated CORRECTNESS files:
+#
+#   1. previously-FAILED queries (a real error recorded) — regressions
+#      whose fix must be proven first;
+#   2. oracle-backed queries the driver has never checked;
+#   3. rows-only queries never checked (weaker evidence, so they follow
+#      the oracle-backed ones);
+#   4. everything already checked (green or ran), in registration order.
+#
+# Each round the newly-checked prefix moves to the back automatically —
+# no per-round list to curate. Ties keep registration order, so the
+# window is deterministic for a given set of CORRECTNESS files.
 # --------------------------------------------------------------------------
 
-_WINDOW_R3 = [
-    # round-2 FAIL, fixed this round (array column → string)
-    "dedup_duplicate_clusters",
-    # new §2a-parity queries
-    "jobstore_status_view",
-    "csv_roundtrip_stats",
-    # oracle-backed queries never yet seen by the driver (registered in
-    # rounds 1.5/2 past the 50-name window)
-    "orders_merge_upsert",
-    "events_pointintime_join",
-    "revenue_grouping_sets",
-    "events_scd2_history",
-    "order_value_percentiles",
-    "doc_bm25_search",
-    "market_share_by_year",
-    "events_daily_funnel",
-    "events_asof_last_click",
-    "events_click_attribution",
-    "events_value_band_stats",
-    "status_priority_cube",
-    "linestatus_priority_counts",
-    "customer_order_distribution",
-    "top_revenue_suppliers",
-    "exclusively_late_suppliers",
-    "prospective_customers",
-    "doc_filter_pipeline",
-    "corpus_vocabulary",
-    "embedding_centroid_assign",
-    "sql_interface_demo",
-    "large_volume_customers",
-    "returned_item_losses",
-    "forecast_revenue_change",
-    "small_quantity_orders",
-    "nation_profit_by_year",
-    "important_part_revenue",
-    "supplier_part_attr_counts",
-    "bulk_part_suppliers",
-    "doc_repetition_metrics",
-    "doc_pii_redaction",
-    "events_resample_locf",
-    "lineitem_measures_unpivot",
-    "doc_sequence_packing",
-    "doc_length_histogram",
-    "doc_contamination_pairs",
-    "events_per_type_sample",
-    "customer_balance_deciles",
-    "events_retention_cohorts",
-    "customer_rfm_segments",
-    "doc_unigram_logprob",
-    "corpus_bigram_lm",
-    "events_hourly_anomalies",
-    "corpus_mixture_sample",
-    "corpus_cms_heavy_hitters",
-    "table_profile",
-    "customer_fuzzy_matches",
-]
 
-# Next in line after the window (round-4 rotation candidates): the
-# remaining never-checked oracle-backed queries, so any window widening
-# or future rotation picks them up first.
-_NEXT_IN_LINE = [
-    "join_key_skew_profile",
-    "embedding_int8_quantization",
-    "orders_zorder_index",
-    "embedding_random_projection",
-    "multimodal_frame_sample",
-    "events_incremental_hourly_merge",
-]
+def _correctness_status() -> tuple[set[str], set[str]]:
+    """(checked, failed) query names accumulated over all prior rounds."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    failed: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            ok = err is None or err == "no_oracle"
+            hash_ok = row.get("hash_match")
+            if (err is None and hash_ok) or err == "no_oracle":
+                checked.add(name)
+                failed.discard(name)
+            elif not ok or (err is None and hash_ok is False):
+                failed.add(name)
+    return checked, failed
 
 
 def _rotate_window() -> None:
-    """Reorder _REGISTRY so the driver's 50-query prefix hits _WINDOW_R3."""
-    front = _WINDOW_R3 + _NEXT_IN_LINE
-    missing = [n for n in front if n not in _REGISTRY]
-    if missing:
-        raise ValueError(f"window names not registered: {missing}")
+    checked, failed = _correctness_status()
+    names = list(_REGISTRY)
+    front = [n for n in names if n in failed]
+    front += [n for n in names if n not in failed and n not in checked and _REGISTRY[n].oracle]
+    front += [
+        n for n in names if n not in failed and n not in checked and not _REGISTRY[n].oracle
+    ]
     ordered = {n: _REGISTRY[n] for n in front}
     ordered.update((n, e) for n, e in _REGISTRY.items() if n not in ordered)
     _REGISTRY.clear()
