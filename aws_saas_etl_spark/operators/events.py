@@ -612,3 +612,29 @@ def events_gap_detection(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "gap_start")
     )
+
+
+def events_variant_props(spark, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: ``parse_json``
+    once into a variant, then typed ``variant_get`` extractions — the
+    engine-native path for JSON columns (binary-encoded, no re-parse per
+    field access), vs ``events_json_props``'s string-path
+    ``get_json_object``. Missing paths surface as NULL through
+    ``try_variant_get`` instead of erroring.
+    """
+    ev = load_tables(spark, sf_dir).events
+    v = F.parse_json("props")
+    with_v = ev.select("event_type", v.alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'int')")
+    absent = F.expr("try_variant_get(v, '$.no_such_field', 'string')")
+    return (
+        with_v.select("event_type", k.alias("k"), absent.alias("absent"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            davg_rounded(F.col("k").cast("double"), 4).alias("avg_k"),
+            F.sum(F.col("absent").isNull().cast("long")).alias("n_absent_null"),
+        )
+        .orderBy("event_type")
+    )

@@ -2207,3 +2207,47 @@ def _gap_detection_sql() -> str:
 
 
 EVENTS_GAP_SQL = _gap_detection_sql()
+
+
+# --- VARIANT props (typed variant_get twin) ----------------------------------
+
+EVENTS_VARIANT_SQL = f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+           {davg_sql("CAST(json_extract_string(props, '$.k') AS INT)", 4)} AS avg_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.no_such_field') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_absent_null
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+# --- Custom Python DataSource twin -------------------------------------------
+
+def _custom_source_sql() -> str:
+    from aws_saas_etl_spark.sources.custom import (
+        DEFAULT_PARTITIONS,
+        DEFAULT_ROWS_PER_PARTITION,
+    )
+
+    total = DEFAULT_PARTITIONS * DEFAULT_ROWS_PER_PARTITION
+    return f"""
+    WITH src AS (
+        SELECT i AS event_id,
+               i % 97 AS user_id,
+               round((i * 31) % 1000 / 10.0, 1) AS value
+        FROM (SELECT unnest(range({total})) AS i)
+    )
+    SELECT user_id % 10 AS user_bucket,
+           count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           {dsum_sql("value", 2)} AS total_value
+    FROM src
+    GROUP BY user_bucket
+    ORDER BY user_bucket
+"""
+
+
+CUSTOM_SOURCE_SQL = _custom_source_sql()

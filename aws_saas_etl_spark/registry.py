@@ -643,6 +643,13 @@ register("events_gap_detection", events.events_gap_detection, oracles.EVENTS_GAP
 # byte-level Arrow kernel, no SQL twin -> rows-only; numpy reference pinned
 # in tests/test_multimodal.py
 register("multimodal_audio_energy", multimodal.multimodal_audio_energy, None)
+register("events_variant_props", events.events_variant_props, oracles.EVENTS_VARIANT_SQL)
+
+from aws_saas_etl_spark.sources import custom as custom_source  # noqa: E402
+
+# Spark 4 Python DataSource API: partition-planned custom source with a
+# closed-form generator the oracle reproduces via generate_series
+register("custom_source_scan", custom_source.custom_source_scan, oracles.CUSTOM_SOURCE_SQL)
 
 
 # --------------------------------------------------------------------------
