@@ -1160,3 +1160,47 @@ def join_key_skew_profile(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("key_n"), F.asc("l_orderkey"))
     )
+
+
+def orders_monthly_spine(spark, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly revenue via a RECURSIVE CTE (Spark 4): generate
+    the complete month spine between the first and last order dates, then
+    left-join per-month revenue so ZERO-order months appear explicitly —
+    the calendar-spine gap fill every reporting pipeline needs (a plain
+    GROUP BY silently drops empty months).
+
+    Expressed through ``spark.sql`` end to end: the recursion is bounded
+    by the data's own min/max (computed in a scalar CTE, broadcast into
+    the anchor), and the revenue side is the usual decimal-exact rollup.
+    """
+    from aws_saas_etl_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+            FROM orders
+        ),
+        spine(month_start) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT add_months(month_start, 1) FROM spine
+            WHERE month_start < (SELECT hi FROM bounds)
+        ),
+        rev AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   count(*) AS n_orders,
+                   CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(22,6))) AS DECIMAL(38,2)) AS DOUBLE) AS total_revenue
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT date_format(month_start, 'yyyy-MM') AS month,
+               coalesce(n_orders, 0) AS n_orders,
+               coalesce(total_revenue, 0.0) AS total_revenue,
+               CAST(n_orders IS NULL AS INT) AS is_gap_month
+        FROM spine LEFT JOIN rev ON rev.m = spine.month_start
+        ORDER BY month
+        """
+    )

@@ -228,3 +228,51 @@ def corpus_mixture_sample(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def customer_distinct_hll_merge(spark, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch columns (Spark 4 Apache DataSketches
+    functions): one HLL sketch per market segment, merged with
+    ``hll_union_agg`` into the global estimate — the sketch-as-column
+    pattern incremental pipelines store per partition and fold later
+    (estimate(merge(parts)) ≈ estimate(whole), without re-scanning
+    history; the decimal twin of this pattern for exact aggregates is
+    ``events_incremental_hourly_merge``).
+
+    Self-auditing: each row carries the exact distinct count and the
+    relative error; tests pin error < 5%. Rows-only registry check (the
+    sketch binary and estimate are engine-specific).
+    """
+    from aws_saas_etl_spark.catalog import load_tables
+
+    cust = load_tables(spark, sf_dir).customer
+    per_seg = cust.groupBy("c_mktsegment").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sketch"),
+        F.countDistinct("c_custkey").alias("exact_distinct"),
+    )
+    seg_rows = per_seg.select(
+        F.col("c_mktsegment").alias("scope"),
+        F.expr("hll_sketch_estimate(sketch)").alias("estimated_distinct"),
+        "exact_distinct",
+    )
+    merged = per_seg.agg(
+        F.lit("__ALL__").alias("scope"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias(
+            "estimated_distinct"
+        ),
+        F.sum("exact_distinct").alias("exact_distinct"),  # segments partition keys
+    )
+    return (
+        seg_rows.unionByName(merged)
+        .select(
+            "scope",
+            "estimated_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("estimated_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("scope")
+    )

@@ -2251,3 +2251,32 @@ def _custom_source_sql() -> str:
 
 
 CUSTOM_SOURCE_SQL = _custom_source_sql()
+
+
+# --- Recursive month spine (gap-filled calendar) ------------------------------
+
+ORDERS_MONTH_SPINE_SQL = """
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ),
+    spine(month_start) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+        WHERE month_start < (SELECT hi FROM bounds)
+    ),
+    rev AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(month_start, '%Y-%m') AS month,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(total_revenue, 0.0) AS total_revenue,
+           CAST(n_orders IS NULL AS INT) AS is_gap_month
+    FROM spine LEFT JOIN rev ON rev.m = spine.month_start
+    ORDER BY month
+"""

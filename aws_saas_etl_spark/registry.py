@@ -650,6 +650,15 @@ from aws_saas_etl_spark.sources import custom as custom_source  # noqa: E402
 # Spark 4 Python DataSource API: partition-planned custom source with a
 # closed-form generator the oracle reproduces via generate_series
 register("custom_source_scan", custom_source.custom_source_scan, oracles.CUSTOM_SOURCE_SQL)
+# Spark 4 recursive CTE: gap-filled calendar spine, DuckDB recursive twin
+register(
+    "orders_monthly_spine", relational.orders_monthly_spine, oracles.ORDERS_MONTH_SPINE_SQL
+)
+# DataSketches HLL columns: estimates are engine-specific -> rows-only;
+# the query self-audits (exact + rel_error columns), pinned in pytest
+register(
+    "customer_distinct_hll_merge", sampling.customer_distinct_hll_merge, None
+)
 
 
 # --------------------------------------------------------------------------

@@ -165,3 +165,17 @@ def test_label_principal_axis_invariants(spark):
             u = rng.randn(x.shape[1])
             u /= np.linalg.norm(u)
             assert ray >= float(u @ (xc.T @ (xc @ u))) / max(len(x) - 1, 1) - 1e-9
+
+
+def test_hll_merge_self_audit(spark):
+    """merge(per-segment sketches) must estimate within 5% of the exact
+    global distinct, and every per-segment estimate within 5% of its
+    exact count (the sketch-as-column merge invariant)."""
+    from aws_saas_etl_spark.operators.sampling import customer_distinct_hll_merge
+    from tests.conftest import SF_SMOKE
+
+    rows = customer_distinct_hll_merge(spark, SF_SMOKE).collect()
+    scopes = {r.scope for r in rows}
+    assert "__ALL__" in scopes and len(scopes) >= 2
+    for r in rows:
+        assert r.rel_error < 0.05, (r.scope, r.rel_error)
