@@ -905,3 +905,42 @@ def doc_tfidf_neighbors(spark, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TFIDF_NN_TOP_K)
         .orderBy("q_doc", "rank")
     )
+
+
+def doc_sentence_stats(spark, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics: sentence count, mean sentence
+    length in tokens, and the long/short-sentence shares quality filters
+    threshold on (wall-of-text and staccato detection). Segmentation is
+    the deterministic regex split on [.!?]+ runs — engine-neutral, so the
+    oracle reproduces it exactly. Map-only except the final explode-free
+    per-doc math (higher-order functions over the split array)."""
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), "[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    tok_counts = F.transform(
+        sents, lambda s: F.size(F.filter(F.split(s, "\\s+"), lambda t: t != ""))
+    )
+    n_sents = F.size(sents)
+    total_toks = F.aggregate(tok_counts, F.lit(0), lambda a, x: a + x)
+    long_sents = F.size(F.filter(tok_counts, lambda c: c > 30))
+    short_sents = F.size(F.filter(tok_counts, lambda c: c < 4))
+    return docs.select(
+        "doc_id",
+        n_sents.alias("n_sentences"),
+        F.round(
+            F.when(n_sents > 0, total_toks.cast("double") / n_sents).otherwise(0.0), 6
+        ).alias("mean_sentence_tokens"),
+        F.round(
+            F.when(n_sents > 0, long_sents.cast("double") / n_sents).otherwise(0.0), 6
+        ).alias("long_sentence_share"),
+        F.round(
+            F.when(n_sents > 0, short_sents.cast("double") / n_sents).otherwise(0.0), 6
+        ).alias("short_sentence_share"),
+    ).orderBy("doc_id")

@@ -2280,3 +2280,36 @@ ORDERS_MONTH_SPINE_SQL = """
     FROM spine LEFT JOIN rev ON rev.m = spine.month_start
     ORDER BY month
 """
+
+
+# --- Sentence segmentation stats ----------------------------------------------
+
+_SENTS = (
+    "list_filter(list_transform(string_split_regex(text, '[.!?]+'), s -> trim(s)), "
+    "s -> s <> '')"
+)
+_SENT_TOKS = (
+    "list_transform(sents, s -> len(list_filter(string_split_regex(s, '\\s+'), "
+    "t -> t <> '')))"
+)
+
+DOC_SENTENCE_STATS_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, {_SENTS} AS sents FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    c AS (SELECT doc_id, len(sents) AS n_sentences, {_SENT_TOKS} AS tc FROM t)
+    SELECT doc_id,
+           n_sentences,
+           round(CASE WHEN n_sentences > 0
+                 THEN CAST(list_aggregate(tc, 'sum') AS DOUBLE) / n_sentences
+                 ELSE 0.0 END, 6) AS mean_sentence_tokens,
+           round(CASE WHEN n_sentences > 0
+                 THEN CAST(len(list_filter(tc, x -> x > 30)) AS DOUBLE) / n_sentences
+                 ELSE 0.0 END, 6) AS long_sentence_share,
+           round(CASE WHEN n_sentences > 0
+                 THEN CAST(len(list_filter(tc, x -> x < 4)) AS DOUBLE) / n_sentences
+                 ELSE 0.0 END, 6) AS short_sentence_share
+    FROM c
+    ORDER BY doc_id
+"""

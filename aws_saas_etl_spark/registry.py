@@ -659,6 +659,7 @@ register(
 register(
     "customer_distinct_hll_merge", sampling.customer_distinct_hll_merge, None
 )
+register("doc_sentence_stats", textops.doc_sentence_stats, oracles.DOC_SENTENCE_STATS_SQL)
 
 
 # --------------------------------------------------------------------------

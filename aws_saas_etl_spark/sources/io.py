@@ -229,3 +229,32 @@ def write_partitioned(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def read_csv_with_corrupt_capture(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan that CAPTURES malformed rows instead of silently nulling
+    or dropping them (S1 hardened): PERMISSIVE mode with an explicit
+    ``_corrupt_record`` column holding each unparseable line verbatim.
+
+    The reference fails the whole job on any surprise (app.py:187-189
+    rolls back on the first exception); a 100 TB ingest can't — bad rows
+    are quarantined to a side output (filter on ``_corrupt_record IS NOT
+    NULL``) and the clean rows proceed. Spark requires the corrupt
+    column declared in the schema; caching the raw scan around the two
+    filters avoids the known re-parse pitfall where the corrupt column
+    appears null after pushdown.
+    """
+    schema = f"{schema_ddl}, _corrupt_record STRING"
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(path)
+        .cache()
+    )

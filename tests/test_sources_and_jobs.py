@@ -327,3 +327,31 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_csv_corrupt_record_capture(spark, tmp_path):
+    """Malformed CSV rows must be quarantined into _corrupt_record while
+    clean rows parse — ingestion keeps going (unlike the reference's
+    whole-job rollback, app.py:187-189)."""
+    import os
+
+    from aws_saas_etl_spark.sources.io import read_csv_with_corrupt_capture
+
+    p = str(tmp_path / "dirty")
+    os.makedirs(p)
+    with open(os.path.join(p, "part.csv"), "w") as f:
+        f.write("id,qty,price\n")
+        f.write("1,5,10.5\n")
+        f.write("2,not_a_number,extra,columns,here\n")
+        f.write("3,7,2.25\n")
+    df = read_csv_with_corrupt_capture(spark, p, "id BIGINT, qty BIGINT, price DOUBLE")
+    clean = df.where("_corrupt_record IS NULL").select("id", "qty", "price")
+    bad = df.where("_corrupt_record IS NOT NULL")
+    assert sorted((r.id, r.qty, r.price) for r in clean.collect()) == [
+        (1, 5, 10.5),
+        (3, 7, 2.25),
+    ]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "not_a_number" in bad_rows[0]._corrupt_record
+    df.unpersist()
