@@ -49,5 +49,9 @@ def demo_etl_pipeline_pandas_api(df: DataFrame) -> DataFrame:
     psdf = df.pandas_api()
     if "comments" not in psdf.columns:
         raise ValueError("missing required column: 'comments'")
-    psdf["comment_length"] = psdf["comments"].astype(str).apply(len)
+    # real pandas astype(str) renders NaN as the string 'nan' (so the
+    # reference's len() yields 3); pyspark.pandas keeps NULL, which would
+    # crash len(None) inside apply — fillna reproduces the reference's
+    # behavior byte-for-byte
+    psdf["comment_length"] = psdf["comments"].fillna("nan").astype(str).apply(len)
     return psdf.to_spark()

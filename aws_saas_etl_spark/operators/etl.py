@@ -125,12 +125,17 @@ def csv_roundtrip_stats(spark, sf_dir: str) -> DataFrame:
     the CSV writer/parser pair is lossless for every column type the
     reference handles (ints, strings, doubles).
     """
+    import hashlib
     import tempfile
 
     from aws_saas_etl_spark.sources.io import read_csv, write_csv
 
     cust = load_tables(spark, sf_dir).customer
-    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    # one deterministic staging dir per sf_dir, overwritten each run —
+    # a fresh mkdtemp per invocation would leak a full CSV copy of the
+    # table on every bench/correctness repeat
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = f"{tempfile.gettempdir()}/csv_roundtrip_{tag}"
     write_csv(cust, tmp, mode="overwrite", header=True)
     back = read_csv(spark, tmp, schema=cust.schema, header=True)
     row_key = F.concat_ws(

@@ -608,7 +608,9 @@ def events_gap_detection(spark, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_format("prev_ts", TS_FMT).alias("gap_start"),
             F.date_format("ts", TS_FMT).alias("gap_end"),
-            F.round(F.col("gap_secs") / 3600.0, 4).alias("gap_hours"),
+            # dround, not round(double): plain double rounding diverges
+            # between engines at exact .xxxx5 boundaries (functions/num.py)
+            dround(F.col("gap_secs") / 3600.0, 4).alias("gap_hours"),
         )
         .orderBy("user_id", "gap_start")
     )

@@ -61,6 +61,11 @@ def bounded_self_pairs(
     ``{payload}_a/_b`` for each payload, with ``id_a < id_b``. Symmetric
     downstream predicates (similarity, edit distance) apply unchanged.
     """
+    # NULL-id rows can never satisfy id_a < id_b in the naive blocked join
+    # this rewrites, but a NULL id WOULD slip through the cross-cell branch
+    # below (NULL comparisons are not true, so neither dedup nor swap
+    # fires) — drop them up front to keep the rewrite exact.
+    df = df.where(F.col(id_col).isNotNull())
     counts = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_n"))
     s = F.greatest(F.ceil(F.col("_n") / F.lit(max_block_rows)).cast("int"), F.lit(1))
     g = F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int")

@@ -800,12 +800,16 @@ def corpus_zipf_fit(spark, sf_dir: str) -> DataFrame:
     )
     x = F.log(F.col("rank").cast("double"))
     y = F.log(F.col("freq").cast("double"))
+    # terms cast to DECIMAL before summing (order-independent accumulation,
+    # functions/num.py) so the 6-decimal slope never flaps across
+    # partitionings or engines
+    dec = "decimal(22,12)"
     stats = ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
     )
     n = F.col("n").cast("double")
     slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (

@@ -1960,15 +1960,20 @@ DATA_QUALITY_SQL = """
                (SELECT count(*) FROM customer),
                (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
         UNION ALL
+        -- NOT EXISTS, not NOT IN: anti-join semantics must match Spark's
+        -- left_anti under NULL keys (NOT IN yields NULL for a NULL child
+        -- key and is poisoned entirely by a NULL parent key)
         SELECT 'orders', 'o_custkey_fk_customer',
                (SELECT count(*) FROM orders),
-               (SELECT count(*) FROM orders
-                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
         UNION ALL
         SELECT 'lineitem', 'l_orderkey_fk_orders',
                (SELECT count(*) FROM lineitem),
-               (SELECT count(*) FROM lineitem
-                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
     )
     ORDER BY table_name, constraint_name
 """
@@ -2108,11 +2113,13 @@ def _zipf_sql() -> str:
     ),
     top AS (SELECT * FROM ranked WHERE rank <= {ZIPF_TOP_N}),
     s AS (
+        -- each term cast to DECIMAL before summing: double accumulation
+        -- is order-dependent across partitions/engines (functions/num.py)
         SELECT count(*) AS n,
-               sum(ln(CAST(rank AS DOUBLE))) AS sx,
-               sum(ln(CAST(freq AS DOUBLE))) AS sy,
-               sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy,
-               sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))) AS sxx
+               CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(22,12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(22,12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) AS DECIMAL(22,12))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) AS DECIMAL(22,12))) AS DOUBLE) AS sxx
         FROM top
     )
     SELECT CAST(n AS BIGINT) AS n_ranks,
@@ -2198,7 +2205,7 @@ def _gap_detection_sql() -> str:
     SELECT user_id,
            strftime(prev_ts, '{TS_FMT_DUCK}') AS gap_start,
            strftime(ts, '{TS_FMT_DUCK}')      AS gap_end,
-           round((epoch(ts) - epoch(prev_ts)) / 3600.0, 4) AS gap_hours
+           {dround_sql("(epoch(ts) - epoch(prev_ts)) / 3600.0", 4)} AS gap_hours
     FROM g
     WHERE prev_ts IS NOT NULL
       AND epoch(ts) - epoch(prev_ts) > {GAP_HOURS_MIN} * 3600

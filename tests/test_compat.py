@@ -42,9 +42,26 @@ def test_demo_pipeline_pandas_api_matches_native(spark):
     via_pandas_api = {
         (r.doc_id, r.comment_length)
         for r in demo_etl_pipeline_pandas_api(docs).collect()
+        if r.comments is not None
     }
     via_native = {
         (r.doc_id, r.comment_length)
         for r in etl.demo_etl_pipeline(docs).collect()
+        if r.comments is not None
     }
     assert via_pandas_api == via_native
+
+
+def test_demo_pipeline_pandas_api_null_comments_reference_quirk(spark):
+    """Reference quirk pinned: pandas astype(str) renders NaN as 'nan', so
+    the reference's len() gives 3 for NULL comments (app.py:171); the
+    native operator returns NULL instead (engine semantics)."""
+    from aws_saas_etl_spark.compat import demo_etl_pipeline_pandas_api
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id BIGINT, comments STRING"
+    )
+    got = {r.doc_id: r.comment_length for r in demo_etl_pipeline_pandas_api(df).collect()}
+    assert got == {1: 5, 2: 3}
+    native = {r.doc_id: r.comment_length for r in etl.demo_etl_pipeline(df).collect()}
+    assert native == {1: 5, 2: None}

@@ -26,12 +26,14 @@ def test_driver_window_rotation():
     queries(); pin that the round-3 window contains no already-proven
     query (wasted slot) and at most the known rows-only entries."""
     import json
+    import os
 
     from aws_saas_etl_spark import registry
 
     names = list(registry.queries().keys())
     window = names[:50]
-    with open("CORRECTNESS_r02.json") as f:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "CORRECTNESS_r02.json")) as f:
         r02 = json.load(f)
     proven = {n for n, v in r02.items() if v.get("hash_match")}
     assert not proven.intersection(window), "proven-green query wastes a window slot"
