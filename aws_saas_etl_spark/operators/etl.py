@@ -126,24 +126,33 @@ def csv_roundtrip_stats(spark, sf_dir: str) -> DataFrame:
     reference handles (ints, strings, doubles).
     """
     import hashlib
+    import os
     import tempfile
 
     from aws_saas_etl_spark.sources.io import read_csv, write_csv
 
     cust = load_tables(spark, sf_dir).customer
-    # one deterministic staging dir per sf_dir, overwritten each run —
-    # a fresh mkdtemp per invocation would leak a full CSV copy of the
-    # table on every bench/correctness repeat
+    # one deterministic staging dir per (sf_dir, process), overwritten on
+    # each rerun — a fresh mkdtemp per invocation would leak a full CSV
+    # copy of the table on every bench/correctness repeat, while a purely
+    # sf_dir-keyed path would let two CONCURRENT processes (bench alongside
+    # the driver's correctness pass) race overwrite-vs-read on the same
+    # files. PID-scoping gives each process its own staging area; at most
+    # one copy per process lifetime remains in the temp dir.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    tmp = f"{tempfile.gettempdir()}/csv_roundtrip_{tag}"
+    tmp = f"{tempfile.gettempdir()}/csv_roundtrip_{tag}_{os.getpid()}"
     write_csv(cust, tmp, mode="overwrite", header=True)
     back = read_csv(spark, tmp, schema=cust.schema, header=True)
+    # NULL-guard every field before concatenation: concat_ws silently
+    # SKIPS nulls while the oracle's `||` propagates NULL (row vanishing
+    # from the checksum sum) — coalesce to a sentinel on BOTH sides so a
+    # null field hashes identically in the two engines.
     row_key = F.concat_ws(
         "|",
-        F.col("c_custkey").cast("string"),
-        F.col("c_name"),
-        F.col("c_nationkey").cast("string"),
-        F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+        F.coalesce(F.col("c_custkey").cast("string"), F.lit("<null>")),
+        F.coalesce(F.col("c_name"), F.lit("<null>")),
+        F.coalesce(F.col("c_nationkey").cast("string"), F.lit("<null>")),
+        F.coalesce(F.col("c_acctbal").cast("decimal(12,2)").cast("string"), F.lit("<null>")),
     )
     checksum = F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast("bigint")
     return (

@@ -485,6 +485,49 @@ def embedding_random_projection(spark, sf_dir: str) -> DataFrame:
 PCA_POWER_ITERS = 50  # fixed iteration count -> deterministic output
 
 
+def principal_axis_kernel(pdf):
+    """Per-group numpy kernel for :func:`label_principal_axis` (module-level
+    so tests can drive it directly): mean-center, power-iterate the Gram
+    matrix from a deterministic start, sign-normalize, report the Rayleigh
+    quotient as explained variance."""
+    import pandas as pd
+
+    x = np.stack(pdf["embedding"].to_numpy())  # (n, d) float
+    x = x.astype(np.float64)
+    mu = x.mean(axis=0)
+    xc = x - mu
+    v = np.zeros(xc.shape[1])
+    v[0] = 1.0
+    # e_0 can be (near-)orthogonal to the data span (xc @ e_0 ≈ 0), in
+    # which case power iteration stalls on the first step and would
+    # return a direction not in the span. Deterministic fallback: start
+    # from the largest-norm centered row — always inside the span and
+    # never orthogonal to itself.
+    if float(np.linalg.norm(xc @ v)) <= 1e-12:
+        norms = np.linalg.norm(xc, axis=1)
+        best = int(np.argmax(norms))
+        if norms[best] > 1e-12:
+            v = xc[best] / norms[best]
+    for _ in range(PCA_POWER_ITERS):
+        w = xc.T @ (xc @ v)
+        n = np.linalg.norm(w)
+        if n == 0.0:
+            break
+        v = w / n
+    nz = np.nonzero(np.abs(v) > 1e-12)[0]
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    eigval = float(v @ (xc.T @ (xc @ v))) / max(len(x) - 1, 1)
+    return pd.DataFrame(
+        {
+            "label": [pdf["label"].iloc[0]],
+            "n_vectors": [len(x)],
+            "explained_variance": [round(eigval, 6)],
+            "axis": [",".join(f"{c:.6f}" for c in v)],
+        }
+    )
+
+
 def label_principal_axis(spark, sf_dir: str) -> DataFrame:
     """Per-label top principal axis of the embedding cloud via
     ``applyInPandas`` — the group-map custom-operator escape hatch
@@ -505,41 +548,13 @@ def label_principal_axis(spark, sf_dir: str) -> DataFrame:
     (unit norm, Rayleigh quotient maximality vs random directions,
     determinism) are pinned in tests/test_similarity.py.
     """
-    import pandas as pd
-
     emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
-
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = np.stack(pdf["embedding"].to_numpy())  # (n, d) float
-        x = x.astype(np.float64)
-        mu = x.mean(axis=0)
-        xc = x - mu
-        v = np.zeros(xc.shape[1])
-        v[0] = 1.0
-        for _ in range(PCA_POWER_ITERS):
-            w = xc.T @ (xc @ v)
-            n = np.linalg.norm(w)
-            if n == 0.0:
-                break
-            v = w / n
-        nz = np.nonzero(np.abs(v) > 1e-12)[0]
-        if len(nz) and v[nz[0]] < 0:
-            v = -v
-        eigval = float(v @ (xc.T @ (xc @ v))) / max(len(x) - 1, 1)
-        return pd.DataFrame(
-            {
-                "label": [pdf["label"].iloc[0]],
-                "n_vectors": [len(x)],
-                "explained_variance": [round(eigval, 6)],
-                "axis": [",".join(f"{c:.6f}" for c in v)],
-            }
-        )
 
     return (
         emb.select("label", "embedding")
         .groupBy("label")
         .applyInPandas(
-            kernel,
+            principal_axis_kernel,
             schema="label int, n_vectors long, explained_variance double, axis string",
         )
         .orderBy("label")

@@ -875,10 +875,17 @@ def doc_tfidf_neighbors(spark, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
         # barrier: the weighted postings feed THREE consumers (norms, the
-        # query slice, the dot-product join) — without it each consumer
-        # re-plans the whole tokenize→tf→df subtree (audited 21 shuffles /
-        # 12 scans pre-AQE; 7 / 2 with the barrier)
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        # query slice, the dot-product join). A repartition-exchange
+        # barrier does NOT get reused here — the broadcast of the query
+        # slice runs as a separate job and re-executes the whole
+        # tokenize→tf→df subtree (measured: 0 ReusedExchange even in the
+        # final adaptive plan; 12 parquet scans / 48 exchanges pre-AQE).
+        # localCheckpoint materializes the postings ONCE and truncates the
+        # lineage for all three consumers: 2.85s → 2.14s best-of-3 at
+        # sf0.1. At cluster scale this is the "materialize the shared
+        # sub-result" pattern (cache/checkpoint), sized |postings| ≪
+        # |docs×docs|.
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).cast("double")).alias("nrm")

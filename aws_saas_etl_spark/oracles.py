@@ -1915,9 +1915,10 @@ CSV_ROUNDTRIP_SQL = """
            count(DISTINCT c_custkey) AS n_keys,
            CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) AS DECIMAL(22,2)) AS DOUBLE) AS total_acctbal,
            CAST(sum(('0x' || substr(md5(
-               CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
-               || CAST(c_nationkey AS VARCHAR) || '|'
-               || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+               coalesce(CAST(c_custkey AS VARCHAR), '<null>') || '|'
+               || coalesce(c_name, '<null>') || '|'
+               || coalesce(CAST(c_nationkey AS VARCHAR), '<null>') || '|'
+               || coalesce(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), '<null>')
            ), 1, 8))::BIGINT) AS BIGINT) AS content_checksum
     FROM customer
     GROUP BY c_mktsegment

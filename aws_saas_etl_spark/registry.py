@@ -674,15 +674,64 @@ register("doc_sentence_stats", textops.doc_sentence_stats, oracles.DOC_SENTENCE_
 #
 #   1. previously-FAILED queries (a real error recorded) — regressions
 #      whose fix must be proven first;
-#   2. oracle-backed queries the driver has never checked;
-#   3. rows-only queries never checked (weaker evidence, so they follow
+#   2. checked-but-MODIFIED queries (source fingerprint drifted since the
+#      stamped proven fingerprint — see PROVEN_FINGERPRINTS.json), oracle-
+#      backed before rows-only: a rewrite invalidates the old green row;
+#   3. oracle-backed queries the driver has never checked;
+#   4. rows-only queries never checked (weaker evidence, so they follow
 #      the oracle-backed ones);
-#   4. everything already checked (green or ran), in registration order.
+#   5. everything already checked (green or ran), in registration order.
 #
 # Each round the newly-checked prefix moves to the back automatically —
 # no per-round list to curate. Ties keep registration order, so the
 # window is deterministic for a given set of CORRECTNESS files.
 # --------------------------------------------------------------------------
+
+
+def query_fingerprints() -> dict[str, str]:
+    """sha256 of each registered query's implementation source + oracle SQL.
+
+    Used by the rotation below: a query whose fingerprint changed since the
+    round in which the driver last proved it green is rotated back into the
+    check window (tier between *failed* and *never checked*), so a rewrite
+    can't hide behind an old green row. The hash covers the registered
+    callable's own source — helper changes in the same module are caught by
+    the exhaustive local oracle-parity suite (``tests/test_oracle_parity.py``)
+    instead, which runs every query against DuckDB on every pytest run.
+    """
+    import hashlib
+    import inspect
+
+    out: dict[str, str] = {}
+    for name, e in _REGISTRY.items():
+        try:
+            src = inspect.getsource(e.fn)
+        except (OSError, TypeError):
+            src = getattr(e.fn, "__qualname__", repr(e.fn))
+        blob = src + "\n\x00\n" + (e.oracle or "")
+        out[name] = hashlib.sha256(blob.encode()).hexdigest()
+    return out
+
+
+def _proven_fingerprints() -> dict[str, str]:
+    """name → fingerprint recorded when the driver last checked it.
+
+    Maintained by ``tools/update_fingerprints.py`` (run at round start,
+    right after the driver commits ``CORRECTNESS_r{N}.json``; historical
+    rounds were stamped from the code at each round's closing commit).
+    Missing file or missing name ⇒ no modification claim can be made.
+    """
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "PROVEN_FINGERPRINTS.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        return {}
+    return data if isinstance(data, dict) else {}
 
 
 def _correctness_status() -> tuple[set[str], set[str]]:
@@ -718,8 +767,22 @@ def _correctness_status() -> tuple[set[str], set[str]]:
 
 def _rotate_window() -> None:
     checked, failed = _correctness_status()
+    proven_fp = _proven_fingerprints()
+    current_fp = query_fingerprints()
+    # "Proven" green is only trusted while the implementation is unchanged:
+    # a checked query whose source fingerprint drifted from the stamped one
+    # re-enters the window right behind the failures.
+    modified = {
+        n
+        for n in checked
+        if n in proven_fp and proven_fp[n] != current_fp.get(n, proven_fp[n])
+    }
     names = list(_REGISTRY)
     front = [n for n in names if n in failed]
+    front += [n for n in names if n not in failed and n in modified and _REGISTRY[n].oracle]
+    front += [
+        n for n in names if n not in failed and n in modified and not _REGISTRY[n].oracle
+    ]
     front += [n for n in names if n not in failed and n not in checked and _REGISTRY[n].oracle]
     front += [
         n for n in names if n not in failed and n not in checked and not _REGISTRY[n].oracle

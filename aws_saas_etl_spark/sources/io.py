@@ -12,6 +12,8 @@ column-pruned); CSV/JSON exist for reference-parity ingestion and export.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -248,6 +250,13 @@ def read_csv_with_corrupt_capture(
     column declared in the schema; caching the raw scan around the two
     filters avoids the known re-parse pitfall where the corrupt column
     appears null after pushdown.
+
+    CONTRACT: the returned DataFrame is ``.cache()``-ed (that is what
+    makes the clean/quarantine split consistent) — the caller MUST call
+    ``.unpersist()`` once both side outputs are materialized, or use the
+    :func:`csv_with_corrupt_capture` context manager below, which
+    unpersists on exit. In a long-lived session, un-released ingests
+    accumulate cached partitions.
     """
     schema = f"{schema_ddl}, _corrupt_record STRING"
     return (
@@ -258,3 +267,27 @@ def read_csv_with_corrupt_capture(
         .csv(path)
         .cache()
     )
+
+
+@contextmanager
+def csv_with_corrupt_capture(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    header: bool = True,
+):
+    """Context-managed variant of :func:`read_csv_with_corrupt_capture`:
+    yields the cached scan and guarantees ``unpersist()`` on exit, so the
+    caller-must-unpersist contract can't be forgotten in long-lived
+    sessions::
+
+        with csv_with_corrupt_capture(spark, path, ddl) as raw:
+            clean = raw.filter("_corrupt_record IS NULL").drop("_corrupt_record")
+            bad   = raw.filter("_corrupt_record IS NOT NULL")
+            ...  # materialize both side outputs here
+    """
+    df = read_csv_with_corrupt_capture(spark, path, schema_ddl, header=header)
+    try:
+        yield df
+    finally:
+        df.unpersist()

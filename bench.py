@@ -63,18 +63,47 @@ def main() -> None:
     # the wide-aggregate queries); the second run reflects steady-state
     # execution, which is what a long-lived cluster session sees.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             # noop sink: full evaluation of every output column, nothing
             # shipped to the driver.
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
+        # run-to-run spread (max-min over the 2 runs) — the variance signal
+        # that tells a regression from this box's measured drift (same-commit
+        # totals have swung 137s→198s across sessions)
+        spreads[name] = round(max(runs) - min(runs), 4)
 
     total = round(sum(timings.values()), 4)
+
+    # CANARY: a third measurement of a fixed cross-family subset, so every
+    # BENCH_r{N}.json carries an intra-session variance estimate alongside
+    # the best-of-2 table. [best_of_3, spread_of_3] per canary query.
+    canary_names = [
+        n
+        for n in (
+            "q1_pricing_summary",
+            "promo_revenue_share",
+            "table_profile",
+            "doc_tfidf_neighbors",
+            "supplier_pagerank",
+            "minhash_lsh_pairs",
+        )
+        if n in timings
+    ]
+    canary: dict[str, list[float]] = {}
+    for name in canary_names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        third = time.perf_counter() - t0
+        best3 = min(timings[name], third)
+        worst3 = max(timings[name] + spreads[name], third)
+        canary[name] = [round(best3, 4), round(worst3 - best3, 4)]
 
     # STREAM_BENCH: the stream_* drains are excluded from the latency table
     # (fixed micro-batch/checkpoint overhead would swamp query cost), but
@@ -108,6 +137,14 @@ def main() -> None:
                 "mean_query_seconds": round(total / max(len(timings), 1), 4),
                 "stream_bench": stream_bench,
                 "stream_input_rows": n_events,
+                # LAST keys on purpose: the driver preserves only the TAIL of
+                # this line, and `queries` is alphabetical — without this the
+                # slowest a–l queries would be invisible in BENCH_r{N}.json.
+                "canary_best3_spread": canary,
+                "top_12_slowest": [
+                    [n, timings[n], spreads[n]]
+                    for n in sorted(timings, key=timings.get, reverse=True)[:12]
+                ],
             }
         )
     )

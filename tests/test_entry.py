@@ -21,21 +21,103 @@ def test_every_query_has_registry_entry(spark):
     assert set(oracles).issubset(set(qs))
 
 
-def test_driver_window_rotation():
-    """The driver's correctness gate samples the FIRST 50 names of
-    queries(); pin that the round-3 window contains no already-proven
-    query (wasted slot) and at most the known rows-only entries."""
-    import json
-    import os
+def _unproven_names():
+    """Queries the rotation must front: failed, modified-since-proven, or
+    never driver-checked — computed from ALL CORRECTNESS_r*.json files on
+    disk (the same inputs ``registry._rotate_window`` uses), so the test
+    states the invariant rather than pinning any one round's snapshot."""
+    from aws_saas_etl_spark import registry
 
+    checked, failed = registry._correctness_status()
+    proven_fp = registry._proven_fingerprints()
+    current_fp = registry.query_fingerprints()
+    modified = {
+        n
+        for n in checked
+        if n in proven_fp and proven_fp[n] != current_fp.get(n, proven_fp[n])
+    }
+    return checked, failed, modified
+
+
+def test_driver_window_rotation_invariant():
+    """The driver's correctness gate samples the FIRST 50 names of
+    queries(). Invariants (stable across rounds, unlike window contents):
+
+    1. every previously-failed query leads the order;
+    2. no proven-and-unmodified query precedes an unproven one;
+    3. when the unproven backlog fits in the window, all of it is inside
+       the first-50 prefix (nothing waits an extra round).
+    """
     from aws_saas_etl_spark import registry
 
     names = list(registry.queries().keys())
-    window = names[:50]
+    checked, failed, modified = _unproven_names()
+    unproven = {n for n in names if n in failed or n in modified or n not in checked}
+
+    assert set(names[: len(failed)]) == failed, "failed queries must lead the window"
+
+    first_proven = next(
+        (i for i, n in enumerate(names) if n not in unproven), len(names)
+    )
+    tail_unproven = [n for n in names[first_proven:] if n in unproven]
+    assert not tail_unproven, f"unproven queries behind proven ones: {tail_unproven}"
+
+    if len(unproven) <= 50:
+        window = set(names[:50])
+        missing = sorted(unproven - window)
+        assert not missing, f"unproven queries outside the 50-query window: {missing}"
+
+
+def test_no_query_stays_driver_invisible():
+    """Every query registered ≥2 rounds ago (QUERY_ROUNDS.json, maintained
+    by tools/update_fingerprints.py) must have a driver CORRECTNESS row by
+    now — or, if the backlog ever exceeded the 50-query window, be inside
+    the CURRENT window so it is checked this round."""
+    import glob
+    import json
+    import os
+    import re
+
+    from aws_saas_etl_spark import registry
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "CORRECTNESS_r02.json")) as f:
-        r02 = json.load(f)
-    proven = {n for n, v in r02.items() if v.get("hash_match")}
-    assert not proven.intersection(window), "proven-green query wastes a window slot"
-    rows_only = [n for n in window if n not in registry.oracle_sql()]
-    assert rows_only == ["dedup_duplicate_clusters"]
+    corr = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    latest = max(
+        (int(m.group(1)) for p in corr if (m := re.search(r"_r0*(\d+)", p))),
+        default=0,
+    )
+    with open(os.path.join(repo, "QUERY_ROUNDS.json")) as f:
+        rounds = json.load(f)
+
+    checked, failed, _ = _unproven_names()
+    window = set(list(registry.queries().keys())[:50])
+    stale = sorted(
+        n
+        for n, first in rounds.items()
+        if n in registry.queries()
+        and first <= latest - 1
+        and n not in checked
+        and n not in failed
+        and n not in window
+    )
+    assert not stale, f"driver-invisible for ≥2 rounds and not queued: {stale}"
+
+
+def test_every_query_emits_only_scalar_columns(spark):
+    """The driver's value canonicalizer handles scalar columns; an
+    array/map/struct output column crashed it in round 2
+    (dedup_duplicate_clusters). Pin fleet-wide that no registered query —
+    including rows-only ones — exposes a nested type. Schema-only: builds
+    each DataFrame lazily, executes nothing."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from aws_saas_etl_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    offenders = []
+    for name, fn in registry.queries().items():
+        schema = fn(spark, SF_SMOKE).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"nested output columns: {offenders}"

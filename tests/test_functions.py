@@ -190,3 +190,46 @@ def test_supplier_pagerank_invariants(spark):
     )
     ranks = {r.node: float(r.rank) for r in pagerank(edges).collect()}
     assert ranks[1] > ranks[2]
+
+
+def test_pagerank_tol_early_exit_and_lean_join_equivalence(spark):
+    """tol-mode stops early at the requested precision (result close to the
+    deep-budget fixpoint but computed with fewer rounds), and the
+    all_nodes_have_in_edges fast path returns byte-identical ranks to the
+    generic dangling-safe path on a graph where the guarantee holds."""
+    from aws_saas_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0)],
+        "src BIGINT, dst BIGINT, weight DOUBLE",
+    )
+    deep = {r.node: float(r.rank) for r in
+            pagerank(edges, iters=60, all_nodes_have_in_edges=True).collect()}
+    tol = {r.node: float(r.rank) for r in
+           pagerank(edges, iters=60, tol=1e-3, all_nodes_have_in_edges=True).collect()}
+    assert deep[2] > deep[1] == deep[3] > 0
+    # stopped early (fewer rounds -> different, still-converging values) ...
+    assert tol != deep
+    # ... but within the geometric tail bound of the requested tolerance
+    assert all(abs(tol[n] - deep[n]) < 2e-2 for n in deep)
+
+    lean = {r.node: float(r.rank) for r in
+            pagerank(edges, iters=6, all_nodes_have_in_edges=True).collect()}
+    generic = {r.node: float(r.rank) for r in pagerank(edges, iters=6).collect()}
+    assert lean == generic
+
+
+def test_pagerank_iters_resolved_at_call_time(spark, monkeypatch):
+    """Regression: iters defaulted via `iters=PR_ITERS` in the signature
+    once bound the value at def time, silently ignoring PR_ITERS edits —
+    which is how an earlier convergence measurement went wrong."""
+    from aws_saas_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 2, 1.0)],
+        "src BIGINT, dst BIGINT, weight DOUBLE",
+    )
+    r_default = {r.node: float(r.rank) for r in graph.pagerank(edges).collect()}
+    monkeypatch.setattr(graph, "PR_ITERS", 40)
+    r_forty = {r.node: float(r.rank) for r in graph.pagerank(edges).collect()}
+    assert r_default != r_forty  # deeper budget must actually change values

@@ -50,18 +50,25 @@ def test_attach_and_extract_features(spark):
     assert feats[3]["crc32"] == zlib.crc32(b"zzzz")
 
 
-def test_phash_band_pigeonhole(spark):
+import pytest
+
+
+@pytest.mark.parametrize("sf_fixture", ["smoke", "correctness"])
+def test_phash_band_pigeonhole(spark, sf_fixture):
     """Two payloads whose dHashes differ in ≤16 bits MUST share at least
     one 16-bit band (pigeonhole over 4 bands); identical payloads share
-    all 4. Also pins determinism: same payload → same dhash."""
+    all 4. Also pins determinism: same payload → same dhash. Runs at BOTH
+    sf0.001 and sf0.01 — the driver checks this query at sf0.01, so the
+    property is pinned at the exact scale the driver sees."""
     from aws_saas_etl_spark.operators.multimodal import multimodal_phash_buckets
-    from tests.conftest import SF_SMOKE
+    from tests.conftest import SF_CORRECTNESS, SF_SMOKE
 
-    rows = multimodal_phash_buckets(spark, SF_SMOKE).collect()
+    sf = SF_SMOKE if sf_fixture == "smoke" else SF_CORRECTNESS
+    rows = multimodal_phash_buckets(spark, sf).collect()
     assert len(rows) > 0
     by_id = {r["doc_id"]: r for r in rows}
     # determinism across a second run
-    rows2 = multimodal_phash_buckets(spark, SF_SMOKE).collect()
+    rows2 = multimodal_phash_buckets(spark, sf).collect()
     assert {r["doc_id"]: r["dhash"] for r in rows2} == {
         r["doc_id"]: r["dhash"] for r in rows
     }

@@ -179,3 +179,29 @@ def test_hll_merge_self_audit(spark):
     assert "__ALL__" in scopes and len(scopes) >= 2
     for r in rows:
         assert r.rel_error < 0.05, (r.scope, r.rel_error)
+
+
+def test_label_principal_axis_orthogonal_start_fallback():
+    """If the data span is orthogonal to e_0 (first coordinate identically
+    zero after centering), the kernel must fall back to an in-span start
+    and still return the true principal axis, not e_0."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_saas_etl_spark.operators.similarity import principal_axis_kernel
+
+    # variance only along dimension 1; coordinate 0 constant -> xc @ e0 == 0
+    pdf = pd.DataFrame(
+        {
+            "label": [0] * 4,
+            "embedding": [np.array([5.0, v, 0.0, 0.0]) for v in (-3, -1, 1, 3)],
+        }
+    )
+    out = principal_axis_kernel(pdf)
+    axis = np.array([float(c) for c in out["axis"].iloc[0].split(",")])
+    assert abs(abs(axis[1]) - 1.0) < 1e-6  # principal axis is ±e_1
+    assert abs(axis[0]) < 1e-6
+    assert out["explained_variance"].iloc[0] > 0
+    # sign normalization: first nonzero component positive
+    nz = axis[np.abs(axis) > 1e-12]
+    assert nz[0] > 0
