@@ -1,0 +1,309 @@
+"""LLM-training-data curation operators (SURVEY §2b extensions, round 4).
+
+The steps a pretraining-data pipeline runs BETWEEN raw dedup and
+tokenization, each as a driver-checkable query:
+
+- ``dedup_canonical_keep_best``  — near-dup clusters → one canonical doc
+  per cluster chosen by quality (longest), not just min-id: the actual
+  "which copy survives" policy of C4/RefinedWeb-style dedup.
+- ``corpus_shuffle_assignment``  — deterministic global shuffle: every doc
+  gets a (shard, position) from a salted hash, reproducible at any
+  parallelism — the replacement for ``rand()``-ordered training data.
+- ``corpus_ngram_diversity``     — distinct/total n-gram ratios (n=1..3):
+  the corpus-diversity health metric memorization studies track.
+- ``doc_bigram_logprob``         — CCNet-style LM quality score: mean
+  negative log-prob of each doc under the corpus's own pruned bigram LM
+  with unigram backoff.
+- ``embedding_semdedup_prune``   — SemDeDup (Abbas et al. 2023): cluster
+  embeddings, drop near-duplicate vectors within each cluster, report
+  per-cluster keep rates.
+
+All five are driver-checked against full DuckDB oracle twins — including
+the connected-components step of keep-best, whose oracle computes the
+transitive closure with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
+from aws_saas_etl_spark.functions import num as N
+from aws_saas_etl_spark.functions import text as T
+
+# Deterministic-shuffle parameters: the salt versions the permutation (a
+# new salt = a fresh epoch order); 16 shards keeps the fixture demo
+# readable — production sizes this to (corpus bytes / target file size).
+SHUFFLE_SALT = "shuffle-v1"
+SHUFFLE_SHARDS = 16
+
+# n-gram diversity is reported for n = 1..DIVERSITY_MAX_N
+DIVERSITY_MAX_N = 3
+
+# Stupid-backoff weight for bigrams pruned out of the LM (Brants et al.
+# 2007 use 0.4; not a tuned quantity).
+BACKOFF_LAMBDA = 0.4
+
+# SemDeDup within-cluster similarity threshold: reuse the repo-wide
+# fixture-calibrated near-dup cosine (real corpora run ~0.95+).
+from aws_saas_etl_spark.operators.similarity import (  # noqa: E402
+    K_CENTROIDS,
+    NEARDUP_COS_MIN,
+    cosine,
+)
+
+
+def dedup_canonical_keep_best(spark, sf_dir: str) -> DataFrame:
+    """Canonical-document selection over near-duplicate clusters: n-gram
+    Jaccard pairs (the oracle-expressible candidate generator) → connected
+    components → per cluster keep the HIGHEST-QUALITY member (longest
+    ``n_chars``, ties to the smallest doc_id) instead of blindly the
+    min-id — the policy that decides which bytes actually reach training.
+
+    Scale: pair generation is blocked + triangle-partitioned
+    (``bounded_self_pairs``), CC is the checkpointed min-label loop, and
+    the keep-best choice is one window over cluster members (cluster
+    cardinality ≈ dup-group size, never corpus size).
+
+    Oracle: the ENTIRE chain is SQL-expressible — DuckDB computes the
+    same components via a recursive-CTE transitive closure — so unlike
+    ``dedup_duplicate_clusters`` (hash-seeded LSH upstream) this query is
+    hash-checked, freezing the cluster semantics the LSH path
+    approximates.
+    """
+    from aws_saas_etl_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "n_chars")
+    members = comp.join(docs, comp["node"] == docs["doc_id"]).select(
+        "comp", "node", "n_chars"
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), F.asc("node"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("node"))).alias("keeper_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("keeper_chars"),
+            F.sum(
+                F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("dropped_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def corpus_shuffle_assignment(spark, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into numbered shards
+    with a stable position inside each shard.
+
+    ``rand()`` ordering is irreproducible across retries/partitionings;
+    instead each doc's order key is ``md5(salt:doc_id)`` — a fixed
+    pseudorandom permutation. ``shard`` (top 32 bits mod SHUFFLE_SHARDS)
+    is the write-partition key; ``pos`` is a row_number per shard over
+    the hash order.
+
+    Scale: one shuffle on ``shard`` (uniform by construction — hash top
+    bits), per-shard sort for the position — exactly the plan of a
+    range-partitioned training-data write. Epoch re-shuffles are a salt
+    bump, not a data move of the source.
+    """
+    docs = load_tables(spark, sf_dir).documents.where(F.col("doc_id").isNotNull())
+    key = F.md5(
+        F.concat_ws(":", F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))
+    )
+    keyed = docs.select("doc_id", key.alias("shuffle_key"))
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("bigint")
+        % SHUFFLE_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shuffle_key", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+def _grams(tk, n: int):
+    """Space-joined word n-grams WITHOUT dedup (diversity needs totals);
+    same construction as dedup.shingles minus the array_distinct."""
+    if n == 1:
+        return tk
+    size = F.size(tk)
+    idx = F.sequence(F.lit(0), size - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def corpus_ngram_diversity(spark, sf_dir: str) -> DataFrame:
+    """Corpus n-gram diversity for n = 1..3: total occurrences, distinct
+    forms, and the distinct/total ratio (type-token ratio at n=1) — the
+    repetitiveness health metric tracked before a pretraining run.
+
+    Scale shape: the token arrays are materialized ONCE (checkpoint
+    barrier — the same measured fix as minhash/tf-idf: without it each
+    n's branch re-runs the tokenizer), then one union of three
+    explode→(n, gram) branches feeds a single count/count-distinct
+    aggregate keyed by n.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    toks = docs.select(T.tokens("text").alias("tk")).localCheckpoint()
+    parts = [
+        toks.select(
+            F.lit(n).alias("n"), F.explode(_grams(F.col("tk"), n)).alias("gram")
+        )
+        for n in range(1, DIVERSITY_MAX_N + 1)
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return (
+        unioned.groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.countDistinct("gram").alias("distinct_ngrams"),
+        )
+        .select(
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            N.dround(
+                F.col("distinct_ngrams").cast("double") / F.col("total_ngrams"), 6
+            ).alias("diversity"),
+        )
+        .orderBy("n")
+    )
+
+
+def doc_bigram_logprob(spark, sf_dir: str) -> DataFrame:
+    """Per-document LM quality score under the corpus's own bigram model:
+    mean −ln P(w2|w1), where P is the conditional probability for bigrams
+    that survive the LM's min-count pruning (``BIGRAM_MIN_COUNT``, the
+    same cutoff as ``corpus_bigram_lm``) and backs off to
+    ``BACKOFF_LAMBDA · P_unigram(w2)`` for pruned ones — the CCNet-style
+    perplexity filter that separates fluent text from gibberish.
+
+    Scale shape: ONE explode builds bigram positions (checkpointed —
+    three consumers: LM counts, context counts, the scoring join); the
+    unigram table and scalar token total broadcast; all joins are
+    token-keyed. The final per-doc mean accumulates in decimal.
+    """
+    from aws_saas_etl_spark.operators.textops import BIGRAM_MIN_COUNT
+
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    tk = T.tokens("text")
+    n = F.size("tk")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("tk", 1, n - 1),
+            F.slice("tk", 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    base = (
+        docs.select("doc_id", tk.alias("tk"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint()
+    )
+    lm = (
+        base.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= BIGRAM_MIN_COUNT)
+    )
+    ctx = base.groupBy(F.col("w1").alias("cw")).agg(F.count(F.lit(1)).alias("c1"))
+    uni = (
+        docs.select(F.explode(tk).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = docs.select(F.explode(tk).alias("t")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    p_cond = F.col("c12").cast("double") / F.col("c1")
+    p_backoff = F.lit(BACKOFF_LAMBDA) * (
+        F.col("cu").cast("double") / F.col("n_total")
+    )
+    p = F.when(F.col("c12").isNotNull(), p_cond).otherwise(p_backoff)
+    return (
+        base.join(lm, ["w1", "w2"], "left")
+        .join(ctx, F.col("w1") == F.col("cw"))
+        .join(uni, F.col("w2") == F.col("token"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            N.davg_rounded(-F.log(p), 6).alias("mean_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def embedding_semdedup_prune(spark, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding corpus, then inside each cluster drop every vector that has
+    a more-canonical near-duplicate (cosine ≥ threshold, keep the lower
+    vec_id). Reports per-cluster counts and keep rate — the dedup budget
+    summary a curation run publishes.
+
+    Scale: the k-row codebook broadcasts; pair generation runs ONLY
+    within a cluster and through ``bounded_self_pairs`` (triangle
+    partitioning), so a giant cluster becomes bounded tasks instead of a
+    single hot join key — pair space is Σ cluster² bounded per task, the
+    whole point of clustering before pairing (vs the corpus-wide O(n²)).
+    """
+    from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
+
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    cents = emb.where(F.col("vec_id") < K_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    sim = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "centroid_id", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    pairs = bounded_self_pairs(assigned, ["centroid_id"], "vec_id", ["embedding"])
+    near = pairs.select(
+        "centroid_id",
+        F.col("vec_id_b").alias("vec_id"),
+        F.round(cosine(F.col("embedding_a"), F.col("embedding_b")), 6).alias("cs"),
+    ).where(F.col("cs") >= NEARDUP_COS_MIN)
+    dropped = near.select("centroid_id", "vec_id").distinct()
+    sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    drops = dropped.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        sizes.join(drops, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "n_vectors",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            N.dround(
+                (F.col("n_vectors") - F.coalesce(F.col("n_dropped"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n_vectors"),
+                6,
+            ).alias("keep_rate"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -2321,3 +2321,229 @@ DOC_SENTENCE_STATS_SQL = f"""
     FROM c
     ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Round 4: LLM-data curation twins (operators/curation.py)
+# --------------------------------------------------------------------------
+
+
+def _canonical_keep_best_sql() -> str:
+    """Transitive closure via recursive CTE — the SQL twin of the Spark
+    side's iterative connected components (same n-gram Jaccard pair set as
+    NGRAM_JACCARD_SQL, same keep-longest policy)."""
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {toks('text')} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, lang, {_SHINGLES} AS sh, len(tk) // {LENGTH_BUCKET} AS lb
+        FROM t
+    ),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb
+                           AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                    6) >= 0.4
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION ALL
+        SELECT doc_b, doc_a FROM prs
+    ),
+    reach(node, x) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    comp AS (SELECT node, min(x) AS comp FROM reach GROUP BY node),
+    m AS (
+        SELECT c.comp, c.node, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    ranked AS (
+        SELECT comp, node, n_chars,
+               row_number() OVER (
+                   PARTITION BY comp ORDER BY n_chars DESC, node ASC
+               ) AS rn
+        FROM m
+    )
+    SELECT comp AS cluster_id,
+           count(*) AS n_members,
+           max(CASE WHEN rn = 1 THEN node END) AS keeper_doc_id,
+           max(CASE WHEN rn = 1 THEN n_chars END) AS keeper_chars,
+           CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS dropped_chars
+    FROM ranked GROUP BY comp ORDER BY cluster_id
+"""
+
+
+DEDUP_CANONICAL_KEEP_BEST_SQL = _canonical_keep_best_sql()
+
+
+def _shuffle_assignment_sql() -> str:
+    from aws_saas_etl_spark.operators.curation import SHUFFLE_SALT, SHUFFLE_SHARDS
+
+    return f"""
+    WITH k AS (
+        SELECT doc_id,
+               md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents WHERE doc_id IS NOT NULL
+    ),
+    s AS (
+        SELECT doc_id, shuffle_key,
+               CAST(('0x' || substr(shuffle_key, 1, 8))::BIGINT
+                    % {SHUFFLE_SHARDS} AS INT) AS shard
+        FROM k
+    )
+    SELECT doc_id, shuffle_key, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY shuffle_key, doc_id
+           ) AS INT) AS pos
+    FROM s ORDER BY shard, pos
+"""
+
+
+CORPUS_SHUFFLE_ASSIGNMENT_SQL = _shuffle_assignment_sql()
+
+
+def _ngram_diversity_sql() -> str:
+    from aws_saas_etl_spark.operators.curation import DIVERSITY_MAX_N
+
+    branches = ["SELECT 1 AS n, unnest(tk) AS gram FROM t"]
+    for n in range(2, DIVERSITY_MAX_N + 1):
+        parts = ", ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(n))
+        branches.append(
+            f"SELECT {n}, unnest(list_transform("
+            f"generate_series(1, greatest(len(tk) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', {parts}))) FROM t"
+        )
+    union = "\n      UNION ALL\n      ".join(branches)
+    return f"""
+    WITH t AS (SELECT {toks('text')} AS tk FROM documents WHERE {DOC_DROPNA}),
+    g AS (
+      {union}
+    )
+    SELECT n,
+           count(*) AS total_ngrams,
+           count(DISTINCT gram) AS distinct_ngrams,
+           {dround_sql('CAST(count(DISTINCT gram) AS DOUBLE) / count(*)', 6)}
+               AS diversity
+    FROM g GROUP BY n ORDER BY n
+"""
+
+
+CORPUS_NGRAM_DIVERSITY_SQL = _ngram_diversity_sql()
+
+
+def _doc_bigram_logprob_sql() -> str:
+    from aws_saas_etl_spark.operators.curation import BACKOFF_LAMBDA
+    from aws_saas_etl_spark.operators.textops import BIGRAM_MIN_COUNT
+
+    return f"""
+    WITH t AS (SELECT doc_id, {toks('text')} AS tk FROM documents
+               WHERE {DOC_DROPNA}),
+    bg AS (
+        SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+                   THEN list_transform(range(1, len(tk)),
+                        i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))
+                   ELSE [] END) AS g
+        FROM t
+    ),
+    prs AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM bg),
+    lm AS (
+        SELECT w1, w2, count(*) AS c12 FROM prs GROUP BY w1, w2
+        HAVING count(*) >= {BIGRAM_MIN_COUNT}
+    ),
+    ctx AS (SELECT w1 AS cw, count(*) AS c1 FROM prs GROUP BY w1),
+    uni AS (SELECT unnest(tk) AS token FROM t),
+    unic AS (SELECT token, count(*) AS cu FROM uni GROUP BY token),
+    tot AS (SELECT count(*) AS n_total FROM uni),
+    scored AS (
+        SELECT p.doc_id,
+               CASE WHEN lm.c12 IS NOT NULL
+                    THEN CAST(lm.c12 AS DOUBLE) / ctx.c1
+                    ELSE {BACKOFF_LAMBDA} * (CAST(unic.cu AS DOUBLE) / tot.n_total)
+               END AS prob
+        FROM prs p
+        LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+        JOIN ctx ON p.w1 = ctx.cw
+        JOIN unic ON p.w2 = unic.token
+        CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           {davg_sql('-ln(prob)', 6)} AS mean_neg_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+DOC_BIGRAM_LOGPROB_SQL = _doc_bigram_logprob_sql()
+
+
+def _semdedup_sql() -> str:
+    from aws_saas_etl_spark.operators.similarity import (
+        K_CENTROIDS,
+        NEARDUP_COS_MIN,
+    )
+
+    def _pair_dot(x: str, y: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, len({x})), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)), 'sum')"
+        )
+
+    dot_ab = _pair_dot("a.embedding", "b.embedding")
+    norm_a = f"sqrt({_pair_dot('a.embedding', 'a.embedding')})"
+    norm_b = f"sqrt({_pair_dot('b.embedding', 'b.embedding')})"
+    return f"""
+    WITH c AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+        WHERE vec_id < {K_CENTROIDS}
+    ),
+    v AS (SELECT vec_id, embedding AS q_emb FROM embeddings),
+    sims AS (
+        SELECT vec_id, centroid_id,
+               round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 6) AS cos_sim
+        FROM v CROSS JOIN c
+    ),
+    best AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id
+            ) AS rn FROM sims
+        ) WHERE rn = 1
+    ),
+    assigned AS (
+        SELECT b.vec_id, b.centroid_id, e.embedding
+        FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+    ),
+    pr AS (
+        SELECT a.centroid_id, b.vec_id AS dropped_vec,
+               round({dot_ab} / ({norm_a} * {norm_b}), 6) AS cs
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT centroid_id, dropped_vec FROM pr
+        WHERE cs >= {NEARDUP_COS_MIN}
+    ),
+    sizes AS (
+        SELECT centroid_id, count(*) AS n_vectors FROM assigned
+        GROUP BY centroid_id
+    ),
+    drops AS (
+        SELECT centroid_id, count(*) AS n_dropped FROM dropped
+        GROUP BY centroid_id
+    )
+    SELECT s.centroid_id, s.n_vectors,
+           coalesce(d.n_dropped, 0) AS n_dropped,
+           {dround_sql(
+               'CAST(s.n_vectors - coalesce(d.n_dropped, 0) AS DOUBLE)'
+               ' / s.n_vectors', 6)} AS keep_rate
+    FROM sizes s LEFT JOIN drops d USING (centroid_id)
+    ORDER BY s.centroid_id
+"""
+
+
+EMBEDDING_SEMDEDUP_SQL = _semdedup_sql()

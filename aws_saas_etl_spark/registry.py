@@ -663,6 +663,41 @@ register("doc_sentence_stats", textops.doc_sentence_stats, oracles.DOC_SENTENCE_
 
 
 # --------------------------------------------------------------------------
+# Round 4: LLM-data curation (operators/curation.py) — all oracle-backed,
+# including the connected-components chain (recursive-CTE closure twin)
+# --------------------------------------------------------------------------
+
+from aws_saas_etl_spark.operators import curation  # noqa: E402
+
+register(
+    "dedup_canonical_keep_best",
+    curation.dedup_canonical_keep_best,
+    oracles.DEDUP_CANONICAL_KEEP_BEST_SQL,
+)
+register(
+    "corpus_shuffle_assignment",
+    curation.corpus_shuffle_assignment,
+    oracles.CORPUS_SHUFFLE_ASSIGNMENT_SQL,
+)
+register(
+    "corpus_ngram_diversity",
+    curation.corpus_ngram_diversity,
+    oracles.CORPUS_NGRAM_DIVERSITY_SQL,
+)
+register(
+    "doc_bigram_logprob", curation.doc_bigram_logprob, oracles.DOC_BIGRAM_LOGPROB_SQL
+)
+register(
+    "embedding_semdedup_prune",
+    curation.embedding_semdedup_prune,
+    oracles.EMBEDDING_SEMDEDUP_SQL,
+)
+# append-mode top-k needs the sink-then-serve pattern -> rows-only;
+# stream==batch equivalence pinned in tests/test_streaming.py
+register("stream_topk_trending", runners.stream_topk_trending, None)
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (self-maintaining).
 #
 # The driver's per-round correctness gate checks the FIRST 50 names in

@@ -201,3 +201,36 @@ def stream_click_unmatched(spark, sf_dir: str) -> DataFrame:
     return _drain(
         P.click_attribution_with_unmatched(_stream(spark, sf_dir)), "append"
     )
+
+
+TRENDING_TOP_K = 3
+
+
+def stream_topk_trending(spark, sf_dir: str) -> DataFrame:
+    """Streaming trending summary: watermarked tumbling-hour per-type
+    counts drained availableNow, then a BATCH rank picks the top-K event
+    types per closed window — the "sink then serve" top-k pattern. A rank
+    over a streaming aggregate is not expressible in append mode (the
+    window's winner isn't known until the watermark closes it), so the
+    ranking runs on the materialized sink exactly as a serving layer
+    would; the streaming side stays a bounded-state windowed aggregate.
+    """
+    from pyspark.sql import Window
+
+    drained = _drain(P.hourly_stats(_stream(spark, sf_dir)), "append")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        drained.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TRENDING_TOP_K)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "rank",
+        )
+        .orderBy("window_start", "rank")
+    )

@@ -330,3 +330,44 @@ def test_stream_checkpoint_restart_resumes_state(spark, tmp_path):
     want = spark.read.parquet(ref_out).collect()
     assert sorted(tuple(r) for r in resumed) == sorted(tuple(r) for r in want)
     assert len(resumed) > len(first), "restart must emit the newly closed windows"
+
+
+def test_stream_topk_trending_matches_batch(spark):
+    """The sink-then-serve top-k (streaming drain + batch rank) must equal
+    the pure-batch top-k over the same events: same hourly counts, same
+    (n_events desc, event_type asc) tie-break, top-3 per window."""
+    from aws_saas_etl_spark.streaming.runners import (
+        TRENDING_TOP_K,
+        stream_topk_trending,
+    )
+
+    got = [
+        (r.window_start, r.event_type, r.n_events, r.rank)
+        for r in stream_topk_trending(spark, SF).collect()
+    ]
+
+    batch = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    rk = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.rank)
+        for r in batch.withColumn("rank", F.row_number().over(rk))
+        .where(F.col("rank") <= TRENDING_TOP_K)
+        .collect()
+    }
+    # Append mode only emits windows the final watermark closed, so the
+    # stream result is a PREFIX of the batch windows — every emitted
+    # (window, type) must carry the exact batch count and rank.
+    assert len(got) > 0
+    for ws, et, n, rank in got:
+        assert want[(ws, et)] == (n, rank)
