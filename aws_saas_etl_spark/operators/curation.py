@@ -281,6 +281,11 @@ def embedding_semdedup_prune(spark, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
+        # materialize the assignment ONCE: three consumers (pair
+        # generation's count+annotate sides and the cluster sizes) would
+        # otherwise each re-run the broadcast-assign + window subtree
+        # (audited 15 shuffles / 10 scans without the barrier; 5 / 2 with)
+        .localCheckpoint()
     )
     pairs = bounded_self_pairs(assigned, ["centroid_id"], "vec_id", ["embedding"])
     near = pairs.select(

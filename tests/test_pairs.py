@@ -77,3 +77,70 @@ def test_bounded_pairs_payloads_swap_with_ids(spark):
         assert r.rid_a < r.rid_b
         assert r.nm_a == f"name_{r.rid_a}"
         assert r.nm_b == f"name_{r.rid_b}"
+
+
+def test_prefix_filtered_jaccard_matches_quadratic_reference(spark):
+    """The prefix-filter candidate generator (dedup._prefix_candidates)
+    must be a lossless rewrite: ngram_jaccard_pairs' output on the smoke
+    fixture must equal the NAIVE quadratic blocked join's output computed
+    inline — every (doc_a, doc_b, jaccard) identical."""
+    from aws_saas_etl_spark.functions import text as T
+    from aws_saas_etl_spark.operators.dedup import (
+        LENGTH_BUCKET,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+    from aws_saas_etl_spark.catalog import load_tables
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r.doc_a, r.doc_b): (r.lang, r.jaccard)
+        for r in ngram_jaccard_pairs(spark, SF_SMOKE).collect()
+    }
+
+    docs = load_tables(spark, SF_SMOKE).documents
+    sh_hashed = F.array_sort(
+        F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))
+    )
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        sh_hashed.alias("sh"),
+        (T.token_count("text").cast("int") / F.lit(LENGTH_BUCKET))
+        .cast("int")
+        .alias("lb"),
+    ).withColumn("sz", F.size("sh"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang"),
+        F.col("lb").alias("lb"),
+        F.col("sh").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("lb").alias("lb_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    naive = (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("lb") == F.col("lb_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.4)
+    )
+    want = {(r.doc_a, r.doc_b): (r.lang, r.jaccard) for r in naive.collect()}
+    assert len(want) > 0
+    assert got == want

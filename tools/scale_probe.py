@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: how do the 100 TB-critical operators scale
+with corpus size?
+
+Builds 1×/2×/4×/8× copies of the sf0.1 ``documents`` and ``embeddings``
+tables (ids offset per copy; text character-translated and embeddings
+sign-masked per copy so cross-copy rows are NOT near-duplicates — the
+probe measures data growth, not duplicate-pair blowup), stages them next
+to symlinks of the untouched tables, and times a representative operator
+set at each scale (best of 2 noop-sink runs).
+
+Output: one markdown table (written to SCALE.md with --write) with the
+per-operator fitted scaling exponent α from t(s) ≈ t(1)·s^α over the
+largest scale step — α ≈ 1 is the linear behavior the 100 TB design
+claims; α ≈ 2 would flag a quadratic operator.
+
+Usage:
+    python tools/scale_probe.py [--write] [--scales 1,2,4,8]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ID_STRIDE = 10_000_000
+
+# (name, callable path) — chosen to cover the scale-critical families:
+# hash-groupBy dedup, LSH banding, bounded exact pairs, inverted-index
+# ANN, cluster-then-prune, plus a map-only control.
+PROBES = [
+    ("doc_quality_scores (map-only control)", "textops", "doc_quality_scores"),
+    ("exact_dedup_groups", "dedup", "exact_dedup_groups"),
+    ("minhash_lsh_pairs", "dedup", "minhash_lsh_pairs"),
+    ("ngram_jaccard_pairs", "dedup", "ngram_jaccard_pairs"),
+    ("doc_tfidf_neighbors", "textops", "doc_tfidf_neighbors"),
+    ("corpus_ngram_diversity", "curation", "corpus_ngram_diversity"),
+    ("embedding_semdedup_prune", "curation", "embedding_semdedup_prune"),
+]
+
+# per-copy character translation: rewrites every token, so copies are not
+# near-duplicates of each other (shingle sets disjoint across copies)
+_ROTS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio", "bcdfg", "cdfgb", "dfgbc"]
+
+
+def stage(spark, scale: int) -> str:
+    """documents+embeddings at ``scale``× with per-copy perturbation;
+    all other tables symlinked unscaled."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_etl_spark.catalog import TABLES, load_table, table_path
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"scale_probe_{os.getpid()}_{scale}x"
+    )
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out)
+    docs = load_table(spark, BASE_SF, "documents")
+    emb = load_table(spark, BASE_SF, "embeddings")
+    d_parts = []
+    e_parts = []
+    for i in range(scale):
+        d_parts.append(
+            docs.select(
+                (F.col("doc_id") + ID_STRIDE * i).alias("doc_id"),
+                F.translate("text", _ROTS[0], _ROTS[i % len(_ROTS)]).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        # Walsh-Hadamard sign mask per copy: flip dim j iff popcount(j & i)
+        # is odd. Masks of distinct copies are mutually orthogonal, so
+        # cross-copy cosines stay near zero — no artificial duplicate
+        # pairs inflating the semdedup probe (i = 0 is the identity mask).
+        copy = i
+        e_parts.append(
+            emb.select(
+                (F.col("vec_id") + ID_STRIDE * i).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, j, c=copy: x
+                    * F.when(
+                        F.bit_count(j.bitwiseAND(F.lit(c))) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    d = d_parts[0]
+    for p in d_parts[1:]:
+        d = d.unionByName(p)
+    e = e_parts[0]
+    for p in e_parts[1:]:
+        e = e.unionByName(p)
+    d.repartition(max(4, 4 * scale)).write.parquet(table_path(out, "documents"))
+    e.repartition(max(4, 4 * scale)).write.parquet(table_path(out, "embeddings"))
+    for t in TABLES:
+        if t not in ("documents", "embeddings"):
+            os.symlink(table_path(BASE_SF, t), table_path(out, t))
+    return out
+
+
+def main() -> None:
+    write = "--write" in sys.argv
+    scales = [1, 2, 4, 8]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    from aws_saas_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import importlib
+
+    dirs = {s: stage(spark, s) for s in scales}
+    results: dict[str, dict[int, float]] = {}
+    for label, mod_name, fn_name in PROBES:
+        mod = importlib.import_module(f"aws_saas_etl_spark.operators.{mod_name}")
+        fn = getattr(mod, fn_name)
+        results[label] = {}
+        for s in scales:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, dirs[s]).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            results[label][s] = round(best, 2)
+            print(f"{label} @ {s}x: {best:.2f}s", flush=True)
+
+    lines = [
+        "# SCALE — measured operator scaling (sf0.1 base, perturbed copies)",
+        "",
+        "Generated by `tools/scale_probe.py`. α is the fitted exponent of",
+        "t(s) ≈ t(1)·s^α over the largest probed step — α ≈ 1 is linear",
+        "scaling; the map-only control shows the fixed-overhead floor of",
+        "this box (per-stage scheduling cost local[32] pays regardless of",
+        "data volume, which disappears into data time at cluster scale).",
+        "",
+        "| operator | " + " | ".join(f"{s}× (s)" for s in scales) + " | α |",
+        "|---|" + "---|" * (len(scales) + 1),
+    ]
+    s_lo, s_hi = scales[0], scales[-1]
+    for label, ts in results.items():
+        alpha = math.log(ts[s_hi] / ts[s_lo]) / math.log(s_hi / s_lo)
+        row = " | ".join(f"{ts[s]:.2f}" for s in scales)
+        lines.append(f"| {label} | {row} | {alpha:.2f} |")
+    out = "\n".join(lines) + "\n"
+    print(out)
+    if write:
+        with open(os.path.join(REPO, "SCALE.md"), "w") as f:
+            f.write(out)
+        print("wrote SCALE.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
