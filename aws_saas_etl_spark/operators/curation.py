@@ -48,7 +48,6 @@ BACKOFF_LAMBDA = 0.4
 # SemDeDup within-cluster similarity threshold: reuse the repo-wide
 # fixture-calibrated near-dup cosine (real corpora run ~0.95+).
 from aws_saas_etl_spark.operators.similarity import (  # noqa: E402
-    K_CENTROIDS,
     NEARDUP_COS_MIN,
     cosine,
 )
@@ -253,6 +252,27 @@ def doc_bigram_logprob(spark, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_MIN_K = 8
+SEMDEDUP_MAX_K = 4096
+
+
+def semdedup_k(n_rows: int) -> int:
+    """Codebook size for SemDeDup: ⌊√n⌋ clamped to [8, 4096].
+
+    A FIXED k makes within-cluster pair space quadratic — the scale probe
+    measured 2.4 s → 22.3 s from 1× to 8× (α > 1, the only super-linear
+    operator in the fleet) with k=8. k = √n balances the two cost terms:
+    flat assignment is n·k = n^1.5 and within-cluster pairs are
+    Σ(n/k)²·k = n²/k = n^1.5 — the best a single-level codebook can do.
+    (Production SemDeDup at 100 TB takes the next rung: k ∝ n with
+    HIERARCHICAL assignment — coarse cells then fine — which this
+    operator's cap documents rather than fakes.) Uses floor(sqrt())
+    double math, bit-identical to the oracle's SQL floor(sqrt())."""
+    import math
+
+    return max(SEMDEDUP_MIN_K, min(SEMDEDUP_MAX_K, math.floor(math.sqrt(n_rows))))
+
+
 def embedding_semdedup_prune(spark, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding corpus, then inside each cluster drop every vector that has
@@ -260,16 +280,19 @@ def embedding_semdedup_prune(spark, sf_dir: str) -> DataFrame:
     vec_id). Reports per-cluster counts and keep rate — the dedup budget
     summary a curation run publishes.
 
-    Scale: the k-row codebook broadcasts; pair generation runs ONLY
-    within a cluster and through ``bounded_self_pairs`` (triangle
-    partitioning), so a giant cluster becomes bounded tasks instead of a
-    single hot join key — pair space is Σ cluster² bounded per task, the
-    whole point of clustering before pairing (vs the corpus-wide O(n²)).
+    Scale: the codebook (√n rows — see :func:`semdedup_k`) broadcasts;
+    pair generation runs ONLY within a cluster and through
+    ``bounded_self_pairs`` (triangle partitioning), so a giant cluster
+    becomes bounded tasks instead of a single hot join key — total pair
+    space n^1.5, vs n²/k for any fixed k and corpus-wide O(n²) without
+    clustering. The sizing count is a driver-side scalar (the same
+    accepted pattern as the LSH/CC sizing probes).
     """
     from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
 
     emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
-    cents = emb.where(F.col("vec_id") < K_CENTROIDS).select(
+    k = semdedup_k(emb.count())
+    cents = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
     sim = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)

@@ -2482,10 +2482,11 @@ DOC_BIGRAM_LOGPROB_SQL = _doc_bigram_logprob_sql()
 
 
 def _semdedup_sql() -> str:
-    from aws_saas_etl_spark.operators.similarity import (
-        K_CENTROIDS,
-        NEARDUP_COS_MIN,
+    from aws_saas_etl_spark.operators.curation import (
+        SEMDEDUP_MAX_K,
+        SEMDEDUP_MIN_K,
     )
+    from aws_saas_etl_spark.operators.similarity import NEARDUP_COS_MIN
 
     def _pair_dot(x: str, y: str) -> str:
         return (
@@ -2496,10 +2497,18 @@ def _semdedup_sql() -> str:
     dot_ab = _pair_dot("a.embedding", "b.embedding")
     norm_a = f"sqrt({_pair_dot('a.embedding', 'a.embedding')})"
     norm_b = f"sqrt({_pair_dot('b.embedding', 'b.embedding')})"
+    # codebook size = clamp(floor(sqrt(n)), min, max) — integer-exact twin
+    # of curation.semdedup_k (floor(sqrt()) is the same IEEE double op)
     return f"""
-    WITH c AS (
-        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
-        WHERE vec_id < {K_CENTROIDS}
+    WITH nn AS (
+        SELECT least({SEMDEDUP_MAX_K},
+                     greatest({SEMDEDUP_MIN_K},
+                              CAST(floor(sqrt(count(*))) AS BIGINT))) AS k
+        FROM embeddings
+    ),
+    c AS (
+        SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings, nn
+        WHERE vec_id < nn.k
     ),
     v AS (SELECT vec_id, embedding AS q_emb FROM embeddings),
     sims AS (

@@ -93,6 +93,7 @@ def main() -> None:
             "doc_tfidf_neighbors",
             "supplier_pagerank",
             "minhash_lsh_pairs",
+            "dedup_canonical_keep_best",
         )
         if n in timings
     ]

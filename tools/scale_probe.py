@@ -81,17 +81,15 @@ def stage(spark, scale: int) -> str:
         # is odd. Masks of distinct copies are mutually orthogonal, so
         # cross-copy cosines stay near zero — no artificial duplicate
         # pairs inflating the semdedup probe (i = 0 is the identity mask).
-        copy = i
+        def _mask(c: int):
+            return lambda x, j: x * F.when(
+                F.bit_count(j.bitwiseAND(F.lit(c))) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
+
         e_parts.append(
             emb.select(
                 (F.col("vec_id") + ID_STRIDE * i).alias("vec_id"),
-                F.transform(
-                    "embedding",
-                    lambda x, j, c=copy: x
-                    * F.when(
-                        F.bit_count(j.bitwiseAND(F.lit(c))) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ).alias("embedding"),
+                F.transform("embedding", _mask(i)).alias("embedding"),
                 "label",
             )
         )
@@ -112,9 +110,13 @@ def stage(spark, scale: int) -> str:
 def main() -> None:
     write = "--write" in sys.argv
     scales = [1, 2, 4, 8]
+    probes = PROBES
     for a in sys.argv[1:]:
         if a.startswith("--scales"):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--only"):
+            pat = a.split("=", 1)[1]
+            probes = [p for p in PROBES if pat in p[0]]
 
     from aws_saas_etl_spark.session import get_spark
 
@@ -125,7 +127,7 @@ def main() -> None:
 
     dirs = {s: stage(spark, s) for s in scales}
     results: dict[str, dict[int, float]] = {}
-    for label, mod_name, fn_name in PROBES:
+    for label, mod_name, fn_name in probes:
         mod = importlib.import_module(f"aws_saas_etl_spark.operators.{mod_name}")
         fn = getattr(mod, fn_name)
         results[label] = {}
