@@ -335,3 +335,98 @@ def embedding_semdedup_prune(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+def corpus_curation_report(spark, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: the rollup a pipeline publishes
+    after a curation pass — document count, exact-duplicate rate
+    (1 − distinct text hashes / docs), language spread, mean length and
+    total token volume per source.
+
+    Scale shape: ONE aggregate over the corpus — the dup rate uses
+    count(distinct sha256) inside the same groupBy (per-source
+    cardinalities; the all-sources global variant would use the HLL
+    sketch path shown by ``customer_distinct_hll_merge``), token counts
+    are map-side expressions, means accumulate in decimal.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    n = F.count(F.lit(1))
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.sha2(F.col("text"), 256).alias("h"),
+            T.token_count("text").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct_texts"),
+            N.dround(
+                (n - F.countDistinct("h")).cast("double") / n, 6
+            ).alias("dup_rate"),
+            F.countDistinct("lang").alias("n_langs"),
+            N.davg_rounded(F.col("n_chars"), 2).alias("mean_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# Greedy token-budget sampling: fixture corpora hold ~28k tokens, so a
+# 10k budget exercises both full buckets and the boundary bucket.
+TOKEN_BUDGET = 10_000
+
+
+def corpus_token_budget_sample(spark, sf_dir: str) -> DataFrame:
+    """Select the highest-quality documents that fit a token budget —
+    the "data mixing under a budget" step before tokenization. Greedy
+    prefix over (quality desc, doc_id asc) order, quality proxied by
+    ``n_chars``: take documents while the running token total stays
+    within ``TOKEN_BUDGET``.
+
+    Scale shape: a naive implementation is a GLOBAL row-level cumulative
+    window — one partition holding the whole corpus. Instead the greedy
+    prefix is decomposed order-statistics style: (1) aggregate token
+    totals per quality value (bounded domain) and take the cumulative
+    sum over that small histogram; (2) quality levels whose cumulative
+    total fits are selected WHOLE ('full_bucket'); (3) only the single
+    boundary quality level runs a row-level cumulative window, and it is
+    partitioned on that quality value — per-partition work is one
+    bucket, never the corpus. Same exact output as the global window.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    d = docs.select("doc_id", "n_chars", T.token_count("text").alias("n_tokens"))
+    buckets = d.groupBy("n_chars").agg(F.sum("n_tokens").alias("btoks"))
+    wb = Window.orderBy(F.desc("n_chars")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # cumulative over the n_chars histogram: a few hundred rows at ANY
+    # corpus size (bounded value domain), not a row-level global window
+    cum = buckets.withColumn("cum", F.sum("btoks").over(wb))
+    full = cum.where(F.col("cum") <= TOKEN_BUDGET)
+    boundary = (
+        cum.where(F.col("cum") > TOKEN_BUDGET)
+        .orderBy(F.desc("n_chars"))
+        .limit(1)
+        .select(
+            F.col("n_chars").alias("b_chars"),
+            (F.col("cum") - F.col("btoks")).alias("spent"),
+        )
+    )
+    full_docs = d.join(
+        full.select("n_chars"), "n_chars"
+    ).select("doc_id", "n_chars", "n_tokens", F.lit("full_bucket").alias("selection"))
+    wdoc = Window.partitionBy("n_chars").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary_docs = (
+        d.join(F.broadcast(boundary), d["n_chars"] == F.col("b_chars"))
+        .withColumn("c", F.sum("n_tokens").over(wdoc) + F.col("spent"))
+        .where(F.col("c") <= TOKEN_BUDGET)
+        .select(
+            "doc_id", "n_chars", "n_tokens", F.lit("boundary").alias("selection")
+        )
+    )
+    return full_docs.unionByName(boundary_docs).orderBy("doc_id")

@@ -2556,3 +2556,70 @@ def _semdedup_sql() -> str:
 
 
 EMBEDDING_SEMDEDUP_SQL = _semdedup_sql()
+
+
+def _curation_report_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT source, lang, n_chars, text AS h,
+               len({toks('text')}) AS n_tokens
+        FROM documents WHERE {DOC_DROPNA}
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT h) AS n_distinct_texts,
+           {dround_sql('CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*)', 6)}
+               AS dup_rate,
+           count(DISTINCT lang) AS n_langs,
+           {davg_sql('n_chars', 2)} AS mean_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM d GROUP BY source ORDER BY source
+"""
+
+
+CORPUS_CURATION_REPORT_SQL = _curation_report_sql()
+
+
+def _token_budget_sample_sql() -> str:
+    from aws_saas_etl_spark.operators.curation import TOKEN_BUDGET
+
+    return f"""
+    WITH d AS (
+        SELECT doc_id, n_chars, len({toks('text')}) AS n_tokens
+        FROM documents WHERE {DOC_DROPNA}
+    ),
+    buckets AS (
+        SELECT n_chars, sum(n_tokens) AS btoks FROM d GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT n_chars, btoks,
+               sum(btoks) OVER (ORDER BY n_chars DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM buckets
+    ),
+    boundary AS (
+        SELECT n_chars AS b_chars, c - btoks AS spent FROM cum
+        WHERE c > {TOKEN_BUDGET} ORDER BY n_chars DESC LIMIT 1
+    ),
+    full_docs AS (
+        SELECT d.doc_id, d.n_chars, d.n_tokens, 'full_bucket' AS selection
+        FROM d JOIN cum ON d.n_chars = cum.n_chars
+        WHERE cum.c <= {TOKEN_BUDGET}
+    ),
+    boundary_docs AS (
+        SELECT doc_id, n_chars, n_tokens, 'boundary' AS selection FROM (
+            SELECT d.doc_id, d.n_chars, d.n_tokens,
+                   sum(d.n_tokens) OVER (PARTITION BY d.n_chars ORDER BY d.doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   + b.spent AS c
+            FROM d JOIN boundary b ON d.n_chars = b.b_chars
+        ) WHERE c <= {TOKEN_BUDGET}
+    )
+    SELECT * FROM full_docs
+    UNION ALL
+    SELECT * FROM boundary_docs
+    ORDER BY doc_id
+"""
+
+
+CORPUS_TOKEN_BUDGET_SAMPLE_SQL = _token_budget_sample_sql()

@@ -695,6 +695,16 @@ register(
 # append-mode top-k needs the sink-then-serve pattern -> rows-only;
 # stream==batch equivalence pinned in tests/test_streaming.py
 register("stream_topk_trending", runners.stream_topk_trending, None)
+register(
+    "corpus_curation_report",
+    curation.corpus_curation_report,
+    oracles.CORPUS_CURATION_REPORT_SQL,
+)
+register(
+    "corpus_token_budget_sample",
+    curation.corpus_token_budget_sample,
+    oracles.CORPUS_TOKEN_BUDGET_SAMPLE_SQL,
+)
 
 
 # --------------------------------------------------------------------------

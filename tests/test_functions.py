@@ -233,3 +233,31 @@ def test_pagerank_iters_resolved_at_call_time(spark, monkeypatch):
     monkeypatch.setattr(graph, "PR_ITERS", 40)
     r_forty = {r.node: float(r.rank) for r in graph.pagerank(edges).collect()}
     assert r_default != r_forty  # deeper budget must actually change values
+
+
+def test_token_budget_sample_greedy_prefix_semantics(spark, monkeypatch):
+    """The bucket-decomposed budget sampler must implement exact greedy-
+    prefix semantics: (a) with an unlimited budget every doc is selected
+    as a full bucket; (b) with the real budget, selected docs are exactly
+    the greedy prefix over (n_chars desc, doc_id asc) and the token total
+    fits the budget while the next doc would not."""
+    from aws_saas_etl_spark.operators import curation
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setattr(curation, "TOKEN_BUDGET", 10**12)
+    all_rows = curation.corpus_token_budget_sample(spark, SF_SMOKE).collect()
+    assert all_rows and all(r.selection == "full_bucket" for r in all_rows)
+
+    monkeypatch.setattr(curation, "TOKEN_BUDGET", 10_000)
+    got = curation.corpus_token_budget_sample(spark, SF_SMOKE).collect()
+    # reference: greedy prefix computed driver-side from the full list
+    ordered = sorted(all_rows, key=lambda r: (-r.n_chars, r.doc_id))
+    budget, prefix = 10_000, []
+    spent = 0
+    for r in ordered:
+        if spent + r.n_tokens > budget:
+            break
+        spent += r.n_tokens
+        prefix.append(r.doc_id)
+    assert sorted(r.doc_id for r in got) == sorted(prefix)
+    assert sum(r.n_tokens for r in got) == spent <= budget
