@@ -2623,3 +2623,24 @@ def _token_budget_sample_sql() -> str:
 
 
 CORPUS_TOKEN_BUDGET_SAMPLE_SQL = _token_budget_sample_sql()
+
+
+def _stream_custom_source_sql() -> str:
+    from aws_saas_etl_spark.sources.custom import STREAM_TOTAL_ROWS
+
+    return f"""
+    WITH src AS (
+        SELECT i % 97 AS user_id,
+               round((i * 31) % 1000 / 10.0, 1) AS value
+        FROM (SELECT unnest(range({STREAM_TOTAL_ROWS})) AS i)
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           {dsum_sql("value", 2)} AS total_value
+    FROM src
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+STREAM_CUSTOM_SOURCE_SQL = _stream_custom_source_sql()

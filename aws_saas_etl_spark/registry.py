@@ -705,6 +705,13 @@ register(
     curation.corpus_token_budget_sample,
     oracles.CORPUS_TOKEN_BUDGET_SAMPLE_SQL,
 )
+# the ONE streaming query with a value-hash oracle: closed-form Python
+# streaming source, checkpoint-resumed availableNow drains, parquet sink
+register(
+    "stream_custom_source_ingest",
+    runners.stream_custom_source_ingest,
+    oracles.STREAM_CUSTOM_SOURCE_SQL,
+)
 
 
 # --------------------------------------------------------------------------

@@ -92,3 +92,56 @@ def custom_source_scan(spark, sf_dir: str):
         )
         .orderBy("user_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming variant: Spark 4 Python STREAMING data source
+# (SimpleDataSourceStreamReader — offset tracking + replay, no JVM code)
+# --------------------------------------------------------------------------
+
+STREAM_BATCH_ROWS = 500
+STREAM_TOTAL_ROWS = 2_000
+
+
+class _SyntheticStreamReader:
+    """Offset-tracked reads over the same closed-form rows as the batch
+    source: offset = next row index; each micro-batch serves up to
+    ``STREAM_BATCH_ROWS`` rows. ``readBetweenOffsets`` replays a
+    committed range exactly (closed form ⇒ replay is re-computation, the
+    property that makes the source exactly-once under checkpoint
+    recovery)."""
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = int(start["i"])
+        end = min(i + STREAM_BATCH_ROWS, STREAM_TOTAL_ROWS)
+        return iter([_row(j) for j in range(i, end)]), {"i": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(j) for j in range(int(start["i"]), int(end["i"]))])
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def simpleStreamReader(self, schema):
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        # mixin FIRST: SimpleDataSourceStreamReader's own methods raise
+        # NOT_IMPLEMENTED and would shadow the mixin under the other order
+        class _R(_SyntheticStreamReader, SimpleDataSourceStreamReader):
+            pass
+
+        return _R()
+
+
+def register_stream(spark) -> None:
+    """Idempotent registration on a session."""
+    spark.dataSource.register(SyntheticEventsStreamDataSource)

@@ -234,3 +234,55 @@ def stream_topk_trending(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rank")
     )
+
+
+def stream_custom_source_ingest(spark, sf_dir: str) -> DataFrame:
+    """Spark 4 Python STREAMING data source, drained through a
+    fault-tolerant parquet sink with checkpoint-resumed offsets: each
+    ``availableNow`` run ingests the micro-batch the source's offset
+    points at, commits the new offset to the checkpoint, and the next
+    run RESUMES from it — the loop below is literally a scheduled
+    incremental-ingest job restarted until the source is exhausted.
+
+    The source is closed-form (same ``_row`` arithmetic as the batch
+    custom source), so after a complete drain the per-user aggregate is
+    fully deterministic — this is the only streaming registry query with
+    a value-hash DuckDB oracle (``generate_series`` twin); the others
+    are watermark-dependent and rows-only.
+    """
+    from aws_saas_etl_spark.functions.num import dsum_rounded
+    from aws_saas_etl_spark.sources.custom import (
+        STREAM_TOTAL_ROWS,
+        register_stream,
+    )
+
+    register_stream(spark)
+    base = tempfile.mkdtemp(prefix="etl_spark_dss_")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    # bounded restart loop: total/batch runs drain everything; +2 slack
+    # runs prove the "nothing new → empty batch" steady state
+    from aws_saas_etl_spark.sources.custom import STREAM_BATCH_ROWS
+
+    max_runs = STREAM_TOTAL_ROWS // STREAM_BATCH_ROWS + 2
+    for _ in range(max_runs):
+        q = (
+            spark.readStream.format("synthetic_events_stream")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    ingested = spark.read.parquet(out_dir)
+    return (
+        ingested.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_rounded(F.col("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -371,3 +371,18 @@ def test_stream_topk_trending_matches_batch(spark):
     assert len(got) > 0
     for ws, et, n, rank in got:
         assert want[(ws, et)] == (n, rank)
+
+
+def test_stream_custom_source_ingest_complete_and_deterministic(spark):
+    """The checkpoint-resumed drain loop must ingest the closed-form
+    source COMPLETELY (sum of per-user counts == STREAM_TOTAL_ROWS, one
+    row per residue class mod 97) and reproduce identical aggregates on
+    a second independent ingest (fresh checkpoint, same closed form)."""
+    from aws_saas_etl_spark.sources.custom import STREAM_TOTAL_ROWS
+    from aws_saas_etl_spark.streaming.runners import stream_custom_source_ingest
+
+    rows = stream_custom_source_ingest(spark, SF).collect()
+    assert len(rows) == 97
+    assert sum(r.n_events for r in rows) == STREAM_TOTAL_ROWS
+    again = stream_custom_source_ingest(spark, SF).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
