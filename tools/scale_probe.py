@@ -40,8 +40,12 @@ PROBES = [
     ("exact_dedup_groups", "dedup", "exact_dedup_groups"),
     ("minhash_lsh_pairs", "dedup", "minhash_lsh_pairs"),
     ("ngram_jaccard_pairs", "dedup", "ngram_jaccard_pairs"),
+    ("dedup_canonical_keep_best", "curation", "dedup_canonical_keep_best"),
     ("doc_tfidf_neighbors", "textops", "doc_tfidf_neighbors"),
+    ("doc_bigram_logprob", "curation", "doc_bigram_logprob"),
     ("corpus_ngram_diversity", "curation", "corpus_ngram_diversity"),
+    ("corpus_shuffle_assignment", "curation", "corpus_shuffle_assignment"),
+    ("corpus_token_budget_sample", "curation", "corpus_token_budget_sample"),
     ("embedding_semdedup_prune", "curation", "embedding_semdedup_prune"),
 ]
 
@@ -159,7 +163,9 @@ def main() -> None:
         lines.append(f"| {label} | {row} | {alpha:.2f} |")
     out = "\n".join(lines) + "\n"
     print(out)
-    if write:
+    if write and len(probes) < len(PROBES):
+        print("--write ignored: --only selected a subset; SCALE.md must cover all probes")
+    elif write:
         with open(os.path.join(REPO, "SCALE.md"), "w") as f:
             f.write(out)
         print("wrote SCALE.md")
