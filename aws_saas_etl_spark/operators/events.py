@@ -640,3 +640,64 @@ def events_variant_props(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# One-sided CUSUM parameters: slack k (in σ units) absorbs normal noise;
+# decision threshold h (in σ units) flags a sustained upward level shift.
+CUSUM_SLACK = 0.5
+CUSUM_H = 4.0
+
+
+def events_cusum_changepoints(spark, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point statistic per event type over the
+    hourly count series — the sequential-detection complement of the
+    pointwise z-score query (``events_hourly_anomalies``): a small but
+    SUSTAINED rate shift accumulates past the threshold even though no
+    single hour is anomalous.
+
+    The CUSUM recurrence S_t = max(0, S_{t−1} + d_t) looks iterative,
+    but rewrites into two plain window functions: with P_t = Σ_{j≤t} d_j,
+    S_t = P_t − min(0, min_{j≤t} P_j) — a prefix sum and a running min,
+    both per-type ordered by hour. No driver loop, no recursion; the
+    same rewrite any scan-style recurrence with a reset-at-floor admits.
+
+    Determinism: per-type mean/σ come from exact integer moments (Σc,
+    Σc²) like the anomaly query; d_t and the two window folds then run
+    in hour order on both engines, so doubles match bit-for-bit.
+    Scale shape: the series is hours×types (bounded, independent of
+    event volume); everything heavy happens in the first hourly
+    aggregate with map-side combine.
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts"])
+    hourly = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_hours")
+    ) / (F.col("n_hours") - 1)
+    sigma = F.sqrt(var)
+    d = F.col("c").cast("double") - (mean + CUSUM_SLACK * sigma)
+    wseq = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = (
+        hourly.join(F.broadcast(stats), F.col("event_type") == F.col("et"))
+        .where((F.col("n_hours") > 1) & (var > 0))
+        .withColumn("p", F.sum(d).over(wseq))
+        .withColumn("runmin", F.least(F.lit(0.0), F.min("p").over(wseq)))
+    )
+    s = (F.col("p") - F.col("runmin")) / sigma
+    return scored.select(
+        "event_type",
+        F.date_format("hour", TS_FMT).alias("hour"),
+        "c",
+        dround(s, 4).alias("cusum_sigma"),
+        (s > CUSUM_H).cast("int").alias("flagged"),
+    ).orderBy("event_type", "hour")

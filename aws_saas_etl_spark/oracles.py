@@ -2644,3 +2644,50 @@ def _stream_custom_source_sql() -> str:
 
 
 STREAM_CUSTOM_SOURCE_SQL = _stream_custom_source_sql()
+
+
+def _cusum_sql() -> str:
+    from aws_saas_etl_spark.operators.events import CUSUM_H, CUSUM_SLACK
+
+    return f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS c
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+        SELECT event_type AS et, count(*) AS n_hours,
+               sum(c) AS s1, sum(c * c) AS s2
+        FROM hourly GROUP BY event_type
+    ),
+    base AS (
+        SELECT event_type, hour, c,
+               CAST(s1 AS DOUBLE) / n_hours AS mean,
+               (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hours)
+                   / (n_hours - 1) AS var
+        FROM hourly JOIN stats ON event_type = et
+        WHERE n_hours > 1
+          AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hours)
+              / (n_hours - 1) > 0
+    ),
+    seq AS (
+        SELECT event_type, hour, c, sqrt(var) AS sigma,
+               sum(CAST(c AS DOUBLE) - (mean + {CUSUM_SLACK} * sqrt(var))) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        FROM base
+    ),
+    sm AS (
+        SELECT *, least(0.0, min(p) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS runmin
+        FROM seq
+    )
+    SELECT event_type, strftime(hour, '{TS_FMT_DUCK}') AS hour, c,
+           {dround_sql('(p - runmin) / sigma', 4)} AS cusum_sigma,
+           CAST((p - runmin) / sigma > {CUSUM_H} AS INT) AS flagged
+    FROM sm ORDER BY event_type, hour
+"""
+
+
+EVENTS_CUSUM_SQL = _cusum_sql()

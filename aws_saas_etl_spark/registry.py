@@ -712,6 +712,12 @@ register(
     runners.stream_custom_source_ingest,
     oracles.STREAM_CUSTOM_SOURCE_SQL,
 )
+# CUSUM recurrence rewritten as prefix-sum minus running-min windows
+register(
+    "events_cusum_changepoints",
+    events.events_cusum_changepoints,
+    oracles.EVENTS_CUSUM_SQL,
+)
 
 
 # --------------------------------------------------------------------------

@@ -261,3 +261,35 @@ def test_token_budget_sample_greedy_prefix_semantics(spark, monkeypatch):
         prefix.append(r.doc_id)
     assert sorted(r.doc_id for r in got) == sorted(prefix)
     assert sum(r.n_tokens for r in got) == spent <= budget
+
+
+def test_cusum_window_rewrite_matches_direct_recurrence(spark):
+    """The prefix-sum-minus-running-min rewrite must equal the literal
+    recurrence S_t = max(0, S_{t-1} + d_t) computed driver-side from the
+    same hourly counts."""
+    from collections import defaultdict
+
+    from aws_saas_etl_spark.operators.events import (
+        CUSUM_SLACK,
+        events_cusum_changepoints,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = events_cusum_changepoints(spark, SF_SMOKE).collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for et, series in by_type.items():
+        series.sort(key=lambda r: r.hour)
+        counts = [r.c for r in series]
+        n = len(counts)
+        mean = sum(counts) / n
+        var = (sum(c * c for c in counts) - sum(counts) ** 2 / n) / (n - 1)
+        sigma = var ** 0.5
+        s = 0.0
+        for r, c in zip(series, counts):
+            s = max(0.0, s + (c - (mean + CUSUM_SLACK * sigma)))
+            assert abs(r.cusum_sigma - round(s / sigma, 4)) <= 1e-4, (
+                f"{et}@{r.hour}: {r.cusum_sigma} != {s / sigma}"
+            )
