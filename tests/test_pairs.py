@@ -144,3 +144,54 @@ def test_prefix_filtered_jaccard_matches_quadratic_reference(spark):
     want = {(r.doc_a, r.doc_b): (r.lang, r.jaccard) for r in naive.collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_prefix_candidates_complete_on_adversarial_sets(spark):
+    """Hypothesis fuzz of the prefix-filter COMPLETENESS property — the
+    one thing that must never break in the PPJoin rewrite: for ANY doc
+    set, every pair with Jaccard ≥ t must appear among the candidates
+    (prefix too short by even one element would silently drop true
+    pairs; the exact-rational ceil exists precisely for this). Exercises
+    near-threshold set sizes, duplicate sets, singleton and empty sets,
+    and multi-block layouts that the fixture corpus never hits."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from aws_saas_etl_spark.operators.dedup import _prefix_candidates
+
+    shingle_set = st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=0, max_size=12
+    ).map(lambda xs: sorted(set(xs)))
+    docs_strategy = st.lists(shingle_set, min_size=2, max_size=16)
+    thresholds = st.sampled_from([0.3, 0.4, 0.5, 0.8])
+
+    @given(docs=docs_strategy, t=thresholds, n_blocks=st.sampled_from([1, 2]))
+    @settings(
+        max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    def check(docs, t, n_blocks):
+        rows = [
+            (i, "xx", i % n_blocks, [int(v) for v in sh], len(sh))
+            for i, sh in enumerate(docs)
+        ]
+        sh_df = spark.createDataFrame(
+            rows, "doc_id BIGINT, lang STRING, lb INT, sh ARRAY<BIGINT>, sz INT"
+        )
+        cand = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in _prefix_candidates(sh_df, t).collect()
+        }
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                if i % n_blocks != j % n_blocks:
+                    continue  # different block: out of scope by design
+                a, b = set(docs[i]), set(docs[j])
+                if not a or not b:
+                    continue
+                jac = len(a & b) / len(a | b)
+                if jac >= t:
+                    assert (i, j) in cand, (
+                        f"true pair ({i},{j}) J={jac:.3f} missing at t={t}"
+                    )
+
+    check()
