@@ -2691,3 +2691,59 @@ def _cusum_sql() -> str:
 
 
 EVENTS_CUSUM_SQL = _cusum_sql()
+
+
+def _supplier_pagerank_sql() -> str:
+    """Recursive-CTE twin of the bounded-iteration PageRank loop
+    (operators/graph.py). Mirrors the Spark arithmetic EXACTLY:
+    per-edge contribution = double(rank) * share (share is a double
+    division), cast to DECIMAL(28,12) per addend, decimal SUM
+    (order-independent), then teleport via the PYTHON double literals —
+    ``repr(1.0 - damping)`` is 0.15000000000000002, not 0.15; a bare
+    0.15 literal would diverge in the 17th digit and cascade through
+    rounds. Iteration count and damping come from the same module
+    constants the Spark loop resolves at call time."""
+    from aws_saas_etl_spark.operators.graph import PR_DAMPING, PR_ITERS
+
+    teleport = repr(1.0 - PR_DAMPING)
+    damping = repr(PR_DAMPING)
+    return f"""
+    WITH RECURSIVE
+    trade AS (
+        SELECT o_custkey, l_suppkey, count(*) AS weight
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_suppkey
+    ),
+    edges AS (
+        SELECT -o_custkey AS src, l_suppkey AS dst,
+               CAST(weight AS DOUBLE) AS weight FROM trade
+        UNION ALL
+        SELECT l_suppkey, -o_custkey, CAST(weight AS DOUBLE) FROM trade
+    ),
+    ow AS (SELECT src AS osrc, sum(weight) AS out_w FROM edges GROUP BY src),
+    e AS (
+        SELECT src, dst, weight / out_w AS share
+        FROM edges JOIN ow ON src = osrc
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    pr(iter, node, rank) AS (
+        SELECT 0, node, CAST(1.0 AS DECIMAL(28,12)) FROM nodes
+        UNION ALL
+        SELECT p.iter + 1, e.dst,
+               CAST({teleport} + {damping} * CAST(
+                   sum(CAST(CAST(p.rank AS DOUBLE) * e.share AS DECIMAL(28,12)))
+               AS DOUBLE) AS DECIMAL(28,12))
+        FROM pr p JOIN e ON e.src = p.node
+        WHERE p.iter < {PR_ITERS}
+        GROUP BY p.iter, e.dst
+    )
+    SELECT node AS s_suppkey,
+           CAST(round(rank, 6) AS DOUBLE) AS pagerank
+    FROM pr
+    WHERE iter = {PR_ITERS} AND node > 0
+    ORDER BY pagerank DESC, s_suppkey ASC
+    LIMIT 20
+"""
+
+
+SUPPLIER_PAGERANK_SQL = _supplier_pagerank_sql()

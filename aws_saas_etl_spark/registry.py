@@ -637,8 +637,9 @@ register(
 
 from aws_saas_etl_spark.operators import graph  # noqa: E402
 
-# iterative (no fixpoint SQL twin) -> rows-only; invariants pytest-pinned
-register("supplier_pagerank", graph.supplier_pagerank, None)
+# bounded-iteration PageRank: the recursive-CTE twin reproduces the
+# decimal-accumulated loop round for round (oracles._supplier_pagerank_sql)
+register("supplier_pagerank", graph.supplier_pagerank, oracles.SUPPLIER_PAGERANK_SQL)
 register("events_gap_detection", events.events_gap_detection, oracles.EVENTS_GAP_SQL)
 # byte-level Arrow kernel, no SQL twin -> rows-only; numpy reference pinned
 # in tests/test_multimodal.py
