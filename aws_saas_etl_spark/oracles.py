@@ -2747,3 +2747,44 @@ def _supplier_pagerank_sql() -> str:
 
 
 SUPPLIER_PAGERANK_SQL = _supplier_pagerank_sql()
+
+
+def _stream_enrichment_sql() -> str:
+    from aws_saas_etl_spark.streaming.runners import DIM_USERS, DIM_VIP_MOD
+
+    return f"""
+    SELECT event_id, user_id, event_type,
+           CASE WHEN user_id >= 0 AND user_id < {DIM_USERS}
+                THEN CASE WHEN user_id % {DIM_VIP_MOD} = 0
+                          THEN 'vip' ELSE 'std' END
+           END AS user_segment
+    FROM events
+"""
+
+
+STREAM_ENRICHMENT_SQL = _stream_enrichment_sql()
+
+
+def _stream_click_attribution_sql() -> str:
+    from aws_saas_etl_spark.operators.events import ATTRIBUTION_HORIZON_MIN
+
+    # same interval-join twin as the batch query, but purchase_value is
+    # the RAW double (the stream pipeline emits the unrounded column)
+    return f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(c.ts)) AS BIGINT) AS secs_to_purchase,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL {ATTRIBUTION_HORIZON_MIN} MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+"""
+
+
+STREAM_CLICK_ATTRIBUTION_SQL = _stream_click_attribution_sql()

@@ -444,8 +444,16 @@ register("stream_sliding_windows", runners.stream_sliding_windows, None)
 register("stream_session_stats", runners.stream_session_stats, None)
 register("stream_dedup_within_watermark", runners.stream_dedup_within_watermark, None)
 register("stream_running_user_totals", runners.stream_running_user_totals, None)
-register("stream_static_enrichment", runners.stream_static_enrichment, None)
-register("stream_click_attribution", runners.stream_click_attribution, None)
+register(
+    "stream_static_enrichment",
+    runners.stream_static_enrichment,
+    oracles.STREAM_ENRICHMENT_SQL,
+)
+register(
+    "stream_click_attribution",
+    runners.stream_click_attribution,
+    oracles.STREAM_CLICK_ATTRIBUTION_SQL,
+)
 
 
 # --------------------------------------------------------------------------

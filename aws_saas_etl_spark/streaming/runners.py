@@ -115,13 +115,23 @@ def stream_running_user_totals(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# enrichment dimension: users [0, DIM_USERS) with a deterministic segment
+# — shared with the DuckDB oracle twin (oracles.STREAM_ENRICHMENT_SQL)
+DIM_USERS = 200
+DIM_VIP_MOD = 3
+
+
 def stream_static_enrichment(spark, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join: events enriched with a bounded
     user-segment dimension snapshot (the streaming analog of the
-    reference's users⋈jobs FK join, reference models.py:17)."""
-    dim = spark.range(0, 200).select(
+    reference's users⋈jobs FK join, reference models.py:17). The map is
+    stateless and the drain complete, so the output is deterministic —
+    oracle-checked (unlike the watermark-dependent windowed streams)."""
+    dim = spark.range(0, DIM_USERS).select(
         F.col("id").alias("dim_user_id"),
-        F.when(F.col("id") % 3 == 0, "vip").otherwise("std").alias("user_segment"),
+        F.when(F.col("id") % DIM_VIP_MOD == 0, "vip").otherwise("std").alias(
+            "user_segment"
+        ),
     )
     enriched = P.enriched_event_stream(_stream(spark, sf_dir), dim)
     return _drain(enriched, "append").select(
@@ -130,8 +140,11 @@ def stream_static_enrichment(spark, sf_dir: str) -> DataFrame:
 
 
 def stream_click_attribution(spark, sf_dir: str) -> DataFrame:
-    """availableNow drain of the stream-stream interval join (append mode —
-    inner joins emit once both watermarks pass the row)."""
+    """availableNow drain of the stream-stream interval join. INNER
+    matches emit as soon as both rows are buffered (the watermark only
+    bounds state eviction), so a complete availableNow drain yields the
+    full batch join result — deterministic, hence oracle-checked against
+    the same SQL twin as the batch as-of query."""
     return _drain(P.click_purchase_attribution(_stream(spark, sf_dir)), "append")
 
 
