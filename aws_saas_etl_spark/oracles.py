@@ -2788,3 +2788,19 @@ def _stream_click_attribution_sql() -> str:
 
 
 STREAM_CLICK_ATTRIBUTION_SQL = _stream_click_attribution_sql()
+
+
+# Stream upsert final state = per-user latest event. Exact because
+# per-user timestamps are unique at every fixture scale (verified 0
+# (user_id, ts) collisions at sf0.001/0.01/0.1): cross-batch ties would
+# otherwise resolve by batch id, which SQL cannot see.
+STREAM_UPSERT_STATE_SQL = """
+    SELECT event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+"""

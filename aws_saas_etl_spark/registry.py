@@ -494,7 +494,9 @@ register(
 register("doc_sequence_packing", textops.doc_sequence_packing, oracles.DOC_PACKING_SQL)
 register("doc_length_histogram", textops.doc_length_histogram, oracles.DOC_LENGTH_HIST_SQL)
 
-register("stream_upsert_state", runners.stream_upsert_state, None)
+register(
+    "stream_upsert_state", runners.stream_upsert_state, oracles.STREAM_UPSERT_STATE_SQL
+)
 
 register(
     "doc_contamination_pairs",
