@@ -58,9 +58,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
+    n_run = 0
     for name in sorted(qs):
         if ONLY and not any(pat in name for pat in ONLY):
             continue
+        n_run += 1
         spark_pdf = qs[name](spark, SF_DIR).toPandas()
         if name not in oracles:
             print(f"rows-only: {name} -> {len(spark_pdf)} rows")
@@ -79,7 +81,7 @@ def main() -> int:
         print(f"{'ok   ' if status == 'OK' else 'FAIL '}{name}: {status}")
         if status != "OK":
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries verified, {len(failed)} failed")
+    print(f"\n{n_run - len(failed)}/{n_run} queries verified, {len(failed)} failed")
     return 1 if failed else 0
 
 
