@@ -2646,6 +2646,60 @@ def _stream_custom_source_sql() -> str:
 STREAM_CUSTOM_SOURCE_SQL = _stream_custom_source_sql()
 
 
+def _custom_sink_roundtrip_sql() -> str:
+    from aws_saas_etl_spark.sources.custom import (
+        DEFAULT_PARTITIONS,
+        DEFAULT_ROWS_PER_PARTITION,
+    )
+
+    total = DEFAULT_PARTITIONS * DEFAULT_ROWS_PER_PARTITION
+    return f"""
+    WITH src AS (
+        SELECT i AS event_id,
+               i % 97 AS user_id,
+               round((i * 31) % 1000 / 10.0, 1) AS value
+        FROM (SELECT unnest(range({total})) AS i)
+    )
+    SELECT event_id % 13 AS bucket,
+           count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           {dsum_sql("value", 2)} AS total_value
+    FROM src
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+CUSTOM_SINK_ROUNDTRIP_SQL = _custom_sink_roundtrip_sql()
+
+
+def _stream_custom_sink_sql() -> str:
+    from aws_saas_etl_spark.sources.custom import STREAM_TOTAL_ROWS
+
+    return f"""
+    WITH src AS (
+        SELECT i AS event_id,
+               i % 97 AS user_id,
+               round((i * 31) % 1000 / 10.0, 1) AS value
+        FROM (SELECT unnest(range({STREAM_TOTAL_ROWS})) AS i)
+    )
+    SELECT user_id % 7 AS user_band,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           min(event_id) AS first_event,
+           max(event_id) AS last_event,
+           {dsum_sql("value", 2)} AS total_value
+    FROM src
+    GROUP BY user_band
+    ORDER BY user_band
+"""
+
+
+STREAM_CUSTOM_SINK_SQL = _stream_custom_sink_sql()
+
+
 def _cusum_sql() -> str:
     from aws_saas_etl_spark.operators.events import CUSUM_H, CUSUM_SLACK
 

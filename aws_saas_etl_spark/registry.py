@@ -732,6 +732,23 @@ register(
 
 
 # --------------------------------------------------------------------------
+# Round 5: Spark 4 Python DataSource WRITER half (batch + streaming sink
+# with manifest commit/abort), both closed-form and value-hash-provable
+# --------------------------------------------------------------------------
+
+register(
+    "custom_sink_roundtrip",
+    custom_source.custom_sink_roundtrip,
+    oracles.CUSTOM_SINK_ROUNDTRIP_SQL,
+)
+register(
+    "stream_custom_sink_ingest",
+    runners.stream_custom_sink_ingest,
+    oracles.STREAM_CUSTOM_SINK_SQL,
+)
+
+
+# --------------------------------------------------------------------------
 # Driver-window rotation (self-maintaining).
 #
 # The driver's per-round correctness gate checks the FIRST 50 names in
@@ -757,27 +774,118 @@ register(
 # --------------------------------------------------------------------------
 
 
+def _transitive_sources(fn) -> list[str]:
+    """Source text of *fn* plus every package-internal callable it reaches.
+
+    Walks the code object's ``co_names`` (and nested code objects, so
+    closures and comprehensions count), resolves each name in the
+    function's globals, and recurses into functions/classes defined inside
+    ``aws_saas_etl_spark``. Module references are followed one attribute
+    hop (``dedup._prefix_candidates`` style calls list both names in
+    ``co_names``). The result is sorted + de-duplicated, so the fingerprint
+    is stable under reordering of the walk.
+    """
+    import inspect
+    import types
+
+    pkg = __name__.split(".")[0]
+    seen: set[int] = set()
+    sources: dict[str, str] = {}
+
+    def in_pkg(obj) -> bool:
+        mod = getattr(obj, "__module__", None)
+        return isinstance(mod, str) and mod.split(".")[0] == pkg
+
+    def visit(obj) -> None:
+        if id(obj) in seen:
+            return
+        seen.add(id(obj))
+        target = inspect.unwrap(obj)
+        fn_obj = getattr(target, "__func__", target)
+        code = getattr(fn_obj, "__code__", None)
+        src = None
+        try:
+            key = f"{target.__module__}.{target.__qualname__}"
+            src = inspect.getsource(target)
+            sources.setdefault(key, src)
+        except (OSError, TypeError, AttributeError):
+            pass
+        if src is not None:
+            # Function-body imports (`from <pkg>.x import helper`) bind
+            # locals, not globals — resolve them from the source text.
+            import importlib
+            import re as _re
+
+            for m in _re.finditer(
+                rf"from\s+({pkg}[.\w]*)\s+import\s+([\w,\s]+)", src
+            ):
+                try:
+                    mod = importlib.import_module(m.group(1))
+                except ImportError:
+                    continue
+                for attr in m.group(2).replace(",", " ").split():
+                    val = getattr(mod, attr, None)
+                    if val is not None and callable(val) and in_pkg(val):
+                        visit(val)
+        if code is None:
+            return
+        globs = getattr(fn_obj, "__globals__", {})
+        names: set[str] = set()
+        stack = [code]
+        while stack:
+            c = stack.pop()
+            names.update(c.co_names)
+            names.update(c.co_freevars)
+            stack.extend(k for k in c.co_consts if isinstance(k, types.CodeType))
+        # Closure cells carry helpers bound at definition time.
+        for cell in getattr(fn_obj, "__closure__", None) or ():
+            try:
+                val = cell.cell_contents
+            except ValueError:
+                continue
+            if callable(val) and in_pkg(val):
+                visit(val)
+        modules = []
+        for n in names:
+            val = globs.get(n)
+            if val is None:
+                continue
+            if isinstance(val, types.ModuleType) and getattr(
+                val, "__name__", ""
+            ).split(".")[0] == pkg:
+                modules.append(val)
+            elif callable(val) and in_pkg(val):
+                visit(val)
+        for mod in modules:
+            for n in names:
+                val = getattr(mod, n, None)
+                if val is not None and callable(val) and in_pkg(val):
+                    visit(val)
+
+    visit(fn)
+    return [sources[k] for k in sorted(sources)]
+
+
 def query_fingerprints() -> dict[str, str]:
-    """sha256 of each registered query's implementation source + oracle SQL.
+    """sha256 of each registered query's implementation + oracle SQL.
 
     Used by the rotation below: a query whose fingerprint changed since the
     round in which the driver last proved it green is rotated back into the
     check window (tier between *failed* and *never checked*), so a rewrite
     can't hide behind an old green row. The hash covers the registered
-    callable's own source — helper changes in the same module are caught by
-    the exhaustive local oracle-parity suite (``tests/test_oracle_parity.py``)
-    instead, which runs every query against DuckDB on every pytest run.
+    callable's source AND every package-internal helper it transitively
+    references (``_transitive_sources``) — so rewriting a shared helper
+    such as ``_prefix_candidates`` or ``connected_components`` invalidates
+    every proven stamp that depends on it, not just same-function edits.
     """
     import hashlib
-    import inspect
 
     out: dict[str, str] = {}
     for name, e in _REGISTRY.items():
-        try:
-            src = inspect.getsource(e.fn)
-        except (OSError, TypeError):
-            src = getattr(e.fn, "__qualname__", repr(e.fn))
-        blob = src + "\n\x00\n" + (e.oracle or "")
+        srcs = _transitive_sources(e.fn)
+        if not srcs:
+            srcs = [getattr(e.fn, "__qualname__", repr(e.fn))]
+        blob = "\n\x00\n".join(srcs) + "\n\x00\n" + (e.oracle or "")
         out[name] = hashlib.sha256(blob.encode()).hexdigest()
     return out
 
@@ -803,16 +911,25 @@ def _proven_fingerprints() -> dict[str, str]:
     return data if isinstance(data, dict) else {}
 
 
-def _correctness_status() -> tuple[set[str], set[str]]:
-    """(checked, failed) query names accumulated over all prior rounds."""
+def _correctness_status() -> tuple[set[str], set[str], dict[str, int]]:
+    """(checked, failed, last_round) accumulated over all prior rounds.
+
+    ``last_round[name]`` is the newest round whose CORRECTNESS file holds a
+    passing row for the query — the staleness key the rotation uses to
+    re-confirm old proofs once no unproven backlog remains.
+    """
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set[str] = set()
     failed: set[str] = set()
+    last_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r0*(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -829,13 +946,14 @@ def _correctness_status() -> tuple[set[str], set[str]]:
             if (err is None and hash_ok) or err == "no_oracle":
                 checked.add(name)
                 failed.discard(name)
+                last_round[name] = max(rnd, last_round.get(name, 0))
             elif not ok or (err is None and hash_ok is False):
                 failed.add(name)
-    return checked, failed
+    return checked, failed, last_round
 
 
 def _rotate_window() -> None:
-    checked, failed = _correctness_status()
+    checked, failed, last_round = _correctness_status()
     proven_fp = _proven_fingerprints()
     current_fp = query_fingerprints()
     # "Proven" green is only trusted while the implementation is unchanged:
@@ -857,7 +975,16 @@ def _rotate_window() -> None:
         n for n in names if n not in failed and n not in checked and not _REGISTRY[n].oracle
     ]
     ordered = {n: _REGISTRY[n] for n in front}
-    ordered.update((n, e) for n, e in _REGISTRY.items() if n not in ordered)
+    # Proven-and-unmodified tail: stalest proof first (ascending last-checked
+    # round, registration order as the tie-break), so with zero unproven
+    # backlog the driver's 50-name window re-confirms the OLDEST greens each
+    # round instead of freezing on the first 50 registered.
+    reg_index = {n: i for i, n in enumerate(names)}
+    tail = sorted(
+        (n for n in names if n not in ordered),
+        key=lambda n: (last_round.get(n, 0), reg_index[n]),
+    )
+    ordered.update((n, _REGISTRY[n]) for n in tail)
     _REGISTRY.clear()
     _REGISTRY.update(ordered)
 

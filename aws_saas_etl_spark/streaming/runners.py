@@ -265,18 +265,22 @@ def stream_custom_source_ingest(spark, sf_dir: str) -> DataFrame:
     """
     from aws_saas_etl_spark.functions.num import dsum_rounded
     from aws_saas_etl_spark.sources.custom import (
+        STREAM_BATCH_ROWS,
         STREAM_TOTAL_ROWS,
+        proc_dir,
         register_stream,
     )
 
     register_stream(spark)
-    base = tempfile.mkdtemp(prefix="etl_spark_dss_")
+    # reused per-(constants, pid) dir — checkpoint resume makes reuse
+    # CORRECT (an already-drained checkpoint yields empty batches and the
+    # same final parquet), and it stops the old mkdtemp-per-invocation
+    # leak of a sink+checkpoint copy on every bench/correctness repeat
+    base = proc_dir("dss", STREAM_BATCH_ROWS, STREAM_TOTAL_ROWS)
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     # bounded restart loop: total/batch runs drain everything; +2 slack
     # runs prove the "nothing new → empty batch" steady state
-    from aws_saas_etl_spark.sources.custom import STREAM_BATCH_ROWS
-
     max_runs = STREAM_TOTAL_ROWS // STREAM_BATCH_ROWS + 2
     for _ in range(max_runs):
         q = (
@@ -298,4 +302,61 @@ def stream_custom_source_ingest(spark, sf_dir: str) -> DataFrame:
             dsum_rounded(F.col("value"), 2).alias("total_value"),
         )
         .orderBy("user_id")
+    )
+
+
+def stream_custom_sink_ingest(spark, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource STREAM WRITER end to end: the custom
+    streaming source is drained through the custom ``manifest_parquet``
+    sink (``DataSourceStreamArrowWriter``) under ``availableNow`` restart
+    loops — each micro-batch's files land via the batchId-keyed manifest
+    commit, so checkpoint-recovery replays deduplicate instead of
+    double-counting (exactly-once, proven by the replay test in
+    ``tests/test_custom_sink.py``).
+
+    The reused per-pid dir is correct across repeats for the same reason
+    as ``stream_custom_source_ingest``: resume yields empty batches and
+    the manifest already holds the full drain. Closed-form source ⇒ the
+    final aggregate is value-hash-provable (``generate_series`` twin).
+    """
+    from aws_saas_etl_spark.functions.num import dsum_rounded
+    from aws_saas_etl_spark.sources.custom import (
+        STREAM_BATCH_ROWS,
+        STREAM_TOTAL_ROWS,
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+        register_stream,
+    )
+
+    register_stream(spark)
+    register_sink(spark)
+    base = proc_dir("dsw", STREAM_BATCH_ROWS, STREAM_TOTAL_ROWS)
+    out_dir = os.path.join(base, "out")
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt = os.path.join(base, "ckpt")
+    max_runs = STREAM_TOTAL_ROWS // STREAM_BATCH_ROWS + 2
+    for _ in range(max_runs):
+        q = (
+            spark.readStream.format("synthetic_events_stream")
+            .load()
+            .writeStream.format("manifest_parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    ingested = read_manifest_parquet(spark, out_dir)
+    return (
+        ingested.groupBy((F.col("user_id") % 7).alias("user_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            dsum_rounded(F.col("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_band")
     )

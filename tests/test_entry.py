@@ -28,7 +28,7 @@ def _unproven_names():
     states the invariant rather than pinning any one round's snapshot."""
     from aws_saas_etl_spark import registry
 
-    checked, failed = registry._correctness_status()
+    checked, failed, _last_round = registry._correctness_status()
     proven_fp = registry._proven_fingerprints()
     current_fp = registry.query_fingerprints()
     modified = {
@@ -66,6 +66,38 @@ def test_driver_window_rotation_invariant():
         window = set(names[:50])
         missing = sorted(unproven - window)
         assert not missing, f"unproven queries outside the 50-query window: {missing}"
+
+
+def test_proven_tail_rotates_stalest_first():
+    """Behind the unproven front, queries() must order proven queries by
+    ascending last-checked round (CORRECTNESS files), so once the backlog
+    is empty the driver's 50-name window re-confirms the OLDEST proofs
+    each round instead of freezing on registration order."""
+    from aws_saas_etl_spark import registry
+
+    names = list(registry.queries().keys())
+    checked, failed, last_round = registry._correctness_status()
+    _c, _f, modified = _unproven_names()
+    tail = [
+        n
+        for n in names
+        if n in checked and n not in failed and n not in modified
+    ]
+    rounds = [last_round.get(n, 0) for n in tail]
+    assert rounds == sorted(rounds), "proven tail not in stalest-first order"
+
+
+def test_fingerprint_covers_shared_helpers():
+    """A rewrite of a shared helper (e.g. the PPJoin prefix filter) must
+    change the fingerprints of the queries that use it — otherwise a
+    helper rewrite hides behind old proven stamps and never re-enters the
+    driver window."""
+    from aws_saas_etl_spark import registry
+    from aws_saas_etl_spark.operators import dedup
+
+    srcs = "\n".join(registry._transitive_sources(dedup.ngram_jaccard_pairs))
+    assert "def _prefix_candidates" in srcs
+    assert "def bounded_self_pairs" in srcs or "def _bounded_self_pairs" in srcs
 
 
 def test_no_query_stays_driver_invisible():
