@@ -510,6 +510,43 @@ def duplicate_clusters(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def duplicate_clusters_exact(spark, sf_dir: str) -> DataFrame:
+    """``duplicate_clusters`` with the EXACT candidate generator: prefix-
+    filtered n-gram Jaccard pairs (deterministic, oracle-expressible)
+    instead of MinHash-LSH — so the full cluster path (pairs → connected
+    components → cluster rows) is value-hash-checked against a DuckDB
+    recursive-CTE transitive closure, end to end.
+
+    This freezes the CLUSTER-ROW semantics (member list, keeper rule,
+    n_removed) that the LSH-fed ``dedup_duplicate_clusters`` — hash-seeded
+    upstream, necessarily rows-only — approximates; together the two
+    queries split the evidence exactly where the determinism boundary is.
+
+    Same scale shape as keep-best: PPJoin prefix filtering bounds the pair
+    space, CC is the checkpointed min-label loop, the member list is per
+    cluster (dup-group-sized, never corpus-sized).
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        comp.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias(
+                "member_doc_ids"
+            ),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "member_doc_ids",
+            F.col("cluster_id").alias("keeper_doc_id"),
+            (F.col("n_members") - 1).alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 ER_MAX_EDITS = 2  # fuzzy-match threshold on edit distance
 
 

@@ -151,8 +151,12 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str, top_k: int = 20) -> Data
     (each c→s edge has its s→c mirror), so the dangling-node join is
     skipped — one join per round instead of two, byte-identical output.
 
-    Rows-only check (iterative; no fixpoint SQL twin) — determinism and
-    rank-sanity invariants are pinned in tests/test_functions.py.
+    Value-hash-checked since round 4: the DuckDB oracle
+    (``oracles._supplier_pagerank_sql``) replays the decimal update loop
+    round-for-round as a recursive CTE, reproducing the bounded-iteration
+    output bit-exactly — the loop is PINNED, not just rows-counted.
+    Determinism and rank-sanity invariants additionally live in
+    tests/test_functions.py.
     """
     t = load_tables(spark, sf_dir)
     trade = (

@@ -955,3 +955,95 @@ def doc_sentence_stats(spark, sf_dir: str) -> DataFrame:
             F.when(n_sents > 0, short_sents.cast("double") / n_sents).otherwise(0.0), 6
         ).alias("short_sentence_share"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark 4 `@udtf`): sliding-window token chunking — the
+# context-packing table function of an LLM training pipeline
+# --------------------------------------------------------------------------
+
+CHUNK_MAX_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def _chunk_spans_udtf():
+    """Arrow-optimized Python UDTF emitting one row per training chunk of a
+    token array: chunks of ≤ CHUNK_MAX_TOKENS tokens, consecutive chunks
+    overlapping by CHUNK_OVERLAP (stride = max - overlap), the standard
+    sliding-window packing for long-document pretraining.
+
+    Built lazily (the decorator captures a SparkSession-independent
+    function handle, but constructing it at import time would make module
+    import depend on the pyspark JVM classpath being warm).
+
+    Why a UDTF and not explode(): the chunk count per document is
+    data-dependent (ceil-div of token length by stride) and each output
+    row carries derived state (index, span, joined text) — the exact shape
+    ``pyspark.sql.functions.udtf`` exists for, and the one Python
+    execution lane (scalar pandas_udf / applyInPandas / mapInPandas /
+    applyInPandasWithState are all covered elsewhere) the engine had not
+    yet exercised. ``useArrow=True`` keeps the transfer Arrow-batched.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "chunk_idx INT, start_token INT, n_tokens INT, chunk_text STRING"
+        ),
+        useArrow=True,
+    )
+    class ChunkSpans:
+        def eval(self, toks, max_tokens: int, overlap: int):
+            if not toks:
+                return
+            stride = max_tokens - overlap
+            last_start = max(len(toks) - overlap - 1, 0)
+            for idx, start in enumerate(range(0, last_start + 1, stride)):
+                chunk = toks[start : start + max_tokens]
+                yield idx, start, len(chunk), " ".join(chunk)
+
+    return ChunkSpans
+
+
+def doc_chunk_spans(spark, sf_dir: str) -> DataFrame:
+    """Chunk every document with the UDTF above via a LATERAL join, then
+    reduce per document to chunk count, token coverage, and a
+    content checksum (sum of 32-bit md5 prefixes over a stable rendering
+    of each chunk row) — value-hash-provable because the chunk starts are
+    closed-form (``range(0, max(L-overlap-1,0)+1, stride)``), which the
+    DuckDB twin reproduces with ``range()`` + ``list_slice``.
+
+    Scale shape: the UDTF stage is a map-only Arrow-batched expansion
+    (no shuffle); the only shuffle is the final per-doc aggregate, and
+    chunk_text never leaves the executor (the checksum collapses it
+    before the exchange).
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    spark.udtf.register("chunk_spans", _chunk_spans_udtf())
+    docs.select("doc_id", T.tokens("text").alias("tk")).createOrReplaceTempView(
+        "_chunk_docs"
+    )
+    chunks = spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.start_token, c.n_tokens, c.chunk_text
+        FROM _chunk_docs d,
+             LATERAL chunk_spans(d.tk, {CHUNK_MAX_TOKENS}, {CHUNK_OVERLAP}) c
+        """
+    )
+    row_key = F.concat_ws(
+        "|",
+        F.col("chunk_idx").cast("string"),
+        F.col("start_token").cast("string"),
+        F.col("chunk_text"),
+    )
+    checksum = F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast("bigint")
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("total_chunk_tokens"),
+            F.max("start_token").alias("last_chunk_start"),
+            F.sum(checksum).cast("bigint").alias("chunk_checksum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2382,6 +2382,47 @@ def _canonical_keep_best_sql() -> str:
 DEDUP_CANONICAL_KEEP_BEST_SQL = _canonical_keep_best_sql()
 
 
+def _duplicate_clusters_exact_sql() -> str:
+    """Same recursive-CTE closure as keep-best, emitting the CLUSTER-ROW
+    shape of duplicate_clusters (sorted member string, min-id keeper)."""
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {toks('text')} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, lang, {_SHINGLES} AS sh, len(tk) // {LENGTH_BUCKET} AS lb
+        FROM t
+    ),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb
+                           AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                    6) >= 0.4
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION ALL
+        SELECT doc_b, doc_a FROM prs
+    ),
+    reach(node, x) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    comp AS (SELECT node, min(x) AS comp FROM reach GROUP BY node)
+    SELECT comp AS cluster_id,
+           count(*) AS n_members,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS member_doc_ids,
+           comp AS keeper_doc_id,
+           count(*) - 1 AS n_removed
+    FROM comp GROUP BY comp ORDER BY cluster_id
+"""
+
+
+DEDUP_DUPLICATE_CLUSTERS_EXACT_SQL = _duplicate_clusters_exact_sql()
+
+
 def _shuffle_assignment_sql() -> str:
     from aws_saas_etl_spark.operators.curation import SHUFFLE_SALT, SHUFFLE_SHARDS
 
@@ -2698,6 +2739,50 @@ def _stream_custom_sink_sql() -> str:
 
 
 STREAM_CUSTOM_SINK_SQL = _stream_custom_sink_sql()
+
+
+def _doc_chunk_spans_sql() -> str:
+    from aws_saas_etl_spark.operators.textops import (
+        CHUNK_MAX_TOKENS,
+        CHUNK_OVERLAP,
+    )
+
+    stride = CHUNK_MAX_TOKENS - CHUNK_OVERLAP
+    return f"""
+    WITH t AS (SELECT doc_id, {toks('text')} AS tk FROM documents
+               WHERE {DOC_DROPNA}),
+    starts AS (
+        SELECT doc_id, tk,
+               unnest(range(0, greatest(len(tk) - {CHUNK_OVERLAP} - 1, 0) + 1,
+                            {stride})) AS start
+        FROM t WHERE len(tk) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(start / {stride} AS INT) AS chunk_idx,
+               start,
+               least({CHUNK_MAX_TOKENS}, len(tk) - start) AS n_tokens,
+               array_to_string(
+                   list_slice(tk, start + 1, start + {CHUNK_MAX_TOKENS}), ' '
+               ) AS chunk_text
+        FROM starts
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_chunk_tokens,
+           CAST(max(start) AS INT) AS last_chunk_start,
+           CAST(sum(('0x' || substr(md5(
+               CAST(chunk_idx AS VARCHAR) || '|'
+               || CAST(start AS VARCHAR) || '|'
+               || chunk_text
+           ), 1, 8))::BIGINT) AS BIGINT) AS chunk_checksum
+    FROM chunks
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+DOC_CHUNK_SPANS_SQL = _doc_chunk_spans_sql()
 
 
 def _cusum_sql() -> str:

@@ -746,6 +746,17 @@ register(
     runners.stream_custom_sink_ingest,
     oracles.STREAM_CUSTOM_SINK_SQL,
 )
+# Spark 4 Python UDTF (@udtf, Arrow-batched) via LATERAL join: the
+# sliding-window chunking table function, closed-form span twin in DuckDB
+register("doc_chunk_spans", textops.doc_chunk_spans, oracles.DOC_CHUNK_SPANS_SQL)
+# the cluster-row dedup path with EXACT (prefix-filtered Jaccard)
+# candidates: pairs -> CC -> cluster rows, all closure-oracle-checked;
+# the LSH-fed dedup_duplicate_clusters stays rows-only by necessity
+register(
+    "dedup_duplicate_clusters_exact",
+    dedup.duplicate_clusters_exact,
+    oracles.DEDUP_DUPLICATE_CLUSTERS_EXACT_SQL,
+)
 
 
 # --------------------------------------------------------------------------

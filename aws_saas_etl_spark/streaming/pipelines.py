@@ -191,16 +191,29 @@ def enriched_event_stream(stream_df: DataFrame, dim_df: DataFrame) -> DataFrame:
 
 
 def click_purchase_attribution(
-    stream_df: DataFrame, watermark: str = DEFAULT_WATERMARK, horizon_min: int = 60
+    stream_df: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    horizon_min: int | None = None,
 ) -> DataFrame:
     """Stream-stream interval join: purchases attributed to same-user
     clicks at most ``horizon_min`` minutes earlier.
+
+    ``horizon_min`` defaults at CALL time to the batch twin's
+    ``events.ATTRIBUTION_HORIZON_MIN`` — the stream pipeline, the batch
+    operator, and the driver oracle share ONE constant, so editing it
+    cannot desynchronize them (and call-time resolution keeps
+    monkeypatching honest — the def-time binding pitfall documented in
+    tests/test_functions.py).
 
     Both sides are watermarked and the join condition bounds purchase_ts
     on BOTH sides of click_ts, so Spark derives state-eviction watermarks
     for each buffer — state is O(events within horizon + watermark), not
     unbounded. Batch twin: operators/events.py:events_click_attribution.
     """
+    if horizon_min is None:
+        from aws_saas_etl_spark.operators.events import ATTRIBUTION_HORIZON_MIN
+
+        horizon_min = ATTRIBUTION_HORIZON_MIN
     clicks = (
         stream_df.where(F.col("event_type") == "click")
         .select(
@@ -274,7 +287,9 @@ def upsert_state(spark: SparkSession, log_path: str) -> DataFrame:
 
 
 def click_attribution_with_unmatched(
-    stream_df: DataFrame, watermark: str = DEFAULT_WATERMARK, horizon_min: int = 60
+    stream_df: DataFrame,
+    watermark: str = DEFAULT_WATERMARK,
+    horizon_min: int | None = None,
 ) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every click emits — matched
     rows as soon as both sides arrive, UNMATCHED clicks only once the
@@ -284,6 +299,10 @@ def click_attribution_with_unmatched(
     Same state bounds as the inner variant (both sides watermarked, the
     condition bounds purchase_ts from both directions).
     """
+    if horizon_min is None:
+        from aws_saas_etl_spark.operators.events import ATTRIBUTION_HORIZON_MIN
+
+        horizon_min = ATTRIBUTION_HORIZON_MIN
     clicks = (
         stream_df.where(F.col("event_type") == "click")
         .select(

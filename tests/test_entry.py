@@ -139,8 +139,14 @@ def test_every_query_emits_only_scalar_columns(spark):
     """The driver's value canonicalizer handles scalar columns; an
     array/map/struct output column crashed it in round 2
     (dedup_duplicate_clusters). Pin fleet-wide that no registered query —
-    including rows-only ones — exposes a nested type. Schema-only: builds
-    each DataFrame lazily, executes nothing."""
+    including rows-only ones — exposes a nested type.
+
+    Not free: most queries only build a plan here, but some do eager work
+    at construction (localCheckpoint barriers in curation/textops,
+    count() probes in semdedup) — accepted, still seconds each at
+    sf0.001. ``stream_*`` queries are EXCLUDED (constructing one fully
+    drains a stream, minutes not seconds); their output schemas are pinned
+    by the collect-based assertions in tests/test_streaming.py instead."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     from aws_saas_etl_spark import registry
@@ -148,6 +154,8 @@ def test_every_query_emits_only_scalar_columns(spark):
 
     offenders = []
     for name, fn in registry.queries().items():
+        if name.startswith("stream_"):
+            continue
         schema = fn(spark, SF_SMOKE).schema
         for field in schema.fields:
             if isinstance(field.dataType, (ArrayType, MapType, StructType)):

@@ -193,6 +193,27 @@ def test_stream_upsert_state_matches_batch_latest(spark):
     assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
 
 
+def test_upsert_oracle_tiebreak_assumption_holds(spark):
+    """STREAM_UPSERT_STATE_SQL breaks (user_id, ts) ties by event_id DESC
+    while the stream path resolves by (ts, batch_id, event_id); the two
+    agree ONLY because no user has two events at the same timestamp in the
+    fixtures. Pin that property at every scale the driver/tests touch —
+    a regenerated or rescaled fixture that violates it must fail HERE
+    loudly, not as a confusing driver hash mismatch."""
+    from aws_saas_etl_spark.catalog import load_table
+    from tests.conftest import SF_CORRECTNESS, SF_SMOKE
+
+    for sf_dir in (SF_SMOKE, SF_CORRECTNESS):
+        dupes = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id", "ts")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dupes == 0, f"(user_id, ts) collisions in {sf_dir}: {dupes}"
+
+
 def test_file_sink_matches_memory_drain(spark):
     """The parquet file sink and the memory sink must emit identical rows
     for the same availableNow drain (same watermark, same windows closed):
