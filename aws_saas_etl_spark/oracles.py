@@ -2423,6 +2423,31 @@ def _duplicate_clusters_exact_sql() -> str:
 DEDUP_DUPLICATE_CLUSTERS_EXACT_SQL = _duplicate_clusters_exact_sql()
 
 
+def _stream_hourly_stats_sql() -> str:
+    """Windows closed by the availableNow drain's FINAL watermark: the
+    flush batch after the last data batch emits every window with
+    ``window_end <= max(ts) − delay``; open windows stay withheld. The
+    fixture has no window_end exactly at the watermark (pinned in
+    tests/test_streaming.py), so <= vs < cannot flip a row."""
+    from aws_saas_etl_spark.streaming.pipelines import DEFAULT_WATERMARK
+
+    assert DEFAULT_WATERMARK == "30 minutes"
+    return f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {dsum_sql("value", 2)} AS sum_value
+    FROM events, wm
+    WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+STREAM_HOURLY_STATS_SQL = _stream_hourly_stats_sql()
+
+
 def _shuffle_assignment_sql() -> str:
     from aws_saas_etl_spark.operators.curation import SHUFFLE_SALT, SHUFFLE_SHARDS
 

@@ -439,7 +439,11 @@ register("small_quantity_orders", relational.small_quantity_orders, oracles.SMAL
 
 from aws_saas_etl_spark.streaming import runners  # noqa: E402
 
-register("stream_hourly_stats", runners.stream_hourly_stats, None)
+# upgraded r5: append emission == windows closed by the final watermark
+# (deterministic for a fixed staged fixture) -> SQL twin exists
+register(
+    "stream_hourly_stats", runners.stream_hourly_stats, oracles.STREAM_HOURLY_STATS_SQL
+)
 register("stream_sliding_windows", runners.stream_sliding_windows, None)
 register("stream_session_stats", runners.stream_session_stats, None)
 register("stream_dedup_within_watermark", runners.stream_dedup_within_watermark, None)

@@ -63,14 +63,20 @@ def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int
 
 def hourly_stats(df: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Tumbling 1-hour per-type stats; same aggregates as the batch twin
-    ``events_hourly_stats``. The watermark lets state for closed windows
-    be dropped — without it, streaming state grows unboundedly."""
+    ``events_hourly_stats`` — including its decimal-sum-then-round
+    convention (``dsum_rounded``), so the stream's emitted values are
+    order-independent and bit-comparable to the batch/oracle result (a
+    float sum would drift with partitioning). The watermark lets state
+    for closed windows be dropped — without it, streaming state grows
+    unboundedly."""
+    from aws_saas_etl_spark.functions.num import dsum_rounded
+
     return (
         df.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_rounded(F.col("value"), 2).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )

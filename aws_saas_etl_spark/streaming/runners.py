@@ -71,8 +71,26 @@ def _stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 10) -
 
 def stream_hourly_stats(spark, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate, drained availableNow
-    (streaming twin of ``events_hourly_stats``)."""
-    return _drain(P.hourly_stats(_stream(spark, sf_dir)), "append")
+    (streaming twin of ``events_hourly_stats``).
+
+    VALUE-HASH-CHECKED (upgraded from rows-only in round 5): the
+    availableNow drain's append output is exactly the windows closed by
+    the FINAL watermark — ``window_end <= max(ts) − 30 min`` — because
+    Spark runs a flush batch after the last data batch with the complete
+    watermark (measured at sf0.001: 866 stream rows == 866 batch windows
+    under that filter, value-identical; the remaining 2 open windows
+    withheld). Intermediate per-batch watermarks don't change the final
+    emission SET, so file→batch assignment can't perturb it. The DuckDB
+    twin (``STREAM_HOURLY_STATS_SQL``) applies the same filter; the
+    no-exact-tie fixture property that makes <= vs < moot is pinned in
+    tests/test_streaming.py."""
+    out = _drain(P.hourly_stats(_stream(spark, sf_dir)), "append")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    ).orderBy("window_start", "event_type")
 
 
 def stream_sliding_windows(spark, sf_dir: str) -> DataFrame:

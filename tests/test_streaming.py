@@ -214,6 +214,25 @@ def test_upsert_oracle_tiebreak_assumption_holds(spark):
         assert dupes == 0, f"(user_id, ts) collisions in {sf_dir}: {dupes}"
 
 
+def test_hourly_oracle_no_watermark_boundary_tie(spark):
+    """STREAM_HOURLY_STATS_SQL emits windows with window_end <= final
+    watermark; Spark's eviction comparison at an EXACT tie could differ.
+    Pin that no fixture has an hour boundary exactly 30 minutes before
+    max(ts) — so <=/< cannot flip a row at the scales checked."""
+    from aws_saas_etl_spark.catalog import load_table
+    from tests.conftest import SF_CORRECTNESS, SF_SMOKE
+
+    for sf_dir in (SF_SMOKE, SF_CORRECTNESS):
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("ts").cast("timestamp").alias("ts")
+        )
+        mx = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        # watermark = max ts - 30 min; a tie needs it exactly on the hour
+        assert not (
+            mx.minute == 30 and mx.second == 0 and mx.microsecond == 0
+        ), f"max(ts) in {sf_dir} puts the watermark exactly on an hour boundary"
+
+
 def test_file_sink_matches_memory_drain(spark):
     """The parquet file sink and the memory sink must emit identical rows
     for the same availableNow drain (same watermark, same windows closed):
