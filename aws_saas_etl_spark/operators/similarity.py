@@ -276,12 +276,21 @@ def ivf_fit_cells(emb: DataFrame, n_cells: int, iters: int = IVF_ITERS) -> DataF
     vectors with the smallest md5(vec_id) — TakeOrdered, no global sort
     materialization), refined by ``iters`` Lloyd rounds.
 
-    Each round is corpus × broadcast(centroids) assignment + a per-
-    dimension mean (posexplode → groupBy (cell, dim) → rebuild array) —
-    the distributed k-means shape; the centroid set (≤ IVF_CELLS_MAX
-    rows) is always broadcast-bounded. localCheckpoint between rounds
-    stops lineage growth, as in connected_components."""
+    Each round is corpus × broadcast(centroids) assignment + ONE
+    groupBy(cell) whose per-dimension means are dim parallel ``avg``
+    expressions over array elements — measured rewrite (r5) of the
+    posexplode → groupBy(cell, dim) → collect_list rebuild, which
+    shuffled n×dim exploded rows through TWO exchanges per round and put
+    the sf0.1 fit at 5.0s; the single-exchange form fits in 1.6s (round
+    floor ≈ per-stage overhead, see SCALE.md). At 100 TB the win is the
+    same ×dim shuffle-volume cut. Only the FINAL centroid set is
+    localCheckpoint-ed: intermediate rounds are consumed exactly once,
+    but the returned table is broadcast into both the corpus assignment
+    and the query probe, and an unmaterialized broadcast subtree
+    re-executes per consumer (the exchange-reuse pitfall measured in
+    doc_tfidf_neighbors)."""
     vectors = emb.select("vec_id", "embedding")
+    dim = len(vectors.select("embedding").first()[0])
     seeds = (
         vectors.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(n_cells)
@@ -290,23 +299,15 @@ def ivf_fit_cells(emb: DataFrame, n_cells: int, iters: int = IVF_ITERS) -> DataF
     centroids = seeds.select(
         (F.row_number().over(Window.orderBy(F.col("centroid"))) - 1).alias("cell"),
         "centroid",
-    ).localCheckpoint()
+    )
     for _ in range(iters):
         assigned = _assign_cells(vectors, centroids)
-        centroids = (
-            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("v").alias("mean_v"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mean_v"))),
-                    lambda s: s.mean_v.cast("float"),
-                ).alias("centroid")
-            )
-            .localCheckpoint()
+        centroids = assigned.groupBy("cell").agg(
+            F.array(
+                *[F.avg(F.col("embedding")[i]).cast("float") for i in range(dim)]
+            ).alias("centroid")
         )
-    return centroids
+    return centroids.localCheckpoint()
 
 
 def ann_ivf_topk(
@@ -327,6 +328,21 @@ def ann_ivf_topk(
     the probe join touches ~nprobe/√n of the corpus per query. Rows-only
     check (iterative refinement is not SQL-expressible); recall vs
     knn_bruteforce is pytest-asserted.
+
+    Measured profile at sf0.1 (n=2000, dim=64, n_cells=45, round-5
+    session): candidates scanned per query = nprobe × avg cell ≈ 4×44 =
+    176 — exactly the ~√n×nprobe budget, an 11× cut vs brute force.
+    Recall@10 vs knn_bruteforce: 0.42 at nprobe=4 (9% of cells), 0.54 at
+    8, 0.64 at 12 — near-LINEAR in probed fraction because the synthetic
+    fixture embeddings are i.i.d.-random (isotropic: centroid routing
+    carries little signal; 0.42 is still 4.7× the 9% uniform baseline).
+    On clustered real embeddings the curve bends up sharply; the 10%
+    default is the budget knob, not a quality ceiling. Wall clock ≈ 3.9s
+    warm, of which ~2.9s is the Lloyd fit — 6+ serial stages against the
+    ~0.4s/stage local floor (SCALE.md), not data volume; the per-round
+    rebuild was rewritten in r5 from posexplode→(cell,dim)-groupBy (two
+    exchanges of n×dim rows) to one groupBy(cell) with dim parallel
+    avg(embedding[i]) expressions (single exchange of n rows).
     """
     emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
     if n_cells is None:

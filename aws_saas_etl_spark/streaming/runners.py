@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.catalog import load_table
+from aws_saas_etl_spark.sources.custom import proc_dir
 from aws_saas_etl_spark.streaming import pipelines as P
 
 _STAGE_FILES = 3
@@ -171,17 +172,21 @@ def stream_upsert_state(spark, sf_dir: str) -> DataFrame:
     its per-user latest rows to a parquet log; returns the latest-wins
     compacted state (equals the batch latest-event-per-user — pinned by
     tests/test_streaming.py)."""
-    src = P.read_event_stream(
-        spark, _staged_events_dir(spark, sf_dir), max_files_per_trigger=1
-    )
-    log_path = tempfile.mkdtemp(prefix="etl_spark_upsert_") + "/log"
+    staged = _staged_events_dir(spark, sf_dir)
+    src = P.read_event_stream(spark, staged, max_files_per_trigger=1)
+    # reused per-(staged source, pid) dir: checkpoint resume makes reruns
+    # no-ops (and even a cross-session re-ingest only re-appends the same
+    # per-user-latest rows, which latest-wins compaction collapses); a
+    # fresh mkdtemp per invocation leaked log+checkpoint on every repeat.
+    # Keyed by the staged dir so a new session (new staging) can never
+    # resume against another session's file-source checkpoint.
+    base = proc_dir("upsert", staged)
+    log_path = os.path.join(base, "log")
     q = (
         src.writeStream.foreachBatch(
             lambda b, bid: P.upsert_batch_to_log(b, bid, log_path)
         )
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="etl_spark_upsert_ckpt_")
-        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -200,14 +205,18 @@ def stream_hourly_to_parquet(spark, sf_dir: str) -> DataFrame:
     (_spark_metadata) give end-to-end exactly-once on files — a retried
     batch atomically replaces, never duplicates. Returns the sink
     directory read back as a normal parquet table."""
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="etl_spark_fsink_"), "out")
+    staged = _staged_events_dir(spark, sf_dir)
+    # reused per-(staged source, pid): resume = no new files = no dupes;
+    # keyed by the staged dir for the same cross-session safety as the
+    # upsert runner above (the parquet sink would duplicate windows if a
+    # checkpoint ever resumed against a different staged source path).
+    base = proc_dir("fsink", staged)
+    out_dir = os.path.join(base, "out")
     q = (
-        P.hourly_stats(_stream(spark, sf_dir))
+        P.hourly_stats(P.read_event_stream(spark, staged))
         .writeStream.format("parquet")
         .option("path", out_dir)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="etl_spark_fsink_ckpt_")
-        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

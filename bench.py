@@ -94,6 +94,10 @@ def main() -> None:
             "supplier_pagerank",
             "minhash_lsh_pairs",
             "dedup_canonical_keep_best",
+            # r5: the two remaining expensive queries tuning claims will
+            # be made about (per r4 verdict) — bankable best-of-3 numbers
+            "ann_ivf_topk",
+            "events_resample_locf",
         )
         if n in timings
     ]
@@ -124,7 +128,9 @@ def main() -> None:
         # normalize by what the pipeline actually ingested: the custom
         # Python source reads its own closed-form rows, not `events`
         n_in = (
-            STREAM_TOTAL_ROWS if name == "stream_custom_source_ingest" else n_events
+            STREAM_TOTAL_ROWS
+            if name in ("stream_custom_source_ingest", "stream_custom_sink_ingest")
+            else n_events
         )
         stream_bench[name] = {
             "drain_seconds": round(secs, 4),

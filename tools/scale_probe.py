@@ -47,6 +47,11 @@ PROBES = [
     ("corpus_shuffle_assignment", "curation", "corpus_shuffle_assignment"),
     ("corpus_token_budget_sample", "curation", "corpus_token_budget_sample"),
     ("embedding_semdedup_prune", "curation", "embedding_semdedup_prune"),
+    # r5 additions: every remaining top-12-slowest bench query gets an α
+    ("ann_ivf_topk", "similarity", "ann_ivf_topk"),
+    ("dedup_duplicate_clusters", "dedup", "duplicate_clusters"),
+    ("events_resample_locf", "events", "events_resample_locf"),
+    ("customer_fuzzy_matches", "dedup", "customer_fuzzy_matches"),
 ]
 
 # per-copy character translation: rewrites every token, so copies are not
@@ -105,8 +110,49 @@ def stage(spark, scale: int) -> str:
         e = e.unionByName(p)
     d.repartition(max(4, 4 * scale)).write.parquet(table_path(out, "documents"))
     e.repartition(max(4, 4 * scale)).write.parquet(table_path(out, "embeddings"))
+
+    # events: user_id offset per copy — growth means MORE USERS at the
+    # same per-user event density (the honest scale model for the
+    # per-user grid/window operators), not denser single users.
+    ev = load_table(spark, BASE_SF, "events")
+    ev_parts = [
+        ev.select(
+            (F.col("event_id") + ID_STRIDE * i).alias("event_id"),
+            "ts",
+            (F.col("user_id") + ID_STRIDE * i).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(scale)
+    ]
+    evu = ev_parts[0]
+    for p in ev_parts[1:]:
+        evu = evu.unionByName(p)
+    evu.repartition(max(4, 4 * scale)).write.parquet(table_path(out, "events"))
+
+    # customer: digits cyclically translated per copy, so cross-copy
+    # names are many edits apart (no artificial fuzzy-match pairs) while
+    # the last-2-char blocking keys stay uniformly distributed.
+    cust = load_table(spark, BASE_SF, "customer")
+    digits = "0123456789"
+    c_parts = [
+        cust.select(
+            (F.col("c_custkey") + ID_STRIDE * i).alias("c_custkey"),
+            F.translate(
+                "c_name", digits, digits[i % 10 :] + digits[: i % 10]
+            ).alias("c_name"),
+            *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
+        )
+        for i in range(scale)
+    ]
+    cu = c_parts[0]
+    for p in c_parts[1:]:
+        cu = cu.unionByName(p)
+    cu.repartition(max(4, 4 * scale)).write.parquet(table_path(out, "customer"))
+
     for t in TABLES:
-        if t not in ("documents", "embeddings"):
+        if t not in ("documents", "embeddings", "events", "customer"):
             os.symlink(table_path(BASE_SF, t), table_path(out, t))
     return out
 
