@@ -1653,13 +1653,25 @@ TABLE_PROFILE_SQL = _table_profile_sql()
 
 
 def _fuzzy_match_sql() -> str:
-    from aws_saas_etl_spark.operators.dedup import ER_MAX_EDITS
+    """Adaptive blocking twin: k = smallest suffix length ≥ 2 with
+    10^k · ER_TARGET_BLOCK ≥ count(*) — the same integer rule as
+    ``dedup.er_block_suffix_len``, unrolled as an exact CASE ladder
+    (covers n up to 10^8 · target; beyond that both sides would need a
+    longer ladder and the assertion below would catch the drift)."""
+    from aws_saas_etl_spark.operators.dedup import ER_MAX_EDITS, ER_TARGET_BLOCK
 
+    ladder = " ".join(
+        f"WHEN n <= {10**k * ER_TARGET_BLOCK} THEN {k}" for k in range(2, 9)
+    )
     return f"""
-    WITH c AS (
+    WITH params AS (
+        SELECT (CASE {ladder} ELSE 9 END) AS k
+        FROM (SELECT count(*) AS n FROM customer)
+    ),
+    c AS (
         SELECT c_custkey, c_name, c_nationkey,
-               substr(c_name, length(c_name) - 1, 2) AS blk
-        FROM customer
+               substr(c_name, length(c_name) - k + 1, k) AS blk
+        FROM customer, params
     )
     SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
            levenshtein(a.c_name, b.c_name) AS edit_dist,
