@@ -2460,6 +2460,138 @@ def _stream_hourly_stats_sql() -> str:
 STREAM_HOURLY_STATS_SQL = _stream_hourly_stats_sql()
 
 
+def _stream_sliding_sql() -> str:
+    """Sliding windows closed by the final watermark (same emission
+    argument as the hourly twin; window length 1 h, slide 30 min)."""
+    from aws_saas_etl_spark.streaming.pipelines import DEFAULT_WATERMARK
+
+    assert DEFAULT_WATERMARK == "30 minutes"
+    return f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+    wins AS (
+        SELECT e.*, time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS w_start
+        FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT strftime(w_start, '{TS_FMT_DUCK}')                     AS window_start,
+           strftime(w_start + INTERVAL '1 hour', '{TS_FMT_DUCK}') AS window_end,
+           count(*) AS n_events
+    FROM wins, wm
+    WHERE w_start + INTERVAL '1 hour' <= wm.w
+    GROUP BY w_start
+    ORDER BY window_start
+"""
+
+
+STREAM_SLIDING_SQL = _stream_sliding_sql()
+
+
+def _stream_session_sql() -> str:
+    """Gaps-and-islands sessions (the batch twin's SQL) restricted to
+    sessions the final watermark closed: end = last event + gap,
+    emitted iff end <= max(ts) − 30 min."""
+    from aws_saas_etl_spark.streaming.pipelines import DEFAULT_WATERMARK
+
+    assert DEFAULT_WATERMARK == "30 minutes"
+    return f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+    marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER win IS NULL
+                         OR ts - lag(ts) OVER win > INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}')                          AS session_start,
+           strftime(max(ts) + INTERVAL '10 minutes', '{TS_FMT_DUCK}')  AS session_end,
+           count(*) AS n_events,
+           {dsum_sql("value", 2)} AS sum_value
+    FROM sessions, wm
+    GROUP BY user_id, sess_id, wm.w
+    HAVING max(ts) + INTERVAL '10 minutes' <= wm.w
+    ORDER BY user_id, session_start
+"""
+
+
+STREAM_SESSION_SQL = _stream_session_sql()
+
+
+def _stream_dedup_sql() -> str:
+    """Survivor set of dropDuplicatesWithinWatermark over a complete
+    drain = the events table itself, exact because event_ids are
+    globally unique in the fixtures (pinned per scale in
+    tests/test_streaming.py)."""
+    return """
+    SELECT event_id, user_id, event_type
+    FROM events
+    ORDER BY event_id
+"""
+
+
+STREAM_DEDUP_SQL = _stream_dedup_sql()
+
+
+def _stream_running_totals_sql() -> str:
+    """Final applyInPandasWithState state: all-events per-user count and
+    rounded value sum (nulls contribute 0 via the kernel's fillna).
+    Decimal convention on the oracle side; python-round(float) ==
+    decimal half-up at the fixture scales is pinned in
+    tests/test_streaming.py::test_running_totals_rounding_assumption."""
+    return f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           {dsum_sql("coalesce(value, 0)", 2)} AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+
+STREAM_RUNNING_TOTALS_SQL = _stream_running_totals_sql()
+
+
+def _stream_topk_sql() -> str:
+    """Rank over the final-watermark-closed hourly windows (the
+    sink-then-serve pattern's serving query, deterministic because the
+    drained window set is)."""
+    from aws_saas_etl_spark.streaming.pipelines import DEFAULT_WATERMARK
+    from aws_saas_etl_spark.streaming.runners import TRENDING_TOP_K
+
+    assert DEFAULT_WATERMARK == "30 minutes"
+    return f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+    hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+               event_type,
+               count(*) AS n_events
+        FROM events, wm
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wm.w
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY w_start ORDER BY n_events DESC, event_type ASC
+        ) AS rank
+        FROM hourly
+    )
+    SELECT strftime(w_start, '{TS_FMT_DUCK}') AS window_start,
+           event_type, n_events, rank
+    FROM ranked
+    WHERE rank <= {TRENDING_TOP_K}
+    ORDER BY window_start, rank
+"""
+
+
+STREAM_TOPK_SQL = _stream_topk_sql()
+
+
 def _shuffle_assignment_sql() -> str:
     from aws_saas_etl_spark.operators.curation import SHUFFLE_SALT, SHUFFLE_SHARDS
 

@@ -444,10 +444,10 @@ from aws_saas_etl_spark.streaming import runners  # noqa: E402
 register(
     "stream_hourly_stats", runners.stream_hourly_stats, oracles.STREAM_HOURLY_STATS_SQL
 )
-register("stream_sliding_windows", runners.stream_sliding_windows, None)
-register("stream_session_stats", runners.stream_session_stats, None)
-register("stream_dedup_within_watermark", runners.stream_dedup_within_watermark, None)
-register("stream_running_user_totals", runners.stream_running_user_totals, None)
+register("stream_sliding_windows", runners.stream_sliding_windows, oracles.STREAM_SLIDING_SQL)
+register("stream_session_stats", runners.stream_session_stats, oracles.STREAM_SESSION_SQL)
+register("stream_dedup_within_watermark", runners.stream_dedup_within_watermark, oracles.STREAM_DEDUP_SQL)
+register("stream_running_user_totals", runners.stream_running_user_totals, oracles.STREAM_RUNNING_TOTALS_SQL)
 register(
     "stream_static_enrichment",
     runners.stream_static_enrichment,
@@ -519,7 +519,7 @@ register(
     oracles.CUSTOMER_DECILES_SQL,
 )
 
-register("stream_hourly_to_parquet", runners.stream_hourly_to_parquet, None)
+register("stream_hourly_to_parquet", runners.stream_hourly_to_parquet, oracles.STREAM_HOURLY_STATS_SQL)
 
 register("events_daily_funnel", events.events_daily_funnel, oracles.EVENTS_FUNNEL_SQL)
 
@@ -707,9 +707,9 @@ register(
     curation.embedding_semdedup_prune,
     oracles.EMBEDDING_SEMDEDUP_SQL,
 )
-# append-mode top-k needs the sink-then-serve pattern -> rows-only;
-# stream==batch equivalence pinned in tests/test_streaming.py
-register("stream_topk_trending", runners.stream_topk_trending, None)
+# sink-then-serve top-k: the drained window set is the deterministic
+# final-watermark set (r5), so the serving rank has a SQL twin too
+register("stream_topk_trending", runners.stream_topk_trending, oracles.STREAM_TOPK_SQL)
 register(
     "corpus_curation_report",
     curation.corpus_curation_report,

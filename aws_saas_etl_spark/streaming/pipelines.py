@@ -100,13 +100,17 @@ def sliding_stats(df: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFram
 def session_stats(df: DataFrame, gap: str = "10 minutes", watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Per-user session windows (streaming twin of
     ``events_session_stats``): state merges as events arrive, sessions
-    close gap-after the last event once the watermark passes."""
+    close gap-after the last event once the watermark passes. Decimal
+    sum (the batch twin's convention) so emitted values are independent
+    of partitioning and batch order."""
+    from aws_saas_etl_spark.functions.num import dsum_rounded
+
     return (
         df.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dsum_rounded(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             "user_id",

@@ -95,21 +95,58 @@ def stream_hourly_stats(spark, sf_dir: str) -> DataFrame:
 
 
 def stream_sliding_windows(spark, sf_dir: str) -> DataFrame:
-    """Watermarked sliding-window counts, drained availableNow."""
-    return _drain(P.sliding_stats(_stream(spark, sf_dir)), "append")
+    """Watermarked sliding-window counts, drained availableNow.
+
+    HASH-CHECKED since r5 by the same final-watermark argument as
+    ``stream_hourly_stats``: the flush batch emits exactly the sliding
+    windows with ``window_end <= max(ts) − 30 min`` (the staged 3 files
+    land in ONE data batch at maxFilesPerTrigger=10, so no intermediate
+    watermark can drop a late row first)."""
+    out = _drain(P.sliding_stats(_stream(spark, sf_dir)), "append")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "n_events",
+    ).orderBy("window_start")
 
 
 def stream_session_stats(spark, sf_dir: str) -> DataFrame:
     """Watermarked session windows (stateful gap-merge), drained
-    availableNow."""
-    return _drain(P.session_stats(_stream(spark, sf_dir)), "append")
+    availableNow.
+
+    HASH-CHECKED since r5: a complete single-data-batch drain merges the
+    same sessions as the batch operator (state sees all events), and the
+    flush batch emits exactly the sessions whose end (last event + gap)
+    is ``<= max(ts) − 30 min`` — the DuckDB twin is the batch
+    gaps-and-islands SQL under that filter."""
+    out = _drain(P.session_stats(_stream(spark, sf_dir)), "append")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
 
 
 def stream_dedup_within_watermark(spark, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over the event stream; returns the
-    per-event survivors (bounded state, unlike global dropDuplicates)."""
+    per-event survivors (bounded state, unlike global dropDuplicates).
+
+    HASH-CHECKED since r5: dedup emission is NOT watermark-gated (rows
+    pass through as they arrive; the watermark only bounds state), so a
+    complete drain emits every first occurrence per event_id — and the
+    fixtures have globally UNIQUE event_ids (pinned per scale in
+    tests/test_streaming.py), so the survivor set is exactly the events
+    table and the twin is a plain projection. A duplicate-bearing
+    fixture would need the first-occurrence rule and fail the pin test
+    loudly first."""
     deduped = P.dedup_stream(_stream(spark, sf_dir))
-    return _drain(deduped, "append").select("event_id", "user_id", "event_type")
+    return (
+        _drain(deduped, "append")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
 
 
 def stream_running_user_totals(spark, sf_dir: str) -> DataFrame:
@@ -124,6 +161,12 @@ def stream_running_user_totals(spark, sf_dir: str) -> DataFrame:
     # emission with the highest cumulative count is the final state
     # (n_events is monotone per user; total_value need not be, so it is
     # selected BY n_events rather than maxed).
+    # HASH-CHECKED since r5: the final state is the all-events per-user
+    # (count, round(float_sum, 2)); the oracle uses the decimal
+    # convention, exact because python-round(float sum) == decimal
+    # half-up round for every user at the fixture scales — pinned by
+    # tests/test_streaming.py::test_running_totals_rounding_assumption
+    # (a violating fixture fails there first, not as a driver mismatch).
     return (
         out.groupBy("user_id")
         .agg(
@@ -204,7 +247,12 @@ def stream_hourly_to_parquet(spark, sf_dir: str) -> DataFrame:
     watermark closes; the checkpoint + the sink's file manifest
     (_spark_metadata) give end-to-end exactly-once on files — a retried
     batch atomically replaces, never duplicates. Returns the sink
-    directory read back as a normal parquet table."""
+    directory read back as a normal parquet table.
+
+    HASH-CHECKED since r5: same pipeline + same drain as
+    ``stream_hourly_stats`` (file==memory sink equivalence pinned in
+    tests/test_streaming.py), so the same final-watermark SQL twin
+    applies."""
     staged = _staged_events_dir(spark, sf_dir)
     # reused per-(staged source, pid): resume = no new files = no dupes;
     # keyed by the staged dir for the same cross-session safety as the

@@ -214,6 +214,63 @@ def test_upsert_oracle_tiebreak_assumption_holds(spark):
         assert dupes == 0, f"(user_id, ts) collisions in {sf_dir}: {dupes}"
 
 
+def test_event_ids_globally_unique(spark):
+    """STREAM_DEDUP_SQL equates the dropDuplicatesWithinWatermark
+    survivor set with the whole events table — exact ONLY while
+    event_ids are globally unique. A duplicate-bearing fixture must
+    fail here loudly, not as a driver hash mismatch."""
+    from aws_saas_etl_spark.catalog import load_table
+    from tests.conftest import SF_CORRECTNESS, SF_SMOKE
+
+    for sf_dir in (SF_SMOKE, SF_CORRECTNESS):
+        ev = load_table(spark, sf_dir, "events")
+        total = ev.count()
+        distinct = ev.select("event_id").distinct().count()
+        assert total == distinct, f"duplicate event_ids in {sf_dir}"
+
+
+def test_running_totals_rounding_assumption(spark):
+    """STREAM_RUNNING_TOTALS_SQL rounds a DECIMAL sum half-up while the
+    applyInPandasWithState kernel python-rounds a FLOAT accumulation;
+    they agree unless a user's true sum sits within float error of a
+    0.005 boundary. Pin the agreement per user at the checked scales —
+    computed exactly the kernel's way (single-pass float sum in event
+    order is associative-equal here because the kernel sums per batch
+    then adds; verified against the drained stream by
+    test_stream_running_totals_matches_batch)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from aws_saas_etl_spark.catalog import load_table
+    from tests.conftest import SF_CORRECTNESS, SF_SMOKE
+
+    for sf_dir in (SF_SMOKE, SF_CORRECTNESS):
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "value")
+            .toPandas()
+        )
+        for user_id, grp in rows.groupby("user_id"):
+            fsum = float(grp["value"].fillna(0.0).sum())
+            dec = sum(
+                Decimal(repr(v)) for v in grp["value"].fillna(0.0)
+            ).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            assert round(fsum, 2) == float(dec), (
+                f"float/decimal rounding disagreement for user {user_id} "
+                f"in {sf_dir}: {fsum} vs {dec}"
+            )
+            # order-independence margin: the exact sum ×100 is far from a
+            # .5 rounding boundary, so ANY float summation order (batch
+            # partials, pandas blocks) rounds identically — float error
+            # here is < 1e-7 absolute against a > 1e-4 margin.
+            exact100 = sum(
+                Decimal(repr(v)) for v in grp["value"].fillna(0.0)
+            ) * 100
+            frac = abs(exact100 - exact100.to_integral_value()) - Decimal("0.5")
+            assert abs(frac) > Decimal("1e-4"), (
+                f"user {user_id} in {sf_dir} sits on a rounding boundary"
+            )
+
+
 def test_hourly_oracle_no_watermark_boundary_tie(spark):
     """STREAM_HOURLY_STATS_SQL emits windows with window_end <= final
     watermark; Spark's eviction comparison at an EXACT tie could differ.
