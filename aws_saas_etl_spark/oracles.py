@@ -2592,6 +2592,60 @@ def _stream_topk_sql() -> str:
 STREAM_TOPK_SQL = _stream_topk_sql()
 
 
+def _stream_click_unmatched_sql() -> str:
+    """LEFT OUTER interval join twin: inner matches (emit on arrival)
+    UNION the unmatched clicks evicted by the FINAL watermark. Each
+    withWatermark node tracks only its own filtered side, so the global
+    watermark is the MIN of the two sides' (max ts − delay); a click
+    emits unmatched iff no purchase landed in its horizon AND
+    ``click_ts + horizon < global watermark``."""
+    from aws_saas_etl_spark.operators.events import ATTRIBUTION_HORIZON_MIN
+    from aws_saas_etl_spark.streaming.pipelines import DEFAULT_WATERMARK
+
+    assert DEFAULT_WATERMARK == "30 minutes"
+    h = ATTRIBUTION_HORIZON_MIN
+    return f"""
+    WITH wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'click'),
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 30 MINUTE AS w
+    ),
+    c AS (SELECT user_id, ts AS cts, event_id AS click_id
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id AS pu, ts AS pts, event_id AS purchase_id, value
+          FROM events WHERE event_type = 'purchase'),
+    matched AS (
+        SELECT c.user_id, c.click_id, p.purchase_id,
+               0 AS unconverted, p.value AS purchase_value
+        FROM c JOIN p ON c.user_id = p.pu
+                     AND p.pts >= c.cts
+                     AND p.pts < c.cts + INTERVAL {h} MINUTE
+    ),
+    unmatched AS (
+        SELECT c.user_id, c.click_id,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               1 AS unconverted,
+               CAST(NULL AS DOUBLE) AS purchase_value
+        FROM c, wm
+        WHERE NOT EXISTS (
+                  SELECT 1 FROM p
+                  WHERE p.pu = c.user_id
+                    AND p.pts >= c.cts
+                    AND p.pts < c.cts + INTERVAL {h} MINUTE
+              )
+          AND c.cts + INTERVAL {h} MINUTE < wm.w
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched
+    ORDER BY click_id, purchase_id
+"""
+
+
+STREAM_CLICK_UNMATCHED_SQL = _stream_click_unmatched_sql()
+
+
 def _shuffle_assignment_sql() -> str:
     from aws_saas_etl_spark.operators.curation import SHUFFLE_SALT, SHUFFLE_SHARDS
 

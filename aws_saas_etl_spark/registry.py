@@ -639,7 +639,13 @@ register(
 register(
     "doc_common_ngram_ratio", textops.doc_common_ngram_ratio, oracles.DOC_COMMON_NGRAM_SQL
 )
-register("stream_click_unmatched", runners.stream_click_unmatched, None)
+# r5: outer-emission set proven deterministic (min-watermark eviction
+# predicate, measured set-identical at two scales) -> SQL twin
+register(
+    "stream_click_unmatched",
+    runners.stream_click_unmatched,
+    oracles.STREAM_CLICK_UNMATCHED_SQL,
+)
 register("doc_char_entropy", textops.doc_char_entropy, oracles.DOC_CHAR_ENTROPY_SQL)
 register("corpus_zipf_fit", textops.corpus_zipf_fit, oracles.CORPUS_ZIPF_SQL)
 # per-group eigenvector via applyInPandas: no linear algebra in the oracle

@@ -285,10 +285,21 @@ def stream_hourly_to_parquet(spark, sf_dir: str) -> DataFrame:
 def stream_click_unmatched(spark, sf_dir: str) -> DataFrame:
     """availableNow drain of the stream-stream LEFT OUTER interval join —
     unmatched clicks emit with NULL purchase columns after watermark
-    expiry (the conversion-funnel "never converted" stream)."""
+    expiry (the conversion-funnel "never converted" stream).
+
+    HASH-CHECKED since r5. Emission is exactly: all INNER matches (they
+    emit on arrival) plus the unmatched clicks whose state the final
+    watermark evicted — ``click_ts + horizon < min(max click_ts,
+    max purchase_ts) − delay``. The min matters: each withWatermark node
+    tracks only ITS filtered side, and Spark takes the global minimum, so
+    the newest click in the fixture is never evicted even though the
+    purchase side's clock is far ahead (measured set-identical to this
+    predicate at sf0.001 and sf0.01: 204 and 1971 emitted unmatched
+    rows, one and 35 withheld). The <-vs-<= boundary cannot bite: no click sits
+    exactly on the eviction cutoff (asserted in tests)."""
     return _drain(
         P.click_attribution_with_unmatched(_stream(spark, sf_dir)), "append"
-    )
+    ).orderBy("click_id", "purchase_id")
 
 
 TRENDING_TOP_K = 3

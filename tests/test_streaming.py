@@ -290,6 +290,41 @@ def test_hourly_oracle_no_watermark_boundary_tie(spark):
         ), f"max(ts) in {sf_dir} puts the watermark exactly on an hour boundary"
 
 
+def test_unmatched_click_no_eviction_boundary_tie(spark):
+    """STREAM_CLICK_UNMATCHED_SQL evicts clicks with click_ts + horizon
+    STRICTLY before the min-side watermark; pin that no click sits
+    exactly on that cutoff so <-vs-<= cannot flip a row."""
+    import datetime
+
+    from aws_saas_etl_spark.catalog import load_table
+    from aws_saas_etl_spark.operators.events import ATTRIBUTION_HORIZON_MIN
+    from tests.conftest import SF_CORRECTNESS, SF_SMOKE
+
+    for sf_dir in (SF_SMOKE, SF_CORRECTNESS):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        mxc = (
+            ev.where(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0]
+        )
+        mxp = (
+            ev.where(F.col("event_type") == "purchase")
+            .agg(F.max("ts"))
+            .collect()[0][0]
+        )
+        cutoff = (
+            min(mxc, mxp)
+            - datetime.timedelta(minutes=30)
+            - datetime.timedelta(minutes=ATTRIBUTION_HORIZON_MIN)
+        )
+        on_boundary = (
+            ev.where(F.col("event_type") == "click")
+            .where(F.col("ts") == F.lit(cutoff))
+            .count()
+        )
+        assert on_boundary == 0, f"click exactly on eviction cutoff in {sf_dir}"
+
+
 def test_file_sink_matches_memory_drain(spark):
     """The parquet file sink and the memory sink must emit identical rows
     for the same availableNow drain (same watermark, same windows closed):
