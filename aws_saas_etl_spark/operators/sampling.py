@@ -276,3 +276,49 @@ def customer_distinct_hll_merge(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+def split_leakage_check(spark, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE audit over NEAR-DUPLICATE clusters: content
+    groups (prefix-filtered n-gram Jaccard pairs → connected components,
+    the same proven chain as ``dedup_duplicate_clusters_exact``) whose
+    members land in DIFFERENT splits — the contamination mode hash-bucket
+    splitting by doc_id cannot prevent (near-copies have distinct ids, so
+    they split independently), and the reason real pipelines dedup BEFORE
+    splitting. One row per multi-doc content cluster with its split
+    spread and a ``leaked`` flag; the top-line leak count is
+    ``sum(leaked)``.
+
+    Scale shape: inherits the bounded pair generation and checkpointed
+    CC loop (α 0.38/0.42 measured in SCALE.md); the split tag is a
+    map-only md5 bucket and the spread is one per-cluster aggregate —
+    cluster-sized groups, never corpus-sized.
+    """
+    from aws_saas_etl_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    tagged = comp.select(
+        "comp", "node", split_label("node").alias("split")
+    )
+    return (
+        tagged.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("node").alias("min_doc_id"),
+            F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias("splits"),
+        )
+        .select(
+            "cluster_id",
+            "n_splits",
+            "n_docs",
+            "min_doc_id",
+            "splits",
+            (F.col("n_splits") > 1).cast("int").alias("leaked"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -2435,6 +2435,63 @@ def _duplicate_clusters_exact_sql() -> str:
 DEDUP_DUPLICATE_CLUSTERS_EXACT_SQL = _duplicate_clusters_exact_sql()
 
 
+def _split_leakage_sql() -> str:
+    """Near-dup clusters (the keep-best recursive-CTE closure) tagged
+    with the hash-bucket split; leaked = members straddle splits."""
+    from aws_saas_etl_spark.operators.sampling import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    b = _hash_bucket_sql("node")
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {toks('text')} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, lang, {_SHINGLES} AS sh, len(tk) // {LENGTH_BUCKET} AS lb
+        FROM t
+    ),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb
+                           AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                    6) >= 0.4
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION ALL
+        SELECT doc_b, doc_a FROM prs
+    ),
+    reach(node, x) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    comp AS (SELECT node, min(x) AS comp FROM reach GROUP BY node),
+    tagged AS (
+        SELECT comp, node,
+               CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM comp
+    )
+    SELECT comp AS cluster_id,
+           count(DISTINCT split) AS n_splits,
+           count(*) AS n_docs,
+           min(node) AS min_doc_id,
+           string_agg(DISTINCT split, ',' ORDER BY split) AS splits,
+           CAST(count(DISTINCT split) > 1 AS INT) AS leaked
+    FROM tagged
+    GROUP BY comp
+    ORDER BY cluster_id
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
 def _stream_hourly_stats_sql() -> str:
     """Windows closed by the availableNow drain's FINAL watermark: the
     flush batch after the last data batch emits every window with

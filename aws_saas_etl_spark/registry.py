@@ -767,6 +767,11 @@ register(
     dedup.duplicate_clusters_exact,
     oracles.DEDUP_DUPLICATE_CLUSTERS_EXACT_SQL,
 )
+# split-leakage audit: normalized-identical docs straddling splits (the
+# dedup-before-split hygiene check); exact-dedup-shaped single pass
+register(
+    "split_leakage_check", sampling.split_leakage_check, oracles.SPLIT_LEAKAGE_SQL
+)
 
 
 # --------------------------------------------------------------------------
