@@ -290,7 +290,13 @@ def ivf_fit_cells(emb: DataFrame, n_cells: int, iters: int = IVF_ITERS) -> DataF
     re-executes per consumer (the exchange-reuse pitfall measured in
     doc_tfidf_neighbors)."""
     vectors = emb.select("vec_id", "embedding")
-    dim = len(vectors.select("embedding").first()[0])
+    first = vectors.select("embedding").first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "ivf_fit_cells: embeddings table is empty (or first embedding "
+            "is null) — cannot derive the vector dimension to fit centroids"
+        )
+    dim = len(first[0])
     seeds = (
         vectors.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(n_cells)

@@ -1656,8 +1656,9 @@ def _fuzzy_match_sql() -> str:
     """Adaptive blocking twin: k = smallest suffix length ≥ 2 with
     10^k · ER_TARGET_BLOCK ≥ count(*) — the same integer rule as
     ``dedup.er_block_suffix_len``, unrolled as an exact CASE ladder
-    (covers n up to 10^8 · target; beyond that both sides would need a
-    longer ladder and the assertion below would catch the drift)."""
+    (covers n up to 10^9 · target; beyond that both sides need a longer
+    ladder — ``er_block_suffix_len`` asserts k ≤ 9 so the Spark path
+    fails loudly instead of silently diverging from this twin)."""
     from aws_saas_etl_spark.operators.dedup import ER_MAX_EDITS, ER_TARGET_BLOCK
 
     ladder = " ".join(

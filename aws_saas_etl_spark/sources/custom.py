@@ -254,26 +254,35 @@ class ManifestParquetWriter(DataSourceArrowWriter):
         return _FileCommit(staged, rows)
 
     def commit(self, messages):
+        """Crash-safe ordering: rename staged files in, atomically swap
+        the manifest, and only THEN delete files the old manifest owned.
+        A crash anywhere before the manifest swap leaves the previous
+        commit fully readable (new data files are invisible orphans); a
+        crash after it leaves at worst orphaned old files, never a
+        manifest that lists deleted data.  Final names carry a per-commit
+        token so an overwrite never ``os.replace``s over a file the old
+        manifest still references."""
         import os
+        import uuid
 
-        manifest = (
-            {"files": [], "batches": {}}
-            if self.overwrite
-            else _read_manifest(self.path)
-        )
-        if self.overwrite:
-            for name in _read_manifest(self.path)["files"]:
-                try:
-                    os.remove(os.path.join(self.path, name))
-                except OSError:
-                    pass
+        old = _read_manifest(self.path)
+        manifest = {"files": [], "batches": {}} if self.overwrite else old
         start = len(manifest["files"])
         live = [m for m in messages if m is not None and m.staged is not None]
+        token = uuid.uuid4().hex[:8]
         for i, m in enumerate(live):
-            final = f"data-{start + i:05d}.parquet"
+            final = f"data-{start + i:05d}-{token}.parquet"
             os.replace(m.staged, os.path.join(self.path, final))
             manifest["files"].append(final)
         _write_manifest_atomic(self.path, manifest)
+        if self.overwrite:
+            keep = set(manifest["files"])
+            for name in old["files"]:
+                if name not in keep:
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
 
     def abort(self, messages):
         import os

@@ -345,9 +345,10 @@ def stream_custom_source_ingest(spark, sf_dir: str) -> DataFrame:
 
     The source is closed-form (same ``_row`` arithmetic as the batch
     custom source), so after a complete drain the per-user aggregate is
-    fully deterministic — this is the only streaming registry query with
-    a value-hash DuckDB oracle (``generate_series`` twin); the others
-    are watermark-dependent and rows-only.
+    fully deterministic and value-hash-checked against a
+    ``generate_series`` DuckDB twin. (Since round 5 every streaming
+    registry query is hash-checked — the watermark-dependent ones via
+    final-watermark emission twins in ``oracles.py``.)
     """
     from aws_saas_etl_spark.functions.num import dsum_rounded
     from aws_saas_etl_spark.sources.custom import (

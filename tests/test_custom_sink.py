@@ -129,6 +129,41 @@ def test_stream_writer_exactly_once_on_replay(spark, sink_dir):
     assert os.listdir(os.path.join(sink_dir, "_staging")) == []
 
 
+def test_commit_crash_before_manifest_swap_preserves_old_data(
+    spark, sink_dir, monkeypatch
+):
+    """A crash DURING an overwrite commit — after staged files are renamed
+    in but before the manifest swap — must leave the previous commit fully
+    readable. Pins the crash-safe ordering (rename in → manifest swap →
+    delete old): the old manifest still lists only files that exist, the
+    half-committed new files are invisible orphans."""
+    import pyarrow as pa
+
+    custom.register_sink(spark)
+    _events_df(spark).write.format("manifest_parquet").option(
+        "path", sink_dir
+    ).mode("overwrite").save()
+    old_files = set(custom._read_manifest(sink_dir)["files"])
+
+    def crash(path, manifest):
+        raise OSError("injected crash before manifest swap")
+
+    monkeypatch.setattr(custom, "_write_manifest_atomic", crash)
+    writer = custom.ManifestParquetWriter({"path": sink_dir}, overwrite=True)
+    batch = pa.RecordBatch.from_pydict(
+        {"event_id": [1], "user_id": [1], "value": [0.5]}
+    )
+    msg = writer.write(iter([batch]))
+    with pytest.raises(OSError, match="injected"):
+        writer.commit([msg])
+    monkeypatch.undo()
+    # previous commit intact: manifest unchanged, every listed file present
+    assert set(custom._read_manifest(sink_dir)["files"]) == old_files
+    for name in old_files:
+        assert os.path.exists(os.path.join(sink_dir, name))
+    assert custom.read_manifest_parquet(spark, sink_dir).count() == 8000
+
+
 def test_stream_writer_abort_removes_staged(spark, sink_dir):
     import pyarrow as pa
 

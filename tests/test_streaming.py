@@ -325,6 +325,69 @@ def test_unmatched_click_no_eviction_boundary_tie(spark):
         assert on_boundary == 0, f"click exactly on eviction cutoff in {sf_dir}"
 
 
+def test_sliding_and_session_oracle_no_boundary_ties(spark):
+    """The remaining <=/< tie classes for the sliding and session twins
+    (the hourly test pins only the :30 tie):
+
+    1. STREAM_SLIDING_SQL windows end on EVERY 30-minute mark, so the
+       watermark (max ts − 30 min) ties with a window end whenever
+       max(ts) sits exactly on a 30-minute grid point — pin that it
+       never does.
+    2. STREAM_SESSION_SQL emits sessions with end (= last event +
+       10 min gap) <= watermark; pin that no session end equals the
+       watermark exactly.
+    3. DuckDB's gaps-and-islands starts a new session when the gap is
+       STRICTLY > 10 min, while Spark's session_window is half-open —
+       consecutive same-user events EXACTLY 10 minutes apart could merge
+       on one side and split on the other; pin that the fixture has no
+       such pair."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from aws_saas_etl_spark.catalog import load_table
+    from tests.conftest import SF_CORRECTNESS, SF_SMOKE
+
+    gap = datetime.timedelta(minutes=10)
+    for sf_dir in (SF_SMOKE, SF_CORRECTNESS):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        mx = ev.agg(F.max("ts")).collect()[0][0]
+        assert not (
+            mx.minute in (0, 30) and mx.second == 0 and mx.microsecond == 0
+        ), f"max(ts) in {sf_dir} is on a 30-minute grid point (sliding-window tie)"
+        wm = mx - datetime.timedelta(minutes=30)
+
+        win = Window.partitionBy("user_id").orderBy("ts")
+        gapped = ev.withColumn("prev", F.lag("ts").over(win)).withColumn(
+            "delta", F.col("ts").cast("double") - F.col("prev").cast("double")
+        )
+        exact_gap = gapped.where(F.col("delta") == gap.total_seconds()).count()
+        assert exact_gap == 0, (
+            f"consecutive same-user events exactly {gap} apart in {sf_dir} "
+            "(session merge/split boundary)"
+        )
+
+        sess = (
+            gapped.withColumn(
+                "new_sess",
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.col("delta") > gap.total_seconds()),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("sess_id", F.sum("new_sess").over(win))
+            .groupBy("user_id", "sess_id")
+            .agg(F.max("ts").alias("last_ts"))
+        )
+        end_tie = sess.where(
+            F.col("last_ts") == F.lit(wm - gap)
+        ).count()
+        assert end_tie == 0, f"session end exactly on the watermark in {sf_dir}"
+
+
 def test_file_sink_matches_memory_drain(spark):
     """The parquet file sink and the memory sink must emit identical rows
     for the same availableNow drain (same watermark, same windows closed):

@@ -131,16 +131,26 @@ def stage(spark, scale: int) -> str:
         evu = evu.unionByName(p)
     evu.repartition(max(4, 4 * scale)).write.parquet(table_path(out, "events"))
 
-    # customer: digits cyclically translated per copy, so cross-copy
-    # names are many edits apart (no artificial fuzzy-match pairs) while
-    # the last-2-char blocking keys stay uniformly distributed.
+    # customer: digits permuted per copy by an AFFINE map d -> (a*d+b) mod 10
+    # (a coprime to 10), so cross-copy names are many edits apart (no
+    # artificial fuzzy-match pairs) while blocking-key digit distributions
+    # stay uniform.  The 40 affine permutations are pairwise distinct, so —
+    # unlike the old cyclic rotation, which was the identity at i % 10 == 0
+    # and duplicated base names from scale 11 up — every pair of copies
+    # disagrees on ≥ 8 of 10 digits through scale 40.
+    assert scale <= 40, "affine digit permutations are distinct only to 40 copies"
     cust = load_table(spark, BASE_SF, "customer")
     digits = "0123456789"
     c_parts = [
         cust.select(
             (F.col("c_custkey") + ID_STRIDE * i).alias("c_custkey"),
             F.translate(
-                "c_name", digits, digits[i % 10 :] + digits[: i % 10]
+                "c_name",
+                digits,
+                "".join(
+                    str(([1, 3, 7, 9][(i // 10) % 4] * d + i % 10) % 10)
+                    for d in range(10)
+                ),
             ).alias("c_name"),
             *[c for c in cust.columns if c not in ("c_custkey", "c_name")],
         )
