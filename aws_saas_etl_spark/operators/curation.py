@@ -71,13 +71,9 @@ def dedup_canonical_keep_best(spark, sf_dir: str) -> DataFrame:
     hash-checked, freezing the cluster semantics the LSH path
     approximates.
     """
-    from aws_saas_etl_spark.operators.dedup import (
-        connected_components,
-        ngram_jaccard_pairs,
-    )
+    from aws_saas_etl_spark.operators.dedup import content_clusters
 
-    pairs = ngram_jaccard_pairs(spark, sf_dir)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = content_clusters(spark, sf_dir)
     docs = load_tables(spark, sf_dir).documents.select("doc_id", "n_chars")
     members = comp.join(docs, comp["node"] == docs["doc_id"]).select(
         "comp", "node", "n_chars"

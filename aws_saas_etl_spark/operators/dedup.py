@@ -262,28 +262,19 @@ def _prefix_candidates(sh: DataFrame, min_jaccard: float) -> DataFrame:
     return cand.select("lang", "doc_id_a", "doc_id_b").distinct()
 
 
-def ngram_jaccard_pairs(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFrame:
-    """Exact n-gram Jaccard pairs, blocked by (language, token-count
-    bucket), candidates via prefix filtering.
-
-    The oracle-checkable baseline for fuzzy dedup. Two exact filters
-    bound the quadratic term: candidates must share a language AND a
-    token-count decade (near-identical documents have near-identical
-    lengths), and within a block only pairs sharing a RARE shingle
-    (prefix filter — see ``_prefix_candidates``) reach the O(|A|+|B|)
-    intersection verify. Both rewrites are exact (parity vs the naive
-    quadratic blocked join pinned in tests/test_pairs.py; oracle twin
-    remains the quadratic SQL). At 100 TB the probabilistic alternative
-    is LSH bands (minhash_lsh_pairs); this operator freezes the exact
-    semantics LSH approximates.
-    """
+def _shingle_table(spark, sf_dir: str) -> DataFrame:
+    """The shingle-set side table every exact-Jaccard consumer shares:
+    ``(doc_id, lang, sh, lb, sz)`` with ``sh`` the hash-sorted xxhash64
+    shingle array and ``lb`` the token-count decade block. Shingles are
+    hashed to int64 BEFORE any join: 8-byte compares and a narrow shuffle
+    instead of moving string arrays. localCheckpoint'ed once — one
+    materialization, several consumers (prefix posts, the two verify
+    sides) — the measured barrier pattern from hashed_shingles/tf-idf."""
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
-    # Shingles are hashed to int64 BEFORE any join: 8-byte compares and a
-    # narrow shuffle instead of moving string arrays.
     sh_hashed = F.array_sort(
         F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s))
     )
-    sh = (
+    return (
         docs.select(
             "doc_id",
             "lang",
@@ -293,12 +284,14 @@ def ngram_jaccard_pairs(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFra
             .alias("lb"),
         )
         .withColumn("sz", F.size("sh"))
-        # one materialization, three consumers (global df, prefix posts,
-        # the two verify sides) — same measured barrier pattern as
-        # hashed_shingles/tf-idf
         .localCheckpoint()
     )
-    cand = _prefix_candidates(sh, min_jaccard)
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame, min_jaccard: float) -> DataFrame:
+    """Exact-Jaccard verify of candidate ``(doc_id_a, doc_id_b)`` pairs
+    against the shingle table → ``(doc_a, doc_b, lang, jaccard)``,
+    unsorted. Cheap filters run before the O(|A|+|B|) intersect."""
     pairs = cand.join(
         sh.select(
             F.col("doc_id").alias("doc_id_a"),
@@ -335,8 +328,27 @@ def ngram_jaccard_pairs(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFra
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= min_jaccard)
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def ngram_jaccard_pairs(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFrame:
+    """Exact n-gram Jaccard pairs, blocked by (language, token-count
+    bucket), candidates via prefix filtering.
+
+    The oracle-checkable baseline for fuzzy dedup. Two exact filters
+    bound the quadratic term: candidates must share a language AND a
+    token-count decade (near-identical documents have near-identical
+    lengths), and within a block only pairs sharing a RARE shingle
+    (prefix filter — see ``_prefix_candidates``) reach the O(|A|+|B|)
+    intersection verify. Both rewrites are exact (parity vs the naive
+    quadratic blocked join pinned in tests/test_pairs.py; oracle twin
+    remains the quadratic SQL). At 100 TB the probabilistic alternative
+    is LSH bands (minhash_lsh_pairs); this operator freezes the exact
+    semantics LSH approximates.
+    """
+    sh = _shingle_table(spark, sf_dir)
+    cand = _prefix_candidates(sh, min_jaccard)
+    return _verify_pairs(cand, sh, min_jaccard).orderBy("doc_a", "doc_b")
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -472,6 +484,53 @@ def connected_components(
     return labels
 
 
+#: Session-scoped cache of the exact content-cluster assignment table,
+#: keyed by (Spark applicationId, sf_dir, min_jaccard). The pairs → CC
+#: chain is the single most expensive computation in the engine (~4.5 s
+#: at sf0.1) and THREE registry queries need exactly the same
+#: assignment (keep-best canonicalization, cluster rows, split-leakage
+#: audit) — without this they each recomputed it from scratch, the
+#: entire top-3 of the bench. The cached value is a localCheckpoint'ed
+#: (node, comp) table: cluster-membership-sized, tiny relative to the
+#: corpus. Entries for stopped SparkContexts can never be hit again
+#: (applicationId is context-unique), so no invalidation is needed.
+_CLUSTER_CACHE: dict[tuple, DataFrame] = {}
+
+
+def content_clusters(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFrame:
+    """The shared materialized content-cluster intermediate: exact
+    prefix-filtered n-gram Jaccard pairs → connected components →
+    ``(node, comp)``, computed ONCE per session per fixture dir and
+    reused by every consumer (``duplicate_clusters_exact``,
+    ``dedup_canonical_keep_best``, ``split_leakage_check``).
+
+    This is the in-session realization of the production shape: at
+    100 TB the cluster-assignment table is a stored artifact (written
+    through the manifest sink / JobStore append log), maintained
+    incrementally as documents arrive (``clusters_incremental_merge``
+    demonstrates the exact merge), and every dedup/curation/audit
+    consumer reads it instead of re-deriving pairs — the same
+    compute-once-consume-many contract a materialized view gives the
+    rollup queries."""
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        min_jaccard,
+    )
+    cached = _CLUSTER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    # unsorted pair stream straight into CC — the registry query's global
+    # orderBy is presentation-only and would cost a range exchange here
+    sh = _shingle_table(spark, sf_dir)
+    pairs = _verify_pairs(_prefix_candidates(sh, min_jaccard), sh, min_jaccard)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").localCheckpoint()
+    _CLUSTER_CACHE[key] = comp
+    return comp
+
+
 def duplicate_clusters(spark, sf_dir: str) -> DataFrame:
     """Near-duplicate cluster resolution — the step a dedup pipeline runs
     AFTER pair generation: verified MinHash-LSH pairs → connected
@@ -491,23 +550,7 @@ def duplicate_clusters(spark, sf_dir: str) -> DataFrame:
     """
     pairs = minhash_lsh_pairs(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
-    return (
-        comp.groupBy(F.col("comp").alias("cluster_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias(
-                "member_doc_ids"
-            ),
-        )
-        .select(
-            "cluster_id",
-            "n_members",
-            "member_doc_ids",
-            F.col("cluster_id").alias("keeper_doc_id"),
-            (F.col("n_members") - 1).alias("n_removed"),
-        )
-        .orderBy("cluster_id")
-    )
+    return _cluster_rows(comp)
 
 
 def duplicate_clusters_exact(spark, sf_dir: str) -> DataFrame:
@@ -524,10 +567,134 @@ def duplicate_clusters_exact(spark, sf_dir: str) -> DataFrame:
 
     Same scale shape as keep-best: PPJoin prefix filtering bounds the pair
     space, CC is the checkpointed min-label loop, the member list is per
-    cluster (dup-group-sized, never corpus-sized).
+    cluster (dup-group-sized, never corpus-sized). The assignment comes
+    from the shared ``content_clusters`` intermediate — computed once per
+    session, reused by keep-best and the split-leakage audit.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = content_clusters(spark, sf_dir)
+    return _cluster_rows(comp)
+
+
+#: Fraction of the corpus treated as the "arriving" delta batch in the
+#: incremental cluster-merge demonstration (split by exact doc_id
+#: percentile, the append-only-corpus shape: high ids arrive last).
+DELTA_DOC_FRACTION = 0.1
+
+
+def clusters_incremental_merge(spark, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the content-cluster table — the 100 TB
+    production shape for dedup state: the stored cluster assignment
+    (pairs → CC over the 90% "historical" corpus) absorbs an arriving
+    batch (the top-decile doc_ids) WITHOUT recomputing historical
+    pair-space, and the merged table is proven identical to a full
+    recompute (the oracle is the same recursive-CTE transitive closure
+    ``dedup_duplicate_clusters_exact`` checks against — over ALL
+    documents).
+
+    Why this is exact, not approximate: a stored assignment
+    ``(node, comp)`` encodes the connectivity of all historical pairs
+    losslessly as star edges node↔comp (comp is itself the min member,
+    so no phantom nodes). Running the same min-label CC over
+    {star edges} ∪ {pairs touching an arrival} therefore yields exactly
+    the components — and, because labels are min-ids on both paths,
+    exactly the labels — of CC over the full pair set. Matching against
+    representatives only (a common shortcut) would NOT be exact: an
+    arrival can match a non-representative member; so the delta join
+    runs against the full shingle table, prefix-filtered.
+
+    Cost shape: the delta's candidate generation is an asymmetric
+    prefix-posting join (arrival prefixes × all prefixes on
+    (lang, lb, shingle)) — |delta|-proportional, never |corpus|² —
+    followed by the usual O(|A|+|B|) verify, then a CC whose
+    historical side is ALREADY collapsed (star edges ⇒ the loop
+    converges in ≈ 2 rounds regardless of historical diameter). At
+    100 TB the assignment table and the shingle/prefix postings are
+    stored artifacts (manifest sink / JobStore append log, exactly the
+    ``events_incremental_hourly_merge`` precedent); per-batch work is
+    delta-sized. A hot prefix shingle on the all-docs side would get
+    the same 1-Bucket-Theta split ``bounded_self_pairs`` applies to the
+    self-join case (max posting fan-out is 5 docs at sf0.1, so the
+    plain join is the measured right call at driver scales).
+    """
+    sh = _shingle_table(spark, sf_dir)
+    tagged = _tag_arrivals(sh)
+    base_sh = tagged.where(~F.col("is_new")).drop("is_new", "cut")
+
+    # The "stored" historical assignment: pairs → CC over the base corpus
+    # only. In production this is read back from the cluster store, not
+    # recomputed — the oracle match below proves the merge would be exact
+    # no matter how many increments ago it was written
+    # (``dedup_cluster_store_roundtrip`` runs the same merge against an
+    # assignment physically round-tripped through the manifest sink).
+    base_pairs = _verify_pairs(
+        _prefix_candidates(base_sh, 0.4), base_sh, 0.4
+    )
+    base_labels = connected_components(base_pairs, src="doc_a", dst="doc_b")
+    comp = _merge_delta_into_labels(base_labels, tagged, sh)
+    return _cluster_rows(comp)
+
+
+def _tag_arrivals(sh: DataFrame) -> DataFrame:
+    """Mark the arriving delta batch: the top ``DELTA_DOC_FRACTION`` of
+    doc_ids by exact percentile (append-only corpora assign ids
+    monotonically, so the top decile IS the newest slice)."""
+    cutoff = sh.agg(
+        F.percentile("doc_id", 1.0 - DELTA_DOC_FRACTION).alias("cut")
+    )
+    return sh.crossJoin(F.broadcast(cutoff)).withColumn(
+        "is_new", F.col("doc_id") > F.col("cut")
+    )
+
+
+def _merge_delta_into_labels(
+    base_labels: DataFrame, tagged: DataFrame, sh: DataFrame
+) -> DataFrame:
+    """Merge the arriving batch into a stored cluster assignment:
+    delta-only candidate generation (arrival prefix postings × ALL
+    prefix postings — both sides prefix-sliced, so the PPJoin guarantee
+    holds for new–old and new–new pairs alike), exact verify, then CC
+    over {star edges of the stored assignment} ∪ {delta pairs}. The
+    historical side is already collapsed, so the loop converges in ≈ 2
+    rounds regardless of historical diameter."""
+    from fractions import Fraction
+
+    frac = Fraction("0.4")
+    num, den = frac.numerator, frac.denominator
+    pfx_len = (
+        F.col("sz")
+        - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den))
+        + 1
+    ).cast("int")
+    posts = tagged.select(
+        "lang",
+        "lb",
+        "doc_id",
+        "is_new",
+        F.explode(F.slice("sh", F.lit(1), pfx_len)).alias("h"),
+    ).localCheckpoint()
+    arr_posts = posts.where(F.col("is_new")).select(
+        "lang", "lb", "h", F.col("doc_id").alias("new_id")
+    )
+    delta_cand = (
+        arr_posts.join(posts, ["lang", "lb", "h"])
+        .where(F.col("doc_id") != F.col("new_id"))
+        .select(
+            "lang",
+            F.least("doc_id", "new_id").alias("doc_id_a"),
+            F.greatest("doc_id", "new_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    delta_pairs = _verify_pairs(delta_cand, sh, 0.4)
+    edges = base_labels.select(
+        F.col("node").alias("doc_a"), F.col("comp").alias("doc_b")
+    ).unionByName(delta_pairs.select("doc_a", "doc_b"))
+    return connected_components(edges, src="doc_a", dst="doc_b")
+
+
+def _cluster_rows(comp: DataFrame) -> DataFrame:
+    """(node, comp) assignment → the canonical cluster-row shape shared
+    by every cluster query (sorted member string, min-id keeper)."""
     return (
         comp.groupBy(F.col("comp").alias("cluster_id"))
         .agg(
@@ -547,6 +714,50 @@ def duplicate_clusters_exact(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_store_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """The full PRODUCTION composition for dedup state — the piece that
+    ties the engine's storage and compute halves together: the base
+    cluster assignment is WRITTEN through the exactly-once manifest sink
+    (atomic commit, crash-invisible staging), READ BACK as the stored
+    table, merged with the arriving batch (delta-only pair generation,
+    star-edge CC — ``_merge_delta_into_labels``), the merged assignment
+    is written back (crash-safe overwrite: old files outlive the commit
+    until the manifest swap), and the final STORED state is re-read and
+    emitted as cluster rows.
+
+    The oracle is the full-recompute recursive-CTE closure over all
+    documents — the hash match proves write → read → incremental merge →
+    write → read is lossless AND merge-exact end to end. This is the
+    shape a 100 TB pipeline actually runs nightly: cluster state lives
+    in object storage between batches; only the delta's pair space is
+    ever recomputed.
+    """
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    sh = _shingle_table(spark, sf_dir)
+    tagged = _tag_arrivals(sh)
+    base_sh = tagged.where(~F.col("is_new")).drop("is_new", "cut")
+    base_pairs = _verify_pairs(_prefix_candidates(base_sh, 0.4), base_sh, 0.4)
+    base_labels = connected_components(base_pairs, src="doc_a", dst="doc_b")
+
+    path = proc_dir("cluster_store", sf_dir)
+    base_labels.write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    stored = read_manifest_parquet(spark, path)
+
+    merged = _merge_delta_into_labels(stored, tagged, sh)
+    merged.write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    return _cluster_rows(read_manifest_parquet(spark, path))
+
+
 ER_MAX_EDITS = 2  # fuzzy-match threshold on edit distance
 ER_TARGET_BLOCK = 64  # expected fuzzy-blocking block size ceiling
 
@@ -561,6 +772,13 @@ def er_block_suffix_len(n_rows: int) -> int:
     k = 2
     while 10**k * ER_TARGET_BLOCK < n_rows:
         k += 1
+    # The oracle's CASE ladder (oracles._fuzzy_match_sql) is unrolled only
+    # to k = 9 (n up to 10^9 · ER_TARGET_BLOCK = 64e9 rows — far beyond any
+    # driver scale). Fail loudly rather than silently diverge from the twin.
+    assert k <= 9, (
+        f"er_block_suffix_len: n_rows={n_rows} needs suffix k={k} > 9; "
+        "extend the CASE ladder in oracles._fuzzy_match_sql in lockstep"
+    )
     return k
 
 

@@ -701,3 +701,60 @@ def events_cusum_changepoints(spark, sf_dir: str) -> DataFrame:
         dround(s, 4).alias("cusum_sigma"),
         (s > CUSUM_H).cast("int").alias("flagged"),
     ).orderBy("event_type", "hour")
+
+
+PRUNED_ROLLUP_DAYS = 7  # trailing window the pruned scan reads (days)
+
+
+def events_partition_pruned_rollup(spark, sf_dir: str) -> DataFrame:
+    """Partition PRUNING as a first-class, checked property: the events
+    table is laid out date-partitioned (Hive-style ``event_date=.../``
+    directories via ``sources.io.write_partitioned``, the storage layout
+    a 100 TB event store actually uses), and the rollup reads only the
+    trailing ``PRUNED_ROLLUP_DAYS`` days — the scan's PartitionFilters
+    skip every other day's directories WITHOUT opening a file
+    (plan-asserted in tests/test_plans.py::test_partition_pruned_scan).
+
+    The date cutoff is a driver-side 1-row aggregate (the bounded-scalar
+    pattern PageRank/IVF sizing uses) so the partition filter is a
+    LITERAL at plan time — static pruning, no runtime subquery needed.
+    The companion plan test also demonstrates DYNAMIC partition pruning
+    (the filter arriving through a joined dim at runtime) on the same
+    layout.
+
+    The write happens once per (process, sf_dir) and is skipped when the
+    layout already exists (``_SUCCESS`` marker) — the query models the
+    read path against a standing partitioned store, not the write."""
+    import datetime
+    import os
+
+    from aws_saas_etl_spark.sources.custom import proc_dir
+    from aws_saas_etl_spark.sources.io import write_partitioned
+
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts"])
+    path = proc_dir("events_by_date", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_partitioned(
+            ev.select(
+                F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+                "event_type",
+                "value",
+            ),
+            path,
+            ["event_date"],
+        )
+    part = spark.read.parquet(path)
+    last_day = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    cutoff = (
+        last_day - datetime.timedelta(days=PRUNED_ROLLUP_DAYS - 1)
+    ).strftime("%Y-%m-%d")
+    return (
+        part.where(F.col("event_date") >= F.lit(cutoff))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum_rounded(F.col("value"), 2).alias("sum_value"),
+            F.countDistinct("event_date").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -221,9 +221,11 @@ def multimodal_phash_buckets(spark, sf_dir: str) -> DataFrame:
     pixels).
 
     Scale shape: the Python stage is a map-only Arrow pass (hash per
-    payload); banding and bucket-joins are built-in integer ops. Rows-only
-    check (the decode is the container-stubbed fake); band math is pinned
-    by tests/test_multimodal.py.
+    payload); banding and bucket-joins are built-in integer ops.
+    Hash-checked (r6): the fake decode + gradient pack is pure integer
+    arithmetic, so the DuckDB twin (hex-string byte probe → HUGEINT bit
+    pack) is exact; band math additionally pinned by
+    tests/test_multimodal.py.
     """
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
     media = attach_payload(docs)
@@ -348,8 +350,11 @@ def multimodal_audio_energy(spark, sf_dir: str) -> DataFrame:
     pipeline swaps the PCM interpretation for a soundfile/ffmpeg decode
     behind the same import gate as ``decode_image``).
 
-    Rows-only check (byte-level kernel has no SQL twin); numpy-reference
-    equality is pinned in tests/test_multimodal.py.
+    Hash-checked (r6): frame sums of squared bytes stay below 2^53, so
+    the float64 sum is exact under any accumulation order and the DuckDB
+    byte-extraction twin reproduces rms/peak bit-for-bit;
+    numpy-reference equality additionally pinned in
+    tests/test_multimodal.py.
     """
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
         F.col("doc_id").isNotNull()

@@ -1162,6 +1162,79 @@ def join_key_skew_profile(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: Salt fan-out for the two-phase skewed aggregation: the hot key's rows
+#: spread over this many partial-aggregate keys in phase 1.
+AGG_SALT_BUCKETS = 32
+
+
+def skewed_hot_key_two_phase_agg(spark, sf_dir: str) -> DataFrame:
+    """Skew-RESILIENT aggregation, end to end: a deliberately hot grouping
+    key (~90% of lineitem collapses to one ``'hot'`` bucket) aggregated by
+    the salted two-phase pattern — phase 1 groups by (key, salt) so the
+    hot key's rows spread over ``AGG_SALT_BUCKETS`` reducers, phase 2
+    merges the bounded per-salt partials by key alone.
+
+    Why this matters at 100 TB: a plain groupBy on a 90%-hot key sends
+    90% of the table through ONE reducer — no executor count helps
+    (map-side partial aggregation hides this locally when per-partition
+    distinct keys are few, but with high-cardinality composite keys or
+    partial-agg fallback the hot reducer is the wall). Salting bounds
+    every shuffle key at |table|/salt rows by construction.
+
+    Correct merging demands algebraic state, same rule as
+    ``events_incremental_hourly_merge``: COUNT merges by +, the sums
+    accumulate in DECIMAL (exact, order-independent — a double sum would
+    hash-diverge between the salted and plain plans), MIN/MAX merge by
+    MIN/MAX, and AVG is derived at the end from merged sum/count, never
+    averaged across partials. The oracle is the PLAIN one-phase GROUP BY
+    — the hash match proves salted == unsalted exactly.
+
+    The salt is ``pmod(xxhash64(l_orderkey, l_linenumber), S)`` —
+    deterministic (retry/replay-stable, unlike ``rand()``-salting) and
+    uniform over the lineitem primary key.
+    """
+    li = load_tables(spark, sf_dir).lineitem
+    hot_key = F.when(
+        F.col("l_partkey") % 10 != 0, F.lit("hot")
+    ).otherwise(F.concat(F.lit("cold_"), (F.col("l_partkey") % 7).cast("string")))
+    salted = li.select(
+        hot_key.alias("hot_key"),
+        F.pmod(
+            F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")),
+            F.lit(AGG_SALT_BUCKETS),
+        ).alias("_salt"),
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    partials = salted.groupBy("hot_key", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast(DECIMAL_TYPE)).alias("pq"),
+        F.sum(F.col("rev").cast(DECIMAL_TYPE)).alias("pr"),
+        F.min("l_quantity").alias("pmin"),
+        F.max("l_quantity").alias("pmax"),
+    )
+    return (
+        partials.groupBy("hot_key")
+        .agg(
+            F.sum("pn").alias("n_rows"),
+            F.sum("pq").cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum("pr").cast("decimal(38,2)").cast("double").alias("sum_revenue"),
+            # merged-sum ÷ merged-count, with the sum cast back to the
+            # exact decimal type dsum() produces so the division node has
+            # the same operand types (and thus the same Spark result
+            # scale) as the one-phase davg_rounded the oracle emulates
+            (
+                (F.sum("pq").cast("decimal(32,6)") / F.sum("pn"))
+                .cast("decimal(38,4)")
+                .cast("double")
+            ).alias("avg_qty"),
+            F.min("pmin").alias("min_qty"),
+            F.max("pmax").alias("max_qty"),
+        )
+        .orderBy("hot_key")
+    )
+
+
 def orders_monthly_spine(spark, sf_dir: str) -> DataFrame:
     """Gap-filled monthly revenue via a RECURSIVE CTE (Spark 4): generate
     the complete month spine between the first and last order dates, then

@@ -294,13 +294,9 @@ def split_leakage_check(spark, sf_dir: str) -> DataFrame:
     map-only md5 bucket and the spread is one per-cluster aggregate —
     cluster-sized groups, never corpus-sized.
     """
-    from aws_saas_etl_spark.operators.dedup import (
-        connected_components,
-        ngram_jaccard_pairs,
-    )
+    from aws_saas_etl_spark.operators.dedup import content_clusters
 
-    pairs = ngram_jaccard_pairs(spark, sf_dir)
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = content_clusters(spark, sf_dir)
     tagged = comp.select(
         "comp", "node", split_label("node").alias("split")
     )

@@ -1716,6 +1716,155 @@ def _skew_profile_sql() -> str:
 JOIN_KEY_SKEW_SQL = _skew_profile_sql()
 
 
+def _skewed_two_phase_sql() -> str:
+    """PLAIN one-phase GROUP BY twin of the salted two-phase aggregation:
+    the hash match proves salted partial-merge == direct aggregation
+    (decimal sums are exact and order-independent, so the two plans are
+    value-identical, not just approximately equal)."""
+    return f"""
+    WITH t AS (
+        SELECT CASE WHEN l_partkey % 10 <> 0 THEN 'hot'
+                    ELSE 'cold_' || CAST(l_partkey % 7 AS VARCHAR) END AS hot_key,
+               l_quantity,
+               l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem
+    )
+    SELECT hot_key,
+           count(*) AS n_rows,
+           {dsum_sql("l_quantity", 2)} AS sum_qty,
+           {dsum_sql("rev", 2)} AS sum_revenue,
+           {davg_sql("l_quantity", 4)} AS avg_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM t GROUP BY hot_key ORDER BY hot_key
+"""
+
+
+SKEWED_TWO_PHASE_AGG_SQL = _skewed_two_phase_sql()
+
+
+def _partition_pruned_rollup_sql() -> str:
+    """Twin of the date-partitioned pruned rollup: the same trailing-week
+    filter over the flat events table (pruning is a layout property; the
+    emitted values must be identical to a plain filtered scan)."""
+    from aws_saas_etl_spark.operators.events import PRUNED_ROLLUP_DAYS
+
+    return f"""
+    WITH cut AS (
+        SELECT max(CAST(ts AS DATE)) - {PRUNED_ROLLUP_DAYS - 1} AS c
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           {dsum_sql("value", 2)} AS sum_value,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days
+    FROM events, cut
+    WHERE ts IS NOT NULL AND CAST(ts AS DATE) >= cut.c
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+EVENTS_PARTITION_PRUNED_SQL = _partition_pruned_rollup_sql()
+
+
+def _audio_energy_sql() -> str:
+    """Byte-exact twin of the audio-RMS Arrow kernel, via hex-string byte
+    extraction. Exactness argument: per-sample values are integers
+    ≤ 255², frame sums stay far below 2^53, so the float64 sum is EXACT
+    regardless of accumulation order (numpy pairwise vs DuckDB
+    sequential); mean/sqrt are then single correctly-rounded IEEE ops on
+    identical inputs, and round(·, 6) of identical doubles agrees except
+    at exact decimal ties, which sqrt of a non-perfect-square rational
+    cannot produce. Verified 0 mismatches vs the numpy kernel at
+    sf0.001/sf0.01."""
+    from aws_saas_etl_spark.operators.multimodal import N_AUDIO_FRAMES as NF
+
+    return f"""
+    WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          AND octet_length(encode(text)) > 0
+    ),
+    fr AS (
+        SELECT doc_id, hx, n, f, greatest(n // {NF}, 1) AS stride
+        FROM m, (SELECT unnest(generate_series(0, {NF - 1})) AS f)
+        WHERE f * greatest(n // {NF}, 1) < n
+    ),
+    smp AS (
+        SELECT doc_id, f,
+               ('0x' || substr(hx, 2 * (f*stride + i - 1) + 1, 2))::INT AS v
+        FROM fr, LATERAL (
+            SELECT unnest(generate_series(1, least(stride, n - f*stride))) AS i
+        ) s
+    )
+    SELECT doc_id, f AS frame_no, count(*) AS n_samples,
+           round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(*)), 6) AS rms,
+           max(v) AS peak
+    FROM smp GROUP BY doc_id, f ORDER BY doc_id, frame_no
+"""
+
+
+MULTIMODAL_AUDIO_ENERGY_SQL = _audio_energy_sql()
+
+
+def _phash_buckets_sql() -> str:
+    """Integer-exact twin of the dHash kernel: the deterministic fake
+    decode (strided byte probe at indices (i·2654435761) mod n), the
+    8×9→8×8 gradient-sign grid, the 64-bit pack (HUGEINT shifts), the
+    two's-complement wrap to signed 64, and the 4×16-bit bands — all
+    integer arithmetic, so the twin is exact by construction. Verified 0
+    mismatches vs the numpy kernel at sf0.001/sf0.01."""
+    from aws_saas_etl_spark.operators.multimodal import (
+        DHASH_BANDS,
+        DHASH_H,
+        DHASH_W,
+    )
+
+    w1 = DHASH_W + 1
+    npix = DHASH_H * w1
+    bands = "\n".join(
+        f"           CAST((u >> {16 * b}) & 65535 AS BIGINT) AS band_{b},"
+        for b in range(DHASH_BANDS)
+    ).rstrip(",")
+    return f"""
+    WITH m AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               greatest(octet_length(encode(text)), 1) AS n
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+          AND source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    px AS (
+        SELECT doc_id, i,
+               ('0x' || substr(hx, 2 * ((i * 2654435761) % n) + 1, 2))::INT AS v
+        FROM m, (SELECT unnest(generate_series(0, {npix - 1})) AS i) s
+    ),
+    bits AS (
+        SELECT a.doc_id, (a.i // {w1}) * {DHASH_W} + (a.i % {w1}) - 1 AS j,
+               CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.i = a.i - 1
+        WHERE a.i % {w1} <> 0
+    ),
+    packed AS (
+        SELECT doc_id,
+               sum(CASE WHEN bit = 1 THEN (1::HUGEINT << j)
+                        ELSE 0::HUGEINT END) AS u
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN u >= 9223372036854775808
+                     THEN u - 18446744073709551616::HUGEINT
+                     ELSE u END AS BIGINT) AS dhash,
+{bands}
+    FROM packed ORDER BY doc_id
+"""
+
+
+MULTIMODAL_PHASH_SQL = _phash_buckets_sql()
+
+
 EMBEDDING_INT8_SQL = """
     WITH dims AS (
         SELECT vec_id,

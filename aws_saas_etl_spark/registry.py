@@ -6,8 +6,10 @@ string the DuckDB oracle runs on the same Parquet fixtures. Column names
 and rounding are aliased identically on both sides — the driver hashes
 values after sorting columns by name (``__spark_entry__.py`` contract).
 
-Non-SQL-expressible operators (LSH, sketches, streaming) register with
-``oracle=None`` → the driver records a rows-only check.
+Genuinely non-SQL-expressible operators (hash-seeded LSH/SimHash,
+mergeable sketches, eigenvectors, iterative Lloyd refinement) register
+with ``oracle=None`` → the driver records a rows-only check; since r5
+every STREAMING query carries a deterministic-drain oracle.
 """
 
 from __future__ import annotations
@@ -524,7 +526,12 @@ register("stream_hourly_to_parquet", runners.stream_hourly_to_parquet, oracles.S
 register("events_daily_funnel", events.events_daily_funnel, oracles.EVENTS_FUNNEL_SQL)
 
 
-register("multimodal_phash_buckets", multimodal.multimodal_phash_buckets, None)
+# dHash is integer math over the deterministic fake decode -> exact twin
+register(
+    "multimodal_phash_buckets",
+    multimodal.multimodal_phash_buckets,
+    oracles.MULTIMODAL_PHASH_SQL,
+)
 
 register(
     "revenue_grouping_sets",
@@ -571,6 +578,22 @@ register("table_profile", etl.table_profile, oracles.TABLE_PROFILE_SQL)
 register("customer_fuzzy_matches", dedup.customer_fuzzy_matches, oracles.CUSTOMER_FUZZY_SQL)
 
 register("join_key_skew_profile", relational.join_key_skew_profile, oracles.JOIN_KEY_SKEW_SQL)
+
+# skew HANDLED, not just measured: salted two-phase aggregation over a
+# ~90%-hot key, hash-checked against the plain one-phase GROUP BY twin
+register(
+    "skewed_hot_key_two_phase_agg",
+    relational.skewed_hot_key_two_phase_agg,
+    oracles.SKEWED_TWO_PHASE_AGG_SQL,
+)
+
+# partition pruning as a checked property: date-partitioned events copy,
+# trailing-week scan skips other days' directories (plan-asserted)
+register(
+    "events_partition_pruned_rollup",
+    events.events_partition_pruned_rollup,
+    oracles.EVENTS_PARTITION_PRUNED_SQL,
+)
 
 register(
     "embedding_int8_quantization",
@@ -663,7 +686,11 @@ register("supplier_pagerank", graph.supplier_pagerank, oracles.SUPPLIER_PAGERANK
 register("events_gap_detection", events.events_gap_detection, oracles.EVENTS_GAP_SQL)
 # byte-level Arrow kernel, no SQL twin -> rows-only; numpy reference pinned
 # in tests/test_multimodal.py
-register("multimodal_audio_energy", multimodal.multimodal_audio_energy, None)
+register(
+    "multimodal_audio_energy",
+    multimodal.multimodal_audio_energy,
+    oracles.MULTIMODAL_AUDIO_ENERGY_SQL,
+)
 register("events_variant_props", events.events_variant_props, oracles.EVENTS_VARIANT_SQL)
 
 from aws_saas_etl_spark.sources import custom as custom_source  # noqa: E402
@@ -771,6 +798,25 @@ register(
 # dedup-before-split hygiene check); exact-dedup-shaped single pass
 register(
     "split_leakage_check", sampling.split_leakage_check, oracles.SPLIT_LEAKAGE_SQL
+)
+# incremental cluster-table maintenance: stored base assignment (star
+# edges) + delta-only pair generation -> merged CC, proven identical to
+# a FULL recompute (the same recursive-CTE closure oracle as
+# dedup_duplicate_clusters_exact) — the production shape for dedup
+# state at 100 TB, per the events_incremental_hourly_merge precedent
+register(
+    "dedup_clusters_incremental_merge",
+    dedup.clusters_incremental_merge,
+    oracles.DEDUP_DUPLICATE_CLUSTERS_EXACT_SQL,
+)
+# the storage composition: base assignment written through the manifest
+# sink, read back, delta-merged, re-written, re-read — hash-matching the
+# full-recompute closure proves the nightly store→merge→store cycle
+# lossless and exact
+register(
+    "dedup_cluster_store_roundtrip",
+    dedup.cluster_store_roundtrip,
+    oracles.DEDUP_DUPLICATE_CLUSTERS_EXACT_SQL,
 )
 
 

@@ -169,6 +169,36 @@ def test_duplicate_clusters_invariants(spark):
         assert r.n_members >= 2
 
 
+def test_clusters_incremental_merge_equals_full_recompute(spark):
+    """The incremental cluster-merge (stored base assignment as star
+    edges + delta-only pair generation) must reproduce the FULL
+    pairs→CC recompute bit-for-bit — the invariant incremental dedup
+    state lives on, same contract events_incremental_hourly_merge pins
+    for rollups. Row-identical including member lists and labels."""
+    from aws_saas_etl_spark.operators.dedup import (
+        clusters_incremental_merge,
+        duplicate_clusters_exact,
+    )
+    from tests.conftest import SF_SMOKE
+
+    inc = [tuple(r) for r in clusters_incremental_merge(spark, SF_SMOKE).collect()]
+    full = [tuple(r) for r in duplicate_clusters_exact(spark, SF_SMOKE).collect()]
+    assert inc == full
+    assert inc  # non-vacuous: the smoke corpus has near-dup clusters
+
+
+def test_content_clusters_cached_per_session(spark):
+    """content_clusters memoizes the pairs→CC chain per (session,
+    sf_dir): the second call returns the SAME checkpointed DataFrame
+    (no recompute), and all three consumers therefore share one chain."""
+    from aws_saas_etl_spark.operators.dedup import content_clusters
+    from tests.conftest import SF_SMOKE
+
+    a = content_clusters(spark, SF_SMOKE)
+    b = content_clusters(spark, SF_SMOKE)
+    assert a is b
+
+
 def test_supplier_pagerank_invariants(spark):
     """PageRank sanity: deterministic reruns (decimal accumulation), ranks
     >= the teleport floor, and a supplier with strictly more weighted

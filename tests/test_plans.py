@@ -259,3 +259,87 @@ def test_pointintime_join_is_equi_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_partition_pruned_scan(spark):
+    """The date-partitioned rollup's scan must carry PartitionFilters on
+    event_date — whole directories skipped at planning, no file opened
+    outside the trailing week. (STATIC pruning: the cutoff is a literal.)"""
+    from aws_saas_etl_spark.operators.events import (
+        events_partition_pruned_rollup,
+    )
+
+    df = events_partition_pruned_rollup(spark, SF_SMOKE)
+    plan = PI.physical_plan(df)
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "event_date" in pf and (">=" in pf), pf
+    # and the rollup's values must match the flat-table path exactly
+    from aws_saas_etl_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, SF_SMOKE).events.na.drop(subset=["ts"])
+    got = {(r.event_type, r.n_events) for r in df.collect()}
+    last = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    flat = {
+        (r.event_type, r.n)
+        for r in ev.where(
+            F.to_date("ts") >= F.lit(last) - F.expr("INTERVAL 6 DAYS")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == flat
+
+
+def test_dynamic_partition_pruning_on_partitioned_events(spark):
+    """DYNAMIC partition pruning on the same layout: when the date filter
+    arrives through a JOINED dim (not a literal), Spark must inject a
+    runtime dynamicpruning subquery into the fact scan's PartitionFilters
+    — the mechanism that keeps star-schema joins from scanning every
+    partition at 100 TB."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aws_saas_etl_spark.operators.events import (
+        events_partition_pruned_rollup,
+    )
+    from aws_saas_etl_spark.sources.custom import proc_dir
+
+    # ensure the partitioned copy exists (the rollup writes it once)
+    events_partition_pruned_rollup(spark, SF_SMOKE).take(1)
+    path = proc_dir("events_by_date", SF_SMOKE)
+    part = spark.read.parquet(path)
+    dim_path = os.path.join(proc_dir("events_date_dim", SF_SMOKE), "dim")
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        dates = part.select("event_date").distinct()
+        cut = dates.agg(F.max("event_date").alias("mx"))
+        (
+            dates.crossJoin(F.broadcast(cut))
+            .select(
+                "event_date",
+                # a string-comparison predicate, not a bare boolean column:
+                # PartitionPruning only fires when the dim side carries a
+                # "likely selective" filter (comparison/In/like), and a
+                # boolean attribute reference does not qualify
+                F.when(
+                    F.to_date("event_date")
+                    >= F.to_date("mx") - F.expr("INTERVAL 6 DAYS"),
+                    F.lit("recent"),
+                )
+                .otherwise(F.lit("old"))
+                .alias("tag"),
+            )
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "recent")
+    joined = part.join(dim.select("event_date"), "event_date").groupBy(
+        "event_type"
+    ).count()
+    plan = PI.physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan

@@ -54,9 +54,25 @@ PROBES = [
     ("customer_fuzzy_matches", "dedup", "customer_fuzzy_matches"),
 ]
 
-# per-copy character translation: rewrites every token, so copies are not
-# near-duplicates of each other (shingle sets disjoint across copies)
-_ROTS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio", "bcdfg", "cdfgb", "dfgbc"]
+# Per-copy character translation: remaps the 5 vowels, which rewrites
+# essentially every token, so copies are not near-duplicates of each
+# other. Images are drawn from a 32-symbol alphabet that CONTAINS NO
+# VOWEL, with copy i taking a cyclic shift of stride-7 picks — so any
+# two copies' translations differ in ALL five positions (shingle sets
+# disjoint pairwise), distinct through 32 copies. (The previous 8-entry
+# rotation list repeated at i % 8 — copies 8 apart became EXACT
+# duplicates, which would have inflated every pair count at 16×/32×,
+# the same period bug as the old customer digit rotation.)
+_VOWELS = "aeiou"
+_IMG = "bcdfghjklmnpqrstvwxyzABCDEFGHIJK"  # 32 symbols, vowel-free
+
+
+def _rot(i: int) -> str:
+    """Translation images for copy ``i`` (identity for the base copy)."""
+    if i == 0:
+        return _VOWELS
+    assert i < 32, "vowel translations are pairwise distinct only to 32 copies"
+    return "".join(_IMG[(i - 1 + 7 * k) % 32] for k in range(5))
 
 
 def stage(spark, scale: int) -> str:
@@ -67,7 +83,11 @@ def stage(spark, scale: int) -> str:
     from aws_saas_etl_spark.catalog import TABLES, load_table, table_path
 
     out = os.path.join(
-        tempfile.gettempdir(), f"scale_probe_{os.getpid()}_{scale}x"
+        tempfile.gettempdir(),
+        # SCALE_PROBE_TAG lets sequential probe invocations share staged
+        # copies (staging 32x costs minutes); default pid isolation
+        # protects concurrent runs
+        f"scale_probe_{os.environ.get('SCALE_PROBE_TAG', os.getpid())}_{scale}x",
     )
     if os.path.isdir(out):
         return out
@@ -80,7 +100,7 @@ def stage(spark, scale: int) -> str:
         d_parts.append(
             docs.select(
                 (F.col("doc_id") + ID_STRIDE * i).alias("doc_id"),
-                F.translate("text", _ROTS[0], _ROTS[i % len(_ROTS)]).alias("text"),
+                F.translate("text", _VOWELS, _rot(i)).alias("text"),
                 "lang",
                 "source",
                 "n_chars",
@@ -194,6 +214,14 @@ def main() -> None:
         for s in scales:
             best = float("inf")
             for _ in range(2):
+                # purge session memo caches (content clusters, fitted IVF
+                # centroids): the probe measures the COLD chain's scaling;
+                # a warm rep would time only the cheap consumer stage
+                from aws_saas_etl_spark.operators import dedup as _dd
+                from aws_saas_etl_spark.operators import similarity as _sim
+
+                _dd._CLUSTER_CACHE.clear()
+                _sim._IVF_CACHE.clear()
                 t0 = time.perf_counter()
                 fn(spark, dirs[s]).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
