@@ -1235,6 +1235,96 @@ def skewed_hot_key_two_phase_agg(spark, sf_dir: str) -> DataFrame:
     )
 
 
+N_JOIN_BUCKETS = 8  # bucket count for the co-located fact-fact join demo
+
+
+def _reap_dead_bucket_dirs(spark) -> None:
+    """Remove `*_bkt_<pid>_*` warehouse dirs left by exited processes —
+    pid-scoped names prevent concurrent-process races (bench beside a
+    driver gate), and this reaper keeps the standing artifacts bounded
+    to live processes (same leak class as the r5 proc_dir fix)."""
+    import os
+    import re
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = re.sub("^file:", "", wh)
+    if not os.path.isdir(wh):
+        return
+    for d in os.listdir(wh):
+        m = re.match(r"(?:orders|lineitem)_bkt_(\d+)_", d)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # raises if the pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+        except OSError:
+            pass
+
+
+def bucketed_colocated_join(spark, sf_dir: str) -> DataFrame:
+    """Fact-fact join with ZERO join-side shuffle via BUCKETED layout —
+    the co-location technique that makes repeated big joins affordable at
+    100 TB: ``orders`` and ``lineitem`` are written once as bucketed
+    tables (``bucketBy(N, orderkey)`` + ``sortBy``, Hive-style layout in
+    the warehouse dir), and every subsequent join on the bucket key reads
+    matching buckets directly — no Exchange under the join, only the
+    final aggregation shuffles (plan-asserted in tests/test_plans.py:
+    exactly ONE shuffle in this plan vs ≥3 for the unbucketed twin).
+
+    Both sides must agree on bucket count and key; the sortBy lets the
+    SortMergeJoin skip its sort too. The write is once per (process,
+    sf_dir) — the query models the steady state where the layout is a
+    standing artifact, the same contract as the date-partitioned events
+    copy. Table names are pid-scoped so concurrent processes (bench
+    beside a driver gate) never race on the warehouse dir; the in-memory
+    catalog keeps bucketing metadata per session, re-registered from the
+    standing files when a new session reuses the process's tables.
+
+    The oracle is the plain join — bucketing is pure layout, values are
+    identical.
+    """
+    import os
+
+    t = load_tables(spark, sf_dir)
+    tag = f"{os.getpid()}_{abs(hash(sf_dir)) % 10**8}"
+    names = {"orders": f"orders_bkt_{tag}", "lineitem": f"lineitem_bkt_{tag}"}
+    _reap_dead_bucket_dirs(spark)
+    if not spark.catalog.tableExists(names["lineitem"]):
+        (
+            t.orders.select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(N_JOIN_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(names["orders"])
+        )
+        (
+            t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(N_JOIN_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(names["lineitem"])
+        )
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    # MERGE hint: at small test scales the planner would broadcast the
+    # orders side (correct, but it bypasses the layout this query
+    # demonstrates); at 100 TB both sides are far past any broadcast
+    # threshold and SMJ-over-buckets is the only viable plan
+    return (
+        li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_rounded(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def orders_monthly_spine(spark, sf_dir: str) -> DataFrame:
     """Gap-filled monthly revenue via a RECURSIVE CTE (Spark 4): generate
     the complete month spine between the first and last order dates, then

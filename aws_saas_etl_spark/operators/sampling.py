@@ -318,3 +318,36 @@ def split_leakage_check(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def cluster_aware_splits(spark, sf_dir: str) -> DataFrame:
+    """The REPAIR for what ``split_leakage_check`` detects: assign
+    train/val/test by CONTENT CLUSTER, not by document — every member of
+    a near-duplicate cluster hashes on the cluster's min-id key
+    (singletons on their own doc_id), so no cluster can straddle splits
+    BY CONSTRUCTION (asserted in tests/test_functions.py). This is the
+    dedup-before-split discipline real pretraining pipelines run: the
+    leakage audit finds contaminated clusters, this assignment is how the
+    next snapshot avoids creating them.
+
+    Scale shape: the cluster assignment comes from the shared
+    ``content_clusters`` intermediate (computed once per session); the
+    split is a broadcast-free LEFT join of the corpus against the
+    cluster-membership-sized table plus a map-only md5 bucket — one
+    shuffle on doc_id beyond the stored chain.
+    """
+    from aws_saas_etl_spark.operators.dedup import content_clusters
+
+    comp = content_clusters(spark, sf_dir)
+    docs = load_tables(spark, sf_dir).documents.where(
+        F.col("doc_id").isNotNull()
+    )
+    joined = docs.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left"
+    )
+    key = F.coalesce(F.col("comp"), F.col("doc_id"))
+    return joined.select(
+        "doc_id",
+        key.alias("split_key"),
+        split_label(key).alias("split"),
+    ).orderBy("doc_id")

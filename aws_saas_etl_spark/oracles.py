@@ -1865,6 +1865,69 @@ def _phash_buckets_sql() -> str:
 MULTIMODAL_PHASH_SQL = _phash_buckets_sql()
 
 
+def _cluster_aware_splits_sql() -> str:
+    """Twin of the cluster-keyed split assignment: the keep-best closure
+    gives each near-dup member its cluster's min-id; singletons key on
+    their own doc_id; the split CASE is the shared hash-bucket rule."""
+    from aws_saas_etl_spark.operators.sampling import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    b = _hash_bucket_sql("split_key")
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {toks('text')} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, lang, {_SHINGLES} AS sh, len(tk) // {LENGTH_BUCKET} AS lb
+        FROM t
+    ),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb
+                           AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                    6) >= 0.4
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION ALL
+        SELECT doc_b, doc_a FROM prs
+    ),
+    reach(node, x) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    comp AS (SELECT node, min(x) AS comp FROM reach GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        WHERE d.doc_id IS NOT NULL
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    ORDER BY doc_id
+"""
+
+
+CLUSTER_AWARE_SPLITS_SQL = _cluster_aware_splits_sql()
+
+
+BUCKETED_JOIN_SQL = f"""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           {dsum_sql("l_extendedprice * (1 - l_discount)", 2)} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
 EMBEDDING_INT8_SQL = """
     WITH dims AS (
         SELECT vec_id,

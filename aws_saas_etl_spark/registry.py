@@ -818,6 +818,20 @@ register(
     dedup.cluster_store_roundtrip,
     oracles.DEDUP_DUPLICATE_CLUSTERS_EXACT_SQL,
 )
+# the REPAIR for split leakage: splits keyed by content cluster, so no
+# near-dup cluster can straddle train/val/test by construction
+register(
+    "cluster_aware_splits",
+    sampling.cluster_aware_splits,
+    oracles.CLUSTER_AWARE_SPLITS_SQL,
+)
+# co-located fact-fact join over bucketed tables: zero join-side
+# exchange (plan-asserted); oracle is the plain join — layout only
+register(
+    "bucketed_colocated_join",
+    relational.bucketed_colocated_join,
+    oracles.BUCKETED_JOIN_SQL,
+)
 
 
 # --------------------------------------------------------------------------

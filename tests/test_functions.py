@@ -187,6 +187,41 @@ def test_clusters_incremental_merge_equals_full_recompute(spark):
     assert inc  # non-vacuous: the smoke corpus has near-dup clusters
 
 
+def test_cluster_aware_splits_have_zero_leakage(spark):
+    """The whole point of cluster-keyed splits: re-running the leakage
+    audit's spread check against the cluster-aware assignment must find
+    ZERO clusters straddling splits (the doc_id-keyed assignment that
+    split_leakage_check audits does leak on the same fixtures — also
+    asserted, so the repair is shown fixing a real contamination)."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_etl_spark.operators.dedup import content_clusters
+    from aws_saas_etl_spark.operators.sampling import (
+        cluster_aware_splits,
+        split_leakage_check,
+    )
+    from tests.conftest import SF_SMOKE
+
+    comp = content_clusters(spark, SF_SMOKE)
+    assigned = cluster_aware_splits(spark, SF_SMOKE)
+    spread = (
+        comp.select(F.col("node").alias("doc_id"), "comp")
+        .join(assigned, "doc_id")
+        .groupBy("comp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spread == 0
+    # and the naive doc_id-keyed split genuinely leaks on these fixtures
+    leaked = (
+        split_leakage_check(spark, SF_SMOKE)
+        .agg(F.sum("leaked"))
+        .collect()[0][0]
+    )
+    assert leaked > 0
+
+
 def test_content_clusters_cached_per_session(spark):
     """content_clusters memoizes the pairs→CC chain per (session,
     sf_dir): the second call returns the SAME checkpointed DataFrame

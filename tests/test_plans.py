@@ -343,3 +343,45 @@ def test_dynamic_partition_pruning_on_partitioned_events(spark):
     ).count()
     plan = PI.physical_plan(joined)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """The bucketed co-located join must read matching buckets directly:
+    no Exchange between either table scan and the SortMergeJoin — the
+    ONLY shuffle in the plan is the final aggregation's. The unbucketed
+    twin of the same query needs join-side exchanges, pinning that the
+    saving comes from the layout, not the query shape."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_etl_spark.catalog import load_tables
+    from aws_saas_etl_spark.functions.num import dsum_rounded
+    from aws_saas_etl_spark.operators.relational import (
+        bucketed_colocated_join,
+    )
+
+    df = bucketed_colocated_join(spark, SF_SMOKE)
+    plan = PI.physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, plan  # only the groupBy aggregation
+
+    t = load_tables(spark, SF_SMOKE)
+    plain = (
+        t.lineitem.join(
+            t.orders.hint("merge"),
+            t.lineitem["l_orderkey"] == t.orders["o_orderkey"],
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_rounded(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+        )
+    )
+    plain_shuffles = PI.physical_plan(plain).count("Exchange hashpartitioning")
+    assert plain_shuffles >= 3, plain_shuffles  # both join sides + agg
+    # same values either way: bucketing is layout, not semantics
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, plain.orderBy("o_orderpriority").collect())
+    )
