@@ -221,6 +221,8 @@ def main() -> None:
                 from aws_saas_etl_spark.operators import similarity as _sim
 
                 _dd._CLUSTER_CACHE.clear()
+                _dd._SHINGLE_CACHE.clear()
+                _dd._BASE_LABELS_CACHE.clear()
                 _sim._IVF_CACHE.clear()
                 t0 = time.perf_counter()
                 fn(spark, dirs[s]).write.format("noop").mode("overwrite").save()
