@@ -1047,3 +1047,89 @@ def doc_chunk_spans(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SUBSTR_DUP_K = 8  # token k-gram width for cross-document substring dedup
+
+
+def doc_crossdoc_duplication(spark, sf_dir: str) -> DataFrame:
+    """Cross-document SUBSTRING duplication — the dedup flavor document-
+    level near-dup misses (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22): two long documents can be globally
+    dissimilar yet share a verbatim boilerplate paragraph, and those
+    repeated SPANS are what a substring-level pass removes. Per document:
+    how many token ``SUBSTR_DUP_K``-grams also occur in ANOTHER document,
+    and what fraction of the doc's tokens those shared spans cover.
+
+    The exact-span coverage is computed without interval materialization:
+    duplicated k-gram starts are per-doc sorted rows, and a start at
+    position i covers ``min(k, next_dup_start − i)`` NEW tokens (its k
+    tokens minus the overlap the next duplicated start re-covers), so
+    one LEAD window + a sum gives the exact merged-interval length —
+    the gaps-and-islands trick applied to span coverage.
+
+    Scale shape: k-gram hashes (xxhash64 of the joined gram — the
+    8-byte-before-shuffle rule; the oracle groups the raw gram strings,
+    same engine-tolerance as the hashed-shingle Jaccard path) shuffle
+    once for the distinct-doc count, duplicated hashes join back
+    (shuffle on the hash), and the coverage window shuffles on doc_id.
+    Nothing is ever doc×doc; the gram space is corpus-linear. At 100 TB
+    the duplicated-gram side is far smaller than the corpus (HAVING
+    count ≥ 2 is selective) so AQE turns the flag join into a broadcast.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    k = SUBSTR_DUP_K
+    base = docs.select(
+        "doc_id", T.tokens("text").alias("tk")
+    ).withColumn("n", F.size("tk"))
+    starts = F.when(
+        F.col("n") >= k,
+        F.sequence(F.lit(1), (F.col("n") - k + 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id",
+        "n",
+        F.explode(starts).alias("i"),
+        "tk",
+    ).select(
+        "doc_id",
+        "n",
+        "i",
+        F.xxhash64(F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(k)))).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    flagged = grams.join(dup, "g")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    covered = F.least(
+        F.lit(k), F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(k))
+    )
+    per_doc = (
+        flagged.select("doc_id", "i", covered.alias("cov"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_kgrams"),
+            F.sum("cov").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", F.col("n").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .na.fill({"n_dup_kgrams": 0, "dup_tokens": 0})
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_kgrams",
+            "dup_tokens",
+            N.dround(
+                F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1918,6 +1918,50 @@ def _cluster_aware_splits_sql() -> str:
 CLUSTER_AWARE_SPLITS_SQL = _cluster_aware_splits_sql()
 
 
+def _crossdoc_duplication_sql() -> str:
+    """Twin of the cross-document substring-duplication metric: raw token
+    k-grams grouped directly (the Spark side hashes them — same
+    engine-tolerance as the hashed-shingle Jaccard path), identical
+    LEAD-based exact span coverage."""
+    from aws_saas_etl_spark.operators.textops import SUBSTR_DUP_K as K
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {toks('text')} AS tk FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    b AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+    g AS (
+        SELECT doc_id, n, i, array_to_string(tk[i:i+{K - 1}], ' ') AS gram
+        FROM b, LATERAL (
+            SELECT unnest(generate_series(1, n - {K} + 1)) AS i
+        ) s
+        WHERE n >= {K}
+    ),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    f AS (
+        SELECT g.doc_id, g.i,
+               lead(g.i) OVER (PARTITION BY g.doc_id ORDER BY g.i) AS nx
+        FROM g JOIN d USING (gram)
+    ),
+    p AS (
+        SELECT doc_id, count(*) AS n_dup_kgrams,
+               sum(least({K}, coalesce(nx - i, {K}))) AS dup_tokens
+        FROM f GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n AS n_tokens,
+           CAST(coalesce(p.n_dup_kgrams, 0) AS BIGINT) AS n_dup_kgrams,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           {dround_sql("coalesce(p.dup_tokens, 0) * 1.0 / greatest(b.n, 1)", 6)} AS dup_frac
+    FROM b LEFT JOIN p USING (doc_id)
+    ORDER BY b.doc_id
+"""
+
+
+CROSSDOC_DUPLICATION_SQL = _crossdoc_duplication_sql()
+
+
 BUCKETED_JOIN_SQL = f"""
     SELECT o_orderpriority,
            count(*) AS n_items,

@@ -832,6 +832,13 @@ register(
     relational.bucketed_colocated_join,
     oracles.BUCKETED_JOIN_SQL,
 )
+# substring-level dedup signal (Lee et al. ACL'22): cross-doc repeated
+# token k-grams + exact merged-span coverage per document
+register(
+    "doc_crossdoc_duplication",
+    textops.doc_crossdoc_duplication,
+    oracles.CROSSDOC_DUPLICATION_SQL,
+)
 
 
 # --------------------------------------------------------------------------
