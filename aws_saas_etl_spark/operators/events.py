@@ -758,3 +758,66 @@ def events_partition_pruned_rollup(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_daily_trend_ols(spark, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend fit — the group-wise model-fitting shape
+    (feature drift monitors, per-segment forecasts) done WITHOUT any
+    Python/ML library: each event_type's daily-count series is fit with
+    closed-form least squares from five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) that are plain integer aggregates.
+
+    Why this is the 100 TB shape: the fit is algebraic, so it runs as
+    ONE groupBy over day-collapsed partials — events collapse to
+    (type, day) first (map-side combined), the regression consumes the
+    tiny daily series, and every sufficient statistic merges by `+`
+    (the same mergeable-state rule as the incremental rollup). A
+    per-group `applyInPandas` sklearn fit would move whole groups into
+    Python for a formula five sums express.
+
+    Determinism: x (day index from the global min day) and y (counts)
+    are integers, so all five sums are EXACT in int64 on both engines;
+    slope/intercept/r² each involve exactly one double division of
+    integer-valued operands (plus one slope·Σx product for the
+    intercept, written identically in the oracle), then decimal-route
+    rounding — bit-stable cross-engine.
+    """
+    ev = load_tables(spark, sf_dir).events.na.drop(subset=["ts"])
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    base = daily.crossJoin(
+        F.broadcast(daily.agg(F.min("day").alias("day0")))
+    ).select(
+        "event_type",
+        F.datediff("day", "day0").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = s["n"] * s["sxy"] - s["sx"] * s["sy"]
+    den = s["n"] * s["sxx"] - s["sx"] * s["sx"]
+    deny = s["n"] * s["syy"] - s["sy"] * s["sy"]
+    slope = num / den
+    intercept = (s["sy"] - slope * s["sx"]) / s["n"]
+    # square in DOUBLE: num/den/deny are exact int64 (< 2^53, so the
+    # double conversion is lossless) but num² would overflow-wrap int64
+    r2 = (num.cast("double") * num.cast("double")) / (
+        den.cast("double") * deny.cast("double")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "sy",
+        F.when(den != 0, dround(slope, 6)).alias("slope"),
+        F.when(den != 0, dround(intercept, 6)).alias("intercept"),
+        F.when((den != 0) & (deny != 0), dround(r2, 6)).alias("r2"),
+    ).orderBy("event_type")

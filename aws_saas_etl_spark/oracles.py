@@ -1918,6 +1918,53 @@ def _cluster_aware_splits_sql() -> str:
 CLUSTER_AWARE_SPLITS_SQL = _cluster_aware_splits_sql()
 
 
+def _daily_trend_ols_sql() -> str:
+    """Twin of the per-group closed-form OLS: identical integer
+    sufficient statistics, identical single-double-division formulas
+    (slope, intercept, r² — r² squared in DOUBLE on both sides since the
+    int64 square would overflow)."""
+    num = "(n*sxy - sx*sy)"
+    den = "(n*sxx - sx*sx)"
+    deny = "(n*syy - sy*sy)"
+    slope = f"({num} / {den})"
+    return f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    d0 AS (SELECT min(day) AS day0 FROM daily),
+    b AS (
+        SELECT event_type, CAST(day - day0 AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+        FROM daily, d0
+    ),
+    s AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*y) AS BIGINT) AS sxy,
+               CAST(sum(x*x) AS BIGINT) AS sxx,
+               CAST(sum(y*y) AS BIGINT) AS syy
+        FROM b GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_days,
+           sy,
+           CASE WHEN {den} <> 0
+                THEN {dround_sql(slope, 6)} END AS slope,
+           CASE WHEN {den} <> 0
+                THEN {dround_sql(f"((sy - {slope} * sx) / n)", 6)} END AS intercept,
+           CASE WHEN {den} <> 0 AND {deny} <> 0
+                THEN {dround_sql(
+                    f"(CAST({num} AS DOUBLE) * CAST({num} AS DOUBLE))"
+                    f" / (CAST({den} AS DOUBLE) * CAST({deny} AS DOUBLE))", 6)}
+           END AS r2
+    FROM s ORDER BY event_type
+"""
+
+
+EVENTS_DAILY_TREND_OLS_SQL = _daily_trend_ols_sql()
+
+
 def _crossdoc_duplication_sql() -> str:
     """Twin of the cross-document substring-duplication metric: raw token
     k-grams grouped directly (the Spark side hashes them — same

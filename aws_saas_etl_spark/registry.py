@@ -839,6 +839,13 @@ register(
     textops.doc_crossdoc_duplication,
     oracles.CROSSDOC_DUPLICATION_SQL,
 )
+# group-wise model fit as ALGEBRA: per-type daily-trend OLS from five
+# integer sufficient statistics — no Python, one groupBy
+register(
+    "events_daily_trend_ols",
+    events.events_daily_trend_ols,
+    oracles.EVENTS_DAILY_TREND_OLS_SQL,
+)
 
 
 # --------------------------------------------------------------------------
