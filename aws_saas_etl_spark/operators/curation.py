@@ -426,3 +426,89 @@ def corpus_token_budget_sample(spark, sf_dir: str) -> DataFrame:
         )
     )
     return full_docs.unionByName(boundary_docs).orderBy("doc_id")
+
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling"): score each raw document by the log-likelihood
+# ratio of its hashed n-gram features under target vs raw bag-of-ngrams
+# models. Bucket count is the paper's hashed feature space (10k there;
+# 4096 here keeps the weight table broadcast-tiny at any corpus size),
+# DSIR_TARGET_LANG picks the fixture's high-resource language as the
+# target domain.
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(spark, sf_dir: str) -> DataFrame:
+    """DSIR importance score per document: hashed unigram+bigram features
+    (md5 → DSIR_BUCKETS buckets), add-one-smoothed bucket probabilities
+    under the target (lang = DSIR_TARGET_LANG) and raw (whole corpus)
+    models, and per-doc score Σ_feat ln(p_target/p_raw) — the
+    importance-resampling weight a loader samples against to tilt a raw
+    corpus toward a target domain without training a classifier.
+
+    Scale shape: the exploded (doc, bucket) table is built ONCE
+    (localCheckpoint — three consumers: target counts, raw counts, the
+    scoring join) and every downstream aggregate is map-side combined to
+    ≤ DSIR_BUCKETS rows; the weight table broadcasts (4096 rows at any
+    corpus size), so scoring is one narrow broadcast join + one
+    groupBy(doc_id). Nothing doc×doc, nothing driver-side.
+
+    Determinism: counts are exact int64; the smoothed ratio is formed as
+    ONE division of two exact int64 products (each < 2^53 far beyond
+    driver scales — at true 100 TB counts you'd split the ln into
+    ln-of-num − ln-of-den before the products overflow 2^53) and a single
+    libm ln of an identical double in both engines, rescaled to 6dp
+    decimal BEFORE the per-doc sum, which accumulates in DECIMAL —
+    order-independent under any partitioning.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    from aws_saas_etl_spark.operators.sampling import hash_bucket
+
+    tk = F.col("tk")
+    feats = F.concat(tk, _grams(tk, 2))  # unigrams ++ bigrams
+    base = (
+        docs.select("doc_id", "lang", T.tokens("text").alias("tk"))
+        .select("doc_id", "lang", F.explode(feats).alias("feat"))
+        .select(
+            "doc_id", "lang", hash_bucket("feat", DSIR_BUCKETS).alias("bucket")
+        )
+        .localCheckpoint()
+    )
+    tgt = (
+        base.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = base.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("n_t"),
+    )
+    num = (F.coalesce(F.col("ct"), F.lit(0)) + 1) * (
+        F.col("n_r") + F.lit(DSIR_BUCKETS)
+    )
+    den = (F.col("cr") + 1) * (F.col("n_t") + F.lit(DSIR_BUCKETS))
+    weights = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.log(num.cast("double") / den.cast("double"))
+            .cast(N.DECIMAL_TYPE)
+            .alias("w"),
+        )
+    )
+    return (
+        base.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").cast("decimal(38,6)").cast("double").alias("dsir_logratio"),
+        )
+        .orderBy("doc_id")
+    )

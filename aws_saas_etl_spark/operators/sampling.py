@@ -351,3 +351,62 @@ def cluster_aware_splits(spark, sf_dir: str) -> DataFrame:
         key.alias("split_key"),
         split_label(key).alias("split"),
     ).orderBy("doc_id")
+
+
+MIXTURE_TEMPERATURE = 0.7  # p^T reweighting (the multilingual-LM default)
+
+
+def source_temperature_mixture(spark, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture — the corpus-composition formula
+    multilingual / multi-domain pretraining uses (sampling share
+    q_i ∝ p_i^T with T < 1 upweights small sources without letting any
+    source dominate): per source, its natural token share p, the
+    T-scaled sampling share q, and the resulting up/down-sampling factor
+    q/p a data loader applies.
+
+    Shape: one groupBy(source) over the corpus (map-side combined), then
+    two 1-row broadcasts (total tokens; Σ p^T over the handful of
+    sources) — the per-source table is spec-sized, never corpus-sized.
+
+    Determinism: p is a double division of exact int64 token counts
+    (identical both engines); pow(p, T) is the one libm call (same
+    1-ulp-tolerance class as the ln/log2 oracles, erased by the decimal
+    rescale to 6dp BEFORE the normalizing sum, which then accumulates in
+    DECIMAL — order-independent, so Σ p^T cannot wobble with partition
+    scheduling).
+    """
+    docs = load_tables(spark, sf_dir).documents.where(
+        F.col("source").isNotNull() & F.col("text").isNotNull()
+    )
+    srcs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text").cast("long")).alias("n_tokens"),
+    )
+    tot = srcs.agg(F.sum("n_tokens").alias("tot"))
+    with_p = srcs.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_tokens") / F.col("tot")
+    )
+    # pow rounded to 6dp via the decimal route BEFORE summing/normalizing
+    w6 = (
+        F.pow(F.col("p"), F.lit(MIXTURE_TEMPERATURE))
+        .cast(N.DECIMAL_TYPE)
+        .cast("double")
+    )
+    scored = with_p.withColumn("w", w6)
+    norm = scored.agg(
+        F.sum(F.col("w").cast(N.DECIMAL_TYPE)).alias("s")
+    ).select(F.col("s").cast("double").alias("s"))
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            N.dround(F.col("p"), 6).alias("token_share"),
+            N.dround(F.col("w") / F.col("s"), 6).alias("sample_share"),
+            N.dround((F.col("w") / F.col("s")) / F.col("p"), 6).alias(
+                "resample_factor"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1918,6 +1918,95 @@ def _cluster_aware_splits_sql() -> str:
 CLUSTER_AWARE_SPLITS_SQL = _cluster_aware_splits_sql()
 
 
+def _temperature_mixture_sql() -> str:
+    """Twin of the temperature-scaled mixture: identical int-exact token
+    shares, the same pow→DECIMAL(22,6) rescale BEFORE the normalizing
+    decimal sum (order-independent), identical double divisions."""
+    from aws_saas_etl_spark.operators.sampling import MIXTURE_TEMPERATURE
+
+    return f"""
+    WITH d AS (
+        SELECT source, {toks('text')} AS tk FROM documents
+        WHERE source IS NOT NULL AND text IS NOT NULL
+    ),
+    s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source
+    ),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s),
+    p AS (SELECT s.*, n_tokens * 1.0 / tot AS p FROM s, t),
+    w AS (
+        SELECT *, CAST(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS DECIMAL(22,6))
+                       AS DOUBLE) AS w
+        FROM p
+    ),
+    n AS (SELECT CAST(sum(CAST(w AS DECIMAL(22,6))) AS DOUBLE) AS sn FROM w)
+    SELECT source, n_docs, n_tokens,
+           {dround_sql("p", 6)} AS token_share,
+           {dround_sql("w / sn", 6)} AS sample_share,
+           {dround_sql("(w / sn) / p", 6)} AS resample_factor
+    FROM w, n ORDER BY source
+"""
+
+
+SOURCE_TEMPERATURE_MIXTURE_SQL = _temperature_mixture_sql()
+
+
+def _dsir_sql() -> str:
+    """Twin of DSIR importance weights: identical md5 feature buckets
+    (the shared hash_bucket construction), exact int64 smoothed-ratio
+    products, ONE libm ln of an identical double, 6dp-decimal rescale
+    BEFORE the per-doc decimal sum (order-independent)."""
+    from aws_saas_etl_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    b = _hash_bucket_sql("feat", DSIR_BUCKETS)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lang, {toks('text')} AS tk FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+    ),
+    f AS (
+        SELECT doc_id, lang,
+               unnest(list_concat(tk,
+                 CASE WHEN len(tk) >= 2
+                      THEN list_transform(range(1, len(tk)),
+                                          i -> tk[i] || ' ' || tk[i+1])
+                      ELSE [] END)) AS feat
+        FROM d
+    ),
+    base AS (SELECT doc_id, lang, {b} AS bucket FROM f),
+    tgt AS (
+        SELECT bucket, count(*) AS ct FROM base
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+    ),
+    raw AS (SELECT bucket, count(*) AS cr FROM base GROUP BY bucket),
+    n AS (
+        SELECT count(*) AS n_r,
+               count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS n_t
+        FROM base
+    ),
+    w AS (
+        SELECT raw.bucket,
+               CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS DECIMAL(22,6)) AS w
+        FROM raw LEFT JOIN tgt USING (bucket), n
+    )
+    SELECT doc_id, lang, count(*) AS n_feats,
+           CAST(sum(w) AS DOUBLE) AS dsir_logratio
+    FROM base JOIN w USING (bucket)
+    GROUP BY doc_id, lang ORDER BY doc_id
+"""
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = _dsir_sql()
+
+
 def _daily_trend_ols_sql() -> str:
     """Twin of the per-group closed-form OLS: identical integer
     sufficient statistics, identical single-double-division formulas

@@ -846,6 +846,20 @@ register(
     events.events_daily_trend_ols,
     oracles.EVENTS_DAILY_TREND_OLS_SQL,
 )
+# corpus-composition planning: temperature-scaled source mixture
+# (q ∝ p^0.7), decimal-stabilized normalization
+register(
+    "source_temperature_mixture",
+    sampling.source_temperature_mixture,
+    oracles.SOURCE_TEMPERATURE_MIXTURE_SQL,
+)
+# DSIR importance resampling (Xie et al. 2023): hashed-ngram
+# log-likelihood-ratio score per document vs the target language
+register(
+    "dsir_importance_weights",
+    curation.dsir_importance_weights,
+    oracles.DSIR_IMPORTANCE_WEIGHTS_SQL,
+)
 
 
 # --------------------------------------------------------------------------

@@ -187,6 +187,33 @@ def test_clusters_incremental_merge_equals_full_recompute(spark):
     assert inc  # non-vacuous: the smoke corpus has near-dup clusters
 
 
+def test_merge_delta_unites_base_clusters_via_arrival(spark):
+    """The hard incremental case: an arriving document that bridges TWO
+    existing clusters must unite them under the global min label — the
+    'merged clusters re-labeled' semantics, pinned on a constructed
+    corpus where the bridge is known (fixture corpora exercise it only
+    incidentally). Docs 1,2 share one exact text; 5,6 share another; doc
+    9 (the arrival — top decile by id) contains BOTH texts, so its
+    shingle set overlaps each cluster at Jaccard ≥ 0.4... rather than
+    relying on thresholds, the merge is driven directly through
+    _merge_delta_into_labels with explicit star edges + delta pairs."""
+    from pyspark.sql import functions as F
+
+    from aws_saas_etl_spark.operators.dedup import connected_components
+
+    # stored assignment: {1,2} labeled 1, {5,6} labeled 5
+    base = spark.createDataFrame([(1, 1), (2, 1), (5, 5), (6, 5)], "node long, comp long")
+    star = base.select(F.col("node").alias("doc_a"), F.col("comp").alias("doc_b"))
+    # delta pairs: arrival 9 matches a NON-representative member of each
+    # cluster (2 and 6) — the case a representatives-only shortcut misses
+    delta = spark.createDataFrame([(2, 9), (6, 9)], "doc_a long, doc_b long")
+    merged = connected_components(
+        star.unionByName(delta), src="doc_a", dst="doc_b"
+    )
+    got = {(r.node, r.comp) for r in merged.collect()}
+    assert got == {(1, 1), (2, 1), (5, 1), (6, 1), (9, 1)}
+
+
 def test_cluster_aware_splits_have_zero_leakage(spark):
     """The whole point of cluster-keyed splits: re-running the leakage
     audit's spread check against the cluster-aware assignment must find
@@ -358,3 +385,28 @@ def test_cusum_window_rewrite_matches_direct_recurrence(spark):
             assert abs(r.cusum_sigma - round(s / sigma, 4)) <= 1e-4, (
                 f"{et}@{r.hour}: {r.cusum_sigma} != {s / sigma}"
             )
+
+
+def test_dsir_weights_tilt_toward_target_lang(spark):
+    """DSIR sanity on the smoke corpus: the mean per-feature importance
+    log-ratio of target-language docs must exceed the non-target mean —
+    the whole point of importance resampling (target-domain n-grams get
+    positive weight, everything else negative). Also pins the smoothing
+    identity: a corpus where target == raw would score ~0 everywhere, so
+    the spread being strictly positive is non-vacuous."""
+    from aws_saas_etl_spark.operators.curation import (
+        DSIR_TARGET_LANG,
+        dsir_importance_weights,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = dsir_importance_weights(spark, SF_SMOKE).collect()
+    assert rows
+    per_feat = {}
+    for r in rows:
+        per_feat.setdefault(r.lang == DSIR_TARGET_LANG, []).append(
+            r.dsir_logratio / r.n_feats
+        )
+    assert True in per_feat and False in per_feat
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean(per_feat[True]) > mean(per_feat[False])
