@@ -512,3 +512,63 @@ def dsir_importance_weights(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def training_manifest(spark, sf_dir: str) -> DataFrame:
+    """The end-to-end pipeline ARTIFACT: which documents actually reach
+    training, and exactly where each lands — quality/exact-dup gates
+    (``doc_filter_pipeline``) → near-dup keep-best within the shared
+    content clusters → leakage-safe cluster-keyed split → deterministic
+    shard + position (the salted-hash permutation of
+    ``corpus_shuffle_assignment``). One row per surviving doc:
+    (doc_id, split, shard, pos, n_tokens) — the manifest a 100 TB run
+    writes per shard file for loaders to stream.
+
+    Composition semantics: keep-best ranks (longest n_chars, min doc_id)
+    among the FILTER SURVIVORS of each cluster — a cluster whose best
+    member failed a gate still contributes its best surviving member;
+    singletons are their own keeper. Split keys on the cluster id so a
+    near-dup pair can never straddle train/val/test.
+
+    Scale shape: every input is an existing bounded intermediate (the
+    session-cached cluster table, the one-pass filter verdicts); this
+    operator adds two window shuffles — per-cluster rank (cluster-sized
+    groups) and per-(split, shard) position (uniform by hash
+    construction) — and nothing corpus×corpus.
+    """
+    from aws_saas_etl_spark.operators.dedup import content_clusters
+    from aws_saas_etl_spark.operators.sampling import split_label
+    from aws_saas_etl_spark.operators.textops import doc_filter_pipeline
+
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    keep = doc_filter_pipeline(spark, sf_dir).where(F.col("verdict") == "keep")
+    comp = content_clusters(spark, sf_dir)
+    members = (
+        keep.select("doc_id")
+        .join(
+            docs.select(
+                "doc_id", "n_chars", T.token_count("text").alias("n_tokens")
+            ),
+            "doc_id",
+        )
+        .join(comp.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left")
+        .withColumn("ckey", F.coalesce(F.col("comp"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("ckey").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = members.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    shuffle_key = F.md5(
+        F.concat_ws(":", F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))
+    )
+    shard = (
+        F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("bigint")
+        % SHUFFLE_SHARDS
+    ).cast("int")
+    w2 = Window.partitionBy("split", "shard").orderBy("shuffle_key", "doc_id")
+    return (
+        kept.withColumn("split", split_label(F.col("ckey")))
+        .withColumn("shuffle_key", shuffle_key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w2))
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .orderBy("split", "shard", "pos")
+    )

@@ -2007,6 +2007,117 @@ def _dsir_sql() -> str:
 DSIR_IMPORTANCE_WEIGHTS_SQL = _dsir_sql()
 
 
+def _training_manifest_sql() -> str:
+    """Twin of the end-to-end manifest: the filter-pipeline gates, the
+    recursive-CTE content-cluster closure, keep-best rank among filter
+    survivors, the shared split CASE on the cluster key, and the salted
+    md5 shard/position permutation — each fragment identical to its
+    already-proven standalone twin."""
+    from aws_saas_etl_spark.operators.curation import (
+        SHUFFLE_SALT,
+        SHUFFLE_SHARDS,
+    )
+    from aws_saas_etl_spark.operators.sampling import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+    from aws_saas_etl_spark.operators.textops import (
+        FILTER_MIN_QUALITY,
+        FILTER_MIN_TOKENS,
+    )
+
+    score_cols = ",\n           ".join(
+        f"{lexicon_count('tk', stops)} AS s_{lang}"
+        for lang, stops in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    greatest_all = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    quality = (
+        "(0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) "
+        "+ 0.3 * (CASE WHEN length(text) > 0 "
+        "THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) "
+        "ELSE 0.0 END) "
+        "+ 0.3 * (CASE WHEN len(tk) > 0 "
+        "THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END))"
+    )
+    b = _hash_bucket_sql("ckey")
+    return f"""
+    WITH RECURSIVE
+    fbase AS (
+        SELECT doc_id, text, n_chars, {toks('text')} AS tk,
+               min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+        FROM documents
+        WHERE {DOC_DROPNA}
+    ),
+    fs AS (SELECT *, {score_cols} FROM fbase),
+    keepdocs AS (
+        SELECT doc_id, n_chars, CAST(len(tk) AS INT) AS n_tokens
+        FROM fs
+        WHERE doc_id = keeper AND len(tk) >= {FILTER_MIN_TOKENS}
+          AND {greatest_all} > 0 AND {quality} >= {FILTER_MIN_QUALITY}
+    ),
+    t AS (SELECT doc_id, lang, {toks('text')} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, lang, {_SHINGLES} AS sh, len(tk) // {LENGTH_BUCKET} AS lb
+        FROM t
+    ),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb
+                           AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                    6) >= 0.4
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION ALL
+        SELECT doc_b, doc_a FROM prs
+    ),
+    reach(node, x) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    comp AS (SELECT node, min(x) AS comp FROM reach GROUP BY node),
+    m AS (
+        SELECT k.doc_id, k.n_chars, k.n_tokens,
+               coalesce(c.comp, k.doc_id) AS ckey
+        FROM keepdocs k LEFT JOIN comp c ON c.node = k.doc_id
+    ),
+    kept AS (
+        SELECT doc_id, n_tokens, ckey
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY ckey ORDER BY n_chars DESC, doc_id) AS rn
+              FROM m)
+        WHERE rn = 1
+    ),
+    sk AS (
+        SELECT doc_id, n_tokens, ckey,
+               md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM kept
+    ),
+    lab AS (
+        SELECT *,
+               CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(('0x' || substr(shuffle_key, 1, 8))::BIGINT
+                    % {SHUFFLE_SHARDS} AS INT) AS shard
+        FROM sk
+    )
+    SELECT doc_id, split, shard,
+           CAST(row_number() OVER (
+               PARTITION BY split, shard ORDER BY shuffle_key, doc_id
+           ) AS INT) AS pos,
+           n_tokens
+    FROM lab ORDER BY split, shard, pos
+"""
+
+
+TRAINING_MANIFEST_SQL = _training_manifest_sql()
+
+
 def _daily_trend_ols_sql() -> str:
     """Twin of the per-group closed-form OLS: identical integer
     sufficient statistics, identical single-double-division formulas

@@ -860,6 +860,13 @@ register(
     curation.dsir_importance_weights,
     oracles.DSIR_IMPORTANCE_WEIGHTS_SQL,
 )
+# the end-to-end pipeline artifact: filter -> keep-best -> cluster-keyed
+# split -> deterministic shard/position, one row per doc reaching training
+register(
+    "training_manifest",
+    curation.training_manifest,
+    oracles.TRAINING_MANIFEST_SQL,
+)
 
 
 # --------------------------------------------------------------------------

@@ -410,3 +410,36 @@ def test_dsir_weights_tilt_toward_target_lang(spark):
     assert True in per_feat and False in per_feat
     mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
     assert mean(per_feat[True]) > mean(per_feat[False])
+
+
+def test_training_manifest_invariants(spark):
+    """Pins the manifest contract on the smoke corpus: (1) positions are
+    contiguous 1..n within every (split, shard) — a loader can stream a
+    shard by seeking pos; (2) at most one manifest row per content
+    cluster — keep-best actually deduplicated; (3) every manifest doc
+    passed the filter pipeline."""
+    from aws_saas_etl_spark.operators.curation import training_manifest
+    from aws_saas_etl_spark.operators.dedup import content_clusters
+    from aws_saas_etl_spark.operators.textops import doc_filter_pipeline
+    from tests.conftest import SF_SMOKE
+
+    rows = training_manifest(spark, SF_SMOKE).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r.split, r.shard), []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    comp = {
+        r.node: r.comp for r in content_clusters(spark, SF_SMOKE).collect()
+    }
+    clusters = [comp.get(r.doc_id, r.doc_id) for r in rows]
+    assert len(clusters) == len(set(clusters))
+
+    keep = {
+        r.doc_id
+        for r in doc_filter_pipeline(spark, SF_SMOKE).collect()
+        if r.verdict == "keep"
+    }
+    assert {r.doc_id for r in rows} <= keep
