@@ -572,3 +572,69 @@ def training_manifest(spark, sf_dir: str) -> DataFrame:
         .select("doc_id", "split", "shard", "pos", "n_tokens")
         .orderBy("split", "shard", "pos")
     )
+
+
+# Right-to-be-forgotten deletion set: every 7th doc_id — a deterministic
+# stand-in for an arriving deletion list (a source-keyed set would be the
+# realistic correlated shape, but the fixtures' clusters are built from
+# cross-source near-dups, so source-keyed deletions never hit a cluster
+# and the query would be vacuous at sf0.01)
+DELETION_MOD = 7
+
+
+def cluster_deletion_repair(spark, sf_dir: str) -> DataFrame:
+    """Deletion propagation through the dedup layer — the GDPR /
+    license-revocation repair: when the deletion list's documents
+    (doc_id % DELETION_MOD == 0) are removed, every content cluster that loses a member must re-elect its
+    canonical document among the survivors (same keep-best rule as
+    ``dedup_canonical_keep_best``: longest n_chars, ties to min doc_id).
+    One row per affected cluster: member/deletion counts, the old and
+    new keeper (NULL when the whole cluster is deleted), and whether the
+    manifest row must actually be rewritten. Singleton deletions need no
+    repair (nothing to promote), so only clustered docs appear.
+
+    Scale shape: reuses the session-cached cluster table; adds one join
+    against the corpus (doc_id-keyed) and two per-cluster windows over
+    cluster-sized groups — the repair is proportional to AFFECTED
+    clusters, never a corpus recompute, which is exactly why a 100 TB
+    pipeline stores the cluster assignment instead of re-deriving it.
+    """
+    from aws_saas_etl_spark.operators.dedup import content_clusters
+
+    comp = content_clusters(spark, sf_dir)
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "n_chars")
+    members = comp.join(docs, comp["node"] == docs["doc_id"]).select(
+        "comp",
+        "node",
+        "n_chars",
+        (F.col("doc_id") % DELETION_MOD == 0).alias("deleted"),
+    )
+    w = Window.partitionBy("comp").orderBy(F.desc("n_chars"), F.asc("node"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    surv = members.where(~F.col("deleted")).withColumn(
+        "sn", F.row_number().over(w)
+    )
+    agg_all = ranked.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("deleted").cast("long")).alias("n_deleted"),
+        F.max(F.when(F.col("rn") == 1, F.col("node"))).alias("old_keeper"),
+    )
+    agg_surv = surv.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.max(F.when(F.col("sn") == 1, F.col("node"))).alias("new_keeper")
+    )
+    return (
+        agg_all.join(agg_surv, "cluster_id", "left")
+        .where(F.col("n_deleted") > 0)
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_deleted",
+            "old_keeper",
+            "new_keeper",
+            (
+                F.col("new_keeper").isNull()
+                | (F.col("new_keeper") != F.col("old_keeper"))
+            ).alias("keeper_changed"),
+        )
+        .orderBy("cluster_id")
+    )

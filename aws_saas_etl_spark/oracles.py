@@ -2118,6 +2118,76 @@ def _training_manifest_sql() -> str:
 TRAINING_MANIFEST_SQL = _training_manifest_sql()
 
 
+def _cluster_deletion_repair_sql() -> str:
+    """Twin of the deletion repair: the same recursive-CTE closure, the
+    same keep-best rank over all members and over survivors, NULL new
+    keeper when a cluster is fully deleted."""
+    from aws_saas_etl_spark.operators.curation import DELETION_MOD
+
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {toks('text')} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, lang, {_SHINGLES} AS sh, len(tk) // {LENGTH_BUCKET} AS lb
+        FROM t
+    ),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb
+                           AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                    6) >= 0.4
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION ALL
+        SELECT doc_b, doc_a FROM prs
+    ),
+    reach(node, x) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    comp AS (SELECT node, min(x) AS comp FROM reach GROUP BY node),
+    mem AS (
+        SELECT c.comp, c.node, d.n_chars,
+               (d.doc_id % {DELETION_MOD} = 0) AS deleted
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    ),
+    all_r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY comp ORDER BY n_chars DESC, node) AS rn
+        FROM mem
+    ),
+    surv_r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY comp ORDER BY n_chars DESC, node) AS sn
+        FROM mem WHERE NOT deleted
+    ),
+    a AS (
+        SELECT comp AS cluster_id, count(*) AS n_members,
+               CAST(sum(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deleted,
+               max(CASE WHEN rn = 1 THEN node END) AS old_keeper
+        FROM all_r GROUP BY comp
+    ),
+    s AS (
+        SELECT comp AS cluster_id,
+               max(CASE WHEN sn = 1 THEN node END) AS new_keeper
+        FROM surv_r GROUP BY comp
+    )
+    SELECT a.cluster_id, n_members, n_deleted, old_keeper, new_keeper,
+           (new_keeper IS NULL OR new_keeper <> old_keeper) AS keeper_changed
+    FROM a LEFT JOIN s USING (cluster_id)
+    WHERE n_deleted > 0
+    ORDER BY a.cluster_id
+"""
+
+
+CLUSTER_DELETION_REPAIR_SQL = _cluster_deletion_repair_sql()
+
+
 def _daily_trend_ols_sql() -> str:
     """Twin of the per-group closed-form OLS: identical integer
     sufficient statistics, identical single-double-division formulas

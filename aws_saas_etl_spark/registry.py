@@ -867,6 +867,12 @@ register(
     curation.training_manifest,
     oracles.TRAINING_MANIFEST_SQL,
 )
+# deletion propagation: clusters losing members re-elect their keeper
+register(
+    "cluster_deletion_repair",
+    curation.cluster_deletion_repair,
+    oracles.CLUSTER_DELETION_REPAIR_SQL,
+)
 
 
 # --------------------------------------------------------------------------

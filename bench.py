@@ -98,6 +98,11 @@ def main() -> None:
             # be made about (per r4 verdict) — bankable best-of-3 numbers
             "ann_ivf_topk",
             "events_resample_locf",
+            # r6: the two new gram-heavy additions — bankable numbers for
+            # round-over-round comparison of the DSIR explode and the
+            # composed manifest chain
+            "dsir_importance_weights",
+            "training_manifest",
         )
         if n in timings
     ]

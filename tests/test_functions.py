@@ -443,3 +443,45 @@ def test_training_manifest_invariants(spark):
         if r.verdict == "keep"
     }
     assert {r.doc_id for r in rows} <= keep
+
+
+def test_cluster_deletion_repair_invariants(spark):
+    """Pins the deletion-repair contract on the smoke corpus: (1) every
+    returned cluster actually lost >=1 member to the deletion list and
+    only those clusters appear; (2) new_keeper is a surviving
+    (non-deleted) member of its own cluster, NULL exactly when the whole
+    cluster is deleted; (3) keeper_changed is true iff the keeper was
+    deleted (the keep-best rank of survivors is a suffix of the full
+    rank, so an undeleted old keeper always stays keeper)."""
+    from aws_saas_etl_spark.operators.curation import (
+        DELETION_MOD,
+        cluster_deletion_repair,
+    )
+    from aws_saas_etl_spark.operators.dedup import content_clusters
+    from tests.conftest import SF_SMOKE
+
+    rows = cluster_deletion_repair(spark, SF_SMOKE).collect()
+    assert rows
+    members = {}
+    for r in content_clusters(spark, SF_SMOKE).collect():
+        members.setdefault(r.comp, set()).add(r.node)
+
+    returned = {r.cluster_id for r in rows}
+    affected = {
+        c
+        for c, ns in members.items()
+        if any(n % DELETION_MOD == 0 for n in ns)
+    }
+    assert returned == affected
+
+    for r in rows:
+        ns = members[r.cluster_id]
+        assert r.n_members == len(ns)
+        deleted = {n for n in ns if n % DELETION_MOD == 0}
+        assert r.n_deleted == len(deleted)
+        assert r.old_keeper in ns
+        if deleted == ns:
+            assert r.new_keeper is None and r.keeper_changed
+        else:
+            assert r.new_keeper in ns - deleted
+            assert r.keeper_changed == (r.old_keeper in deleted)

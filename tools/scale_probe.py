@@ -52,6 +52,11 @@ PROBES = [
     ("dedup_duplicate_clusters", "dedup", "duplicate_clusters"),
     ("events_resample_locf", "events", "events_resample_locf"),
     ("customer_fuzzy_matches", "dedup", "customer_fuzzy_matches"),
+    # r6 additions: the DSIR feature explode (gram-heavy, bucket-bounded
+    # weight table) and the composed manifest chain (filter + clusters +
+    # windows — the cold full-pipeline cost)
+    ("dsir_importance_weights", "curation", "dsir_importance_weights"),
+    ("training_manifest", "curation", "training_manifest"),
 ]
 
 # Per-copy character translation: remaps the 5 vowels, which rewrites
