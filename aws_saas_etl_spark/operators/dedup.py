@@ -14,17 +14,21 @@ Ladder of dedup strategies, cheapest first:
 
 1-3 are pure built-ins and oracle-checkable. 4-5 are the 100 TB scale
 path for fuzzy dedup: candidate generation is O(rows·bands) with bounded
-bucket joins instead of the O(n²) cross join; they verify rows-only.
+bucket joins instead of the O(n²) cross join. Since round 6 they are
+oracle-checkable too: the base hash is md5-derived (engine-neutral) and
+the permutations are 31-bit affine maps, so DuckDB reproduces the exact
+signatures, buckets, pairs, and clusters.
 
 Design note (learned by measurement): tokenization must be computed ONCE
 and materialized behind a shuffle barrier before fanning out to the 64
 per-permutation hash expressions — otherwise CollapseProject re-inlines
 the tokenizer into every permutation expression (64× the work, measured
->100× slower at sf0.1). MinHash does this via ``hashed_shingles`` (barrier
-+ ``array_min`` per permutation; see its docstring for why this beat the
-round-1 explode→64-column-min-aggregate). SimHash keeps the explode →
-hash-per-token → 64-vote aggregate shape, where the explode is over raw
-tokens and each vote is a bit test, not a re-tokenization.
+>100× slower at sf0.1). MinHash does this via ``minhash_signatures``'s
+single explode → codegen-md60 → one-groupBy aggregate (shingle array +
+all 64 mins behind one exchange; see its docstring for the measured
+history). SimHash keeps the explode → hash-per-token → 64-vote aggregate
+shape, where the explode is over raw tokens and each vote is a bit test,
+not a re-tokenization.
 """
 
 from __future__ import annotations
@@ -45,6 +49,37 @@ JACCARD_MIN = 0.5
 SIMHASH_BITS = 64
 SHINGLE_SIZE = 3  # word 3-gram shingles
 LENGTH_BUCKET = 10  # token-count blocking width for exact-jaccard pairs
+
+# --- engine-neutral hashing (round 6) ------------------------------------
+# The minhash/simhash base hash is md5-derived instead of xxhash64: both
+# Spark (conv(substr(md5(x),1,15),16,10)) and DuckDB
+# (('0x'||substr(md5(x),1,15))::BIGINT) compute the identical 60-bit
+# integer, so the ENTIRE LSH path — permutation mins, band buckets,
+# Jaccard verify, downstream connected components — has an exact SQL twin
+# and the driver value-hash-checks it (previously rows-only: xxhash64 is
+# Spark-internal). Permutations are affine maps over the low 31 bits mod
+# the Mersenne prime 2^31-1; every intermediate stays < 2^62, so the
+# arithmetic is overflow-free under Spark 4's ANSI mode and identical in
+# DuckDB's checked BIGINT math. The a/b constants are md5-seeded in
+# Python at import — the oracle generator reads the SAME lists.
+_M31 = (1 << 31) - 1
+
+
+def _perm_const(tag: str, i: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:8], 16)
+
+
+MINHASH_A = [(_perm_const("a", i) % (_M31 - 1)) + 1 for i in range(MINHASH_HASHES)]
+MINHASH_B = [_perm_const("b", i) % _M31 for i in range(MINHASH_HASHES)]
+
+
+def md60(col):
+    """First 60 bits of md5 as a non-negative bigint — the engine-neutral
+    base hash (15 hex chars keep the value positive in a signed int64, so
+    plain shifts and comparisons behave identically in Spark and DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def shingles(col, size: int = SHINGLE_SIZE):
@@ -102,48 +137,46 @@ def token_bag_dedup(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def hashed_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh: sorted array<long>) — each shingle string hashed ONCE
-    to 8 bytes, materialized below a repartition barrier.
-
-    The barrier is the heart of the minhash design: everything downstream
-    (64 permutation mins, band hashes, Jaccard verify) consumes the compact
-    long arrays, and because the three consumers share this exact subtree,
-    Spark's exchange reuse computes the tokenization ONCE and reads the
-    shuffled output three times. Without the barrier, CollapseProject
-    re-inlines the tokenizer into all 64 permutation expressions (measured
-    >100× slower at sf0.1); with it, tokenization cost is paid exactly once
-    regardless of how many signature/verify stages consume it."""
-    sh = F.array_sort(F.transform(shingles(F.col("text")), lambda s: F.xxhash64(s)))
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.select("doc_id", sh.alias("sh")).repartition(n)
-
-
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh, h0..h63) MinHash signature: per-permutation
-    ``array_min`` over the materialized hashed-shingle arrays.
+    """(doc_id, sh: sorted array<long>, h0..h63) — the hashed shingle set
+    AND the full MinHash signature, produced by ONE aggregate pass.
+
+    Shape (measured, r6): explode shingles → whole-stage-codegen md60
+    projection → hashpartitioning(doc_id) → one groupBy computing
+    ``array_sort(collect_list(h))`` plus all 64 permutation ``min``s.
+    Hashing INSIDE an ``F.transform`` lambda runs on the interpreted
+    expression path, where per-call md5/conv overhead cost 14.9 s at
+    sf0.1; the exploded codegen projection computes the identical values
+    in ~1.1 s, and the shuffle moves 8-byte (doc_id, hash) rows — never
+    shingle strings. The single exchange is the sharing point: band
+    bucketing and both Jaccard-verify sides all consume this one
+    aggregate, so tokenization is paid exactly once. Docs with no
+    shingles (< SHINGLE_SIZE tokens) drop out at the explode; they can
+    never reach Jaccard ≥ threshold, and excluding them keeps the
+    NULL-join semantics of the Spark and DuckDB twins trivially aligned.
 
     Design note (learned by measurement, round 2): the round-1 shape —
     explode shingles to rows, then one 64-column ``min`` hash-aggregate —
     was algorithmically fine but generated one enormous codegen method
     whose JIT warmup dominated wall-clock (16-29s first runs vs 4s
-    steady-state at sf0.1). 64 independent ``array_min(transform(...))``
-    projections over pre-hashed arrays skip the explode shuffle entirely
-    and run cold in ~half the time with stable latency. Higher-order
-    functions are interpreted, but over ~100-element long arrays the
-    per-element cost is a seeded xxhash64 of a fixed-width value — cheap."""
-    sh = hashed_shingles(docs)
-    return sh.select(
-        "doc_id",
-        "sh",
-        # NB: F.transform calls the Python lambda once at plan-build time,
-        # so the closure over the loop variable binds the CURRENT i. (A
-        # two-arg lambda would instead receive the array index as its
-        # second argument — not the permutation seed.)
+    steady-state at sf0.1) — each aggregate re-ran a seeded xxhash64.
+    The r6 md60/affine rewrite changed the economics: permutation i is
+    ``(a_i·(h & (2³¹−1)) + b_i) mod (2³¹−1)`` — three integer ops, so 64
+    ``min`` aggregates fused into the SAME groupBy that builds the
+    shingle array run entirely inside whole-stage codegen (one modest
+    method, no interpreted higher-order transforms, map-side partial
+    mins). All values stay < 2⁶² — overflow-free under ANSI — and are
+    reproduced digit-for-digit by the DuckDB twin, which reads the same
+    MINHASH_A/MINHASH_B constants."""
+    ex = docs.select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    h = ex.select("doc_id", md60(F.col("s")).alias("h"))
+    h31 = F.col("h").bitwiseAND(F.lit(_M31))
+    return h.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("h")).alias("sh"),
         *[
-            F.array_min(
-                F.transform("sh", lambda s: F.xxhash64(F.lit(i), s))
-            ).alias(f"h{i}")
+            F.min((h31 * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(_M31)).alias(
+                f"h{i}"
+            )
             for i in range(MINHASH_HASHES)
         ],
     )
@@ -154,6 +187,12 @@ def _candidate_pairs_lsh(sig: DataFrame) -> DataFrame:
 
     Shuffle cost is rows × bands small tuples; the self-join happens per
     band-bucket, so a pathological bucket is handled by AQE skew-join.
+
+    The band hash is only a compact EQUALITY key for the per-band tuple
+    of permutation mins — it never reaches the output, so it can stay
+    xxhash64 (JVM-fast) while the oracle twin joins on the raw 4-tuples:
+    equal tuples ⟺ equal hashes modulo ~2⁻⁶⁴ collisions, the same
+    equivalence the hashed-shingle Jaccard already relies on.
     """
     band_hashes = [
         F.xxhash64(
@@ -182,16 +221,28 @@ def minhash_lsh_pairs(spark, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard over
     hashed shingle sets (candidates only — never all pairs).
 
-    Jaccard is computed over the 64-bit shingle hashes rather than the
-    shingle strings: identical up to hash collisions (~n²/2⁶⁴ per doc
-    pair), with 8-byte array compares instead of string compares in the
-    verify join. The hashed-shingle subtree is shared by the signature
-    stage and both sides of the verify join (exchange reuse)."""
+    Jaccard is computed over the 60-bit md5-derived shingle hashes rather
+    than the shingle strings: identical up to hash collisions (~n²/2⁶⁰
+    per doc pair), with 8-byte array compares instead of string compares
+    in the verify join. Both verify sides read ``sh`` from the SAME
+    signature aggregate that feeds the band buckets, so all three
+    consumers hang off ONE exchange (explode → codegen md60 →
+    hashpartitioning(doc_id)) and the tokenize+hash map side is computed
+    exactly once — re-running only the cheap post-shuffle final
+    aggregate per consumer. (A separate collect_list-only aggregate here
+    would NOT be deduplicated: its partial aggregate below the
+    exchange differs from the signature aggregate's partials, so
+    ReusedExchange can't fire across the two — measured as 2 extra
+    full tokenization passes in the r6 plan audit.)
+
+    Value-hash-checked since round 6: every stage (md60 base hash,
+    affine permutation mins, band-tuple buckets, Jaccard verify) has an
+    exact DuckDB twin (oracles.MINHASH_LSH_PAIRS_SQL)."""
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
-    sh = hashed_shingles(docs)
-    cands = _candidate_pairs_lsh(minhash_signatures(docs))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sig = minhash_signatures(docs)
+    cands = _candidate_pairs_lsh(sig)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     # Hashed-shingle arrays are distinct sets, so |A∪B| = |A|+|B|-inter —
     # avoids materializing an array_union per candidate pair.
@@ -277,7 +328,7 @@ def _shingle_table(spark, sf_dir: str) -> DataFrame:
     instead of moving string arrays. localCheckpoint'ed once per session
     per corpus — one materialization, many consumers (prefix posts, the
     two verify sides, the delta-merge postings) — the measured barrier
-    pattern from hashed_shingles/tf-idf."""
+    pattern from minhash_signatures/tf-idf."""
     import os
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
@@ -369,15 +420,28 @@ def ngram_jaccard_pairs(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFra
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) via explode → hash-per-token → 64 per-bit majority
-    votes in one aggregate pass."""
+    votes in one aggregate pass.
+
+    The 64 token-hash bits come from md5 (two 32-bit halves of the hex
+    digest via conv, each positive in a signed int64) instead of
+    xxhash64, so the DuckDB twin reproduces every vote, the assembled
+    fingerprint (sign bit via two's-complement HUGEINT wrap on the
+    oracle side), and the band keys exactly — simhash_buckets graduated
+    from rows-only to value-hash-checked in round 6."""
     rows = docs.select(
         "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("tok")
     )
-    h = F.xxhash64(F.col("tok"))
+    hx = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")  # bits 32..63
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")  # bits 0..31
     votes = rows.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(lo if j < 32 else hi, j % 32).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"v{j}")
             for j in range(SIMHASH_BITS)
         ]
@@ -556,10 +620,13 @@ def duplicate_clusters(spark, sf_dir: str) -> DataFrame:
     components → one keeper per cluster (min doc_id, the same keeper rule
     the exact-dedup queries use) + members for audit.
 
-    Rows-only check (iterative + hash-seeded upstream); invariants are
-    pytest-verified (tests/test_functions.py): both endpoints of every
-    pair share a cluster, cluster_id is the min member, transitive chains
-    collapse into one cluster.
+    Value-hash-checked since round 6 (the md60/affine rehash made the
+    LSH pair set deterministic across engines): the oracle is the
+    recursive-CTE transitive closure over the SAME band-bucketed pair
+    CTE. Invariants are additionally pytest-verified
+    (tests/test_functions.py): both endpoints of every pair share a
+    cluster, cluster_id is the min member, transitive chains collapse
+    into one cluster.
 
     ``member_doc_ids`` is emitted as a comma-joined STRING (not
     array<long>): the driver's rows-only canonicalizer sorts all columns

@@ -171,8 +171,11 @@ def multimodal_feature_stats(spark, sf_dir: str) -> DataFrame:
 
 
 def multimodal_full_features(spark, sf_dir: str) -> DataFrame:
-    """Registry query (rows-only): full feature set including CRC32 and
-    entropy bucket — not SQL-expressible in the oracle, verified by shape."""
+    """Registry query: full feature set including CRC32 and entropy
+    bucket. Value-hash-checked since r6: the DuckDB twin reproduces
+    zlib.crc32 as a table-driven list_reduce fold over the payload bytes
+    (oracles.MULTIMODAL_FULL_FEATURES_SQL), so even the Arrow-kernel
+    path is held to exact cross-engine equality."""
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
     return extract_features(attach_payload(docs))
 

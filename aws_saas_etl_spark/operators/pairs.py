@@ -73,7 +73,7 @@ def bounded_self_pairs(
     # their differing explode projections) consume this one exchange, so
     # an expensive payload expression (hashed shingle arrays, embeddings)
     # is computed ONCE — not once per side. Same measured-100× lesson as
-    # dedup.hashed_shingles: only exchange subtrees are reused; any
+    # dedup.minhash_signatures: only exchange subtrees are reused; any
     # projection above a consumer fork is recomputed per consumer.
     d = (
         df.join(counts.select(*block_cols, s.alias("_s")), block_cols)

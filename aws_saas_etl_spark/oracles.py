@@ -366,6 +366,163 @@ NGRAM_JACCARD_SQL = f"""
     ORDER BY doc_a, doc_b
 """
 
+
+def _minhash_ctes() -> str:
+    """Shared CTE prefix reproducing the Spark MinHash-LSH path EXACTLY:
+    md60 base hash (15 hex chars of md5 → bigint, identical to Spark's
+    conv(substr(md5,1,15),16,10)), the same 64 affine permutations (the
+    a/b constants are read from the SAME Python lists the Spark lambdas
+    bind), band buckets joined on the raw 4-tuple of mins (Spark buckets
+    on xxhash64 of the tuple — equality-equivalent modulo ~2⁻⁶⁴
+    collisions), and the identical hashed-shingle Jaccard verify."""
+    from aws_saas_etl_spark.operators.dedup import (
+        _M31,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_ROWS_PER_BAND,
+    )
+
+    h_exprs = ",\n               ".join(
+        f"list_aggregate(list_transform(sh, h -> "
+        f"({MINHASH_A[i]} * (h & {_M31}) + {MINHASH_B[i]}) % {_M31}), 'min')"
+        f" AS h{i}"
+        for i in range(MINHASH_HASHES)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, row("
+        + ", ".join(f"h{b * MINHASH_ROWS_PER_BAND + r}" for r in range(MINHASH_ROWS_PER_BAND))
+        + ") AS bk FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    t AS (SELECT doc_id, {toks('text')} AS tk FROM documents),
+    shl AS (
+        SELECT doc_id,
+               list_sort(list_transform({_SHINGLES},
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS sh
+        FROM t
+    ),
+    sig AS (
+        SELECT doc_id,
+               {h_exprs}
+        FROM shl WHERE len(sh) > 0
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    prs AS (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                     6) AS jaccard
+        FROM cand c JOIN shl a ON a.doc_id = c.doc_a
+                    JOIN shl b ON b.doc_id = c.doc_b
+    )"""
+
+
+def _minhash_lsh_pairs_sql() -> str:
+    from aws_saas_etl_spark.operators.dedup import JACCARD_MIN
+
+    return f"""
+    WITH {_minhash_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM prs WHERE jaccard >= {JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+"""
+
+
+def _minhash_clusters_sql() -> str:
+    """LSH-fed duplicate_clusters twin: the same band-bucketed pair CTEs,
+    then the recursive-CTE transitive closure and the canonical
+    cluster-row shape (sorted member string, min-id keeper)."""
+    from aws_saas_etl_spark.operators.dedup import JACCARD_MIN
+
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    pe AS (SELECT doc_a, doc_b FROM prs WHERE jaccard >= {JACCARD_MIN}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pe
+        UNION ALL
+        SELECT doc_b, doc_a FROM pe
+    ),
+    reach(node, x) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    comp AS (SELECT node, min(x) AS comp FROM reach GROUP BY node)
+    SELECT comp AS cluster_id,
+           count(*) AS n_members,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS member_doc_ids,
+           comp AS keeper_doc_id,
+           count(*) - 1 AS n_removed
+    FROM comp GROUP BY comp ORDER BY cluster_id
+"""
+
+
+MINHASH_LSH_PAIRS_SQL = _minhash_lsh_pairs_sql()
+DEDUP_DUPLICATE_CLUSTERS_SQL = _minhash_clusters_sql()
+
+
+def _simhash_buckets_sql() -> str:
+    """Full simhash twin (not just the banding layer): per-token md5
+    halves → 64 majority votes → fingerprint assembled in HUGEINT with a
+    two's-complement wrap for the sign bit → the same 16-bit band keys
+    Spark takes via shiftrightunsigned."""
+    from aws_saas_etl_spark.operators.dedup import SIMHASH_BITS
+
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    u = "\n               + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END"
+        for j in range(SIMHASH_BITS)
+    )
+    bands = ",\n           ".join(
+        f"CAST((u >> {16 * b}) % 65536 AS BIGINT) AS band_{b}" for b in range(4)
+    )
+    return f"""
+    WITH r AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest({toks('text')}) AS tok FROM documents)
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        FROM r
+    ),
+    v AS (
+        SELECT doc_id,
+               {votes}
+        FROM h GROUP BY doc_id
+    ),
+    s AS (
+        SELECT doc_id,
+               {u} AS u
+        FROM v
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT
+                     ELSE u END AS BIGINT) AS simhash,
+           {bands}
+    FROM s
+    ORDER BY doc_id
+"""
+
+
+SIMHASH_BUCKETS_SQL = _simhash_buckets_sql()
+
+
 # Vector math twins: same fold order as Spark's F.aggregate (sequential
 # left fold over the array) and the same double-precision arithmetic.
 _DOT_QC = (
@@ -403,6 +560,94 @@ KNN_BRUTEFORCE_SQL = f"""
     WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
 """
+
+
+def _ann_lsh_topk_sql() -> str:
+    """Exact twin of the random-hyperplane LSH ANN: the SAME seeded
+    hyperplanes (repr-round-tripped float64 literals from the one numpy
+    stream the Spark literals come from), the same sign-bit signature,
+    the same log-scaled bit width, multi-probe fan-out, and cosine
+    ranking. Bit width is derived from count(*) via the INTEGER
+    characterization ``min {{b in [4,24] : 1024·2^b >= n}}`` — provably
+    equal to Python's ``ceil(log2(n/1024))`` clamp (pinned in
+    tests/test_similarity.py) without trusting cross-engine libm log2
+    rounding. Dot products fold left in array order exactly like
+    F.aggregate — the equivalence knn_bruteforce's hash-green twin
+    already established."""
+    from aws_saas_etl_spark.operators.similarity import (
+        _hyperplanes,
+        LSH_BITS_MAX,
+        LSH_BITS_MIN,
+        LSH_TARGET_BUCKET_ROWS,
+    )
+
+    planes = _hyperplanes(LSH_BITS_MAX)
+    d_exprs = ",\n               ".join(
+        "list_aggregate(list_transform(generate_series(1, len(embedding)), "
+        f"j -> CAST(embedding[j] AS DOUBLE) * ([{', '.join(repr(float(x)) for x in planes[i])}])[j]), 'sum')"
+        f" AS d{i}"
+        for i in range(LSH_BITS_MAX)
+    )
+    bucket = "\n                 + ".join(
+        f"CASE WHEN {i} < bits AND d{i} > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(LSH_BITS_MAX)
+    )
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    bset AS (
+        SELECT coalesce(
+            (SELECT min(g.b) FROM generate_series({LSH_BITS_MIN}, {LSH_BITS_MAX}) g(b), nn
+             WHERE {LSH_TARGET_BUCKET_ROWS} * (1::BIGINT << g.b) >= nn.n),
+            {LSH_BITS_MAX}) AS bits
+    ),
+    e AS (
+        SELECT vec_id, embedding,
+               {d_exprs}
+        FROM embeddings
+    ),
+    bkt AS (
+        SELECT vec_id, embedding,
+               ({bucket}) AS bucket
+        FROM e CROSS JOIN bset
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket0
+        FROM bkt WHERE vec_id < {N_QUERY_VECS}
+    ),
+    probes AS (
+        SELECT query_id, q_bucket0 AS q_bucket FROM q
+        UNION ALL
+        SELECT query_id, xor(q_bucket0, 1::BIGINT << g.i)
+        FROM q, bset, generate_series(0, {LSH_BITS_MAX - 1}) g(i)
+        WHERE g.i < bset.bits
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+        FROM bkt c JOIN probes p ON c.bucket = p.q_bucket
+        WHERE c.vec_id <> p.query_id
+    ),
+    sims AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 6) AS cos_sim
+        FROM cand
+        JOIN (SELECT vec_id, embedding AS c_emb FROM bkt) c
+          ON c.vec_id = cand.neighbor_id
+        JOIN q ON q.query_id = cand.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+ANN_LSH_TOPK_SQL = _ann_lsh_topk_sql()
+
 
 def _neardup_sql() -> str:
     from aws_saas_etl_spark.operators.similarity import NEARDUP_COS_MIN
@@ -1863,6 +2108,54 @@ def _phash_buckets_sql() -> str:
 
 
 MULTIMODAL_PHASH_SQL = _phash_buckets_sql()
+
+
+def _full_features_sql() -> str:
+    """Byte-exact twin of the full Arrow feature kernel — including
+    zlib.crc32, reproduced as the standard table-driven CRC-32 (poly
+    0xEDB88320, reflected) via a ``list_reduce`` fold over the payload
+    bytes with the 256-entry table embedded as a literal (generated by
+    the same Python loop zlib's table comes from). All fold values are
+    < 2³² non-negative BIGINTs, so the arithmetic is integer-exact; the
+    entropy bucket is pure integer math over ``list_distinct``; the
+    NULL/empty sentinel row (0, 0, -1, 0) mirrors _payload_features."""
+    tbl = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (0xEDB88320 ^ (c >> 1)) if c & 1 else c >> 1
+        tbl.append(c)
+    tbl_sql = "[" + ",".join(map(str, tbl)) + "]::BIGINT[]"
+    return f"""
+    WITH tblc AS (SELECT {tbl_sql} AS tbl),
+    m AS (SELECT doc_id, text, encode(text) AS p FROM documents),
+    b AS (
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR octet_length(p) = 0 THEN NULL
+                    ELSE list_transform(generate_series(1, octet_length(p)),
+                         i -> ('0x' || substr(hex(p), 2*i-1, 2))::BIGINT)
+               END AS bytes,
+               octet_length(p) AS n
+        FROM m
+    )
+    SELECT doc_id,
+           CASE WHEN bytes IS NULL THEN 0 ELSE CAST(n AS BIGINT) END AS n_bytes,
+           CASE WHEN bytes IS NULL THEN 0
+                ELSE xor(list_reduce(list_prepend(4294967295::BIGINT, bytes),
+                         (acc, x) -> xor(tbl[(xor(acc, x) & 255) + 1], acc >> 8)),
+                         4294967295)
+           END AS crc32,
+           CAST(CASE WHEN bytes IS NULL THEN -1 ELSE bytes[1] END AS INT)
+               AS first_byte,
+           CAST(CASE WHEN bytes IS NULL THEN 0
+                     ELSE len(list_distinct(bytes)) * 8 // 256 END AS INT)
+               AS byte_entropy_bucket
+    FROM b, tblc
+    ORDER BY doc_id
+"""
+
+
+MULTIMODAL_FULL_FEATURES_SQL = _full_features_sql()
 
 
 def _cluster_aware_splits_sql() -> str:

@@ -6,10 +6,12 @@ string the DuckDB oracle runs on the same Parquet fixtures. Column names
 and rounding are aliased identically on both sides — the driver hashes
 values after sorting columns by name (``__spark_entry__.py`` contract).
 
-Genuinely non-SQL-expressible operators (hash-seeded LSH/SimHash,
-mergeable sketches, eigenvectors, iterative Lloyd refinement) register
-with ``oracle=None`` → the driver records a rows-only check; since r5
-every STREAMING query carries a deterministic-drain oracle.
+Genuinely non-SQL-expressible operators (mergeable sketches,
+eigenvectors, iterative Lloyd refinement) register with ``oracle=None``
+→ the driver records a rows-only check; since r5 every STREAMING query
+carries a deterministic-drain oracle, and since r6 the whole LSH family
+(MinHash pairs/clusters, SimHash, hyperplane ANN) and the Arrow feature
+kernel are hash-checked via engine-neutral md5-derived hashing.
 """
 
 from __future__ import annotations
@@ -298,13 +300,20 @@ register("dedup_exact", dedup.exact_dedup_groups, oracles.DEDUP_EXACT_SQL)
 register("dedup_normalized", dedup.normalized_dedup_groups, oracles.DEDUP_NORMALIZED_SQL)
 register("dedup_token_bag", dedup.token_bag_dedup, oracles.DEDUP_TOKEN_BAG_SQL)
 register("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs, oracles.NGRAM_JACCARD_SQL)
-register("minhash_lsh_pairs", dedup.minhash_lsh_pairs, None)  # LSH: rows-only
-register("simhash_buckets", dedup.simhash_buckets, None)  # engine-specific hash
+# hash-checked since r6: md60 base hash + 31-bit affine permutations give
+# the LSH path an exact DuckDB twin (band buckets joined on raw min-tuples)
+register("minhash_lsh_pairs", dedup.minhash_lsh_pairs, oracles.MINHASH_LSH_PAIRS_SQL)
+register("simhash_buckets", dedup.simhash_buckets, oracles.SIMHASH_BUCKETS_SQL)
 # the banding layer of simhash_buckets, hash-checked via an md5-derived
 # fingerprint both engines compute identically
 register("simhash_band_check", dedup.simhash_band_check, oracles.SIMHASH_BAND_SQL)
-# pairs → connected components → keeper per cluster; iterative (rows-only)
-register("dedup_duplicate_clusters", dedup.duplicate_clusters, None)
+# LSH pairs → connected components → keeper per cluster; hash-checked since
+# r6 against the recursive-CTE closure over the same band-bucketed pairs
+register(
+    "dedup_duplicate_clusters",
+    dedup.duplicate_clusters,
+    oracles.DEDUP_DUPLICATE_CLUSTERS_SQL,
+)
 
 # --------------------------------------------------------------------------
 # Similarity search (SURVEY §2b, M4)
@@ -317,7 +326,9 @@ register(
     oracles.EMBEDDING_NEARDUP_SQL,
 )
 register("label_centroid_norms", similarity.label_centroid_norms, oracles.LABEL_CENTROID_SQL)
-register("ann_lsh_topk", similarity.ann_lsh_topk, None)  # approximate: rows-only
+# hash-checked since r6: the seeded hyperplanes, sign-bit buckets,
+# multi-probe fan-out and cosine ranking all have an exact DuckDB twin
+register("ann_lsh_topk", similarity.ann_lsh_topk, oracles.ANN_LSH_TOPK_SQL)
 register("ann_ivf_topk", similarity.ann_ivf_topk, None)  # iterative k-means: rows-only
 
 # --------------------------------------------------------------------------
@@ -342,7 +353,12 @@ register(
     multimodal.multimodal_feature_stats,
     oracles.MULTIMODAL_FEATURES_SQL,
 )
-register("multimodal_full_features", multimodal.multimodal_full_features, None)
+# hash-checked since r6: crc32 reproduced as a table-driven list_reduce fold
+register(
+    "multimodal_full_features",
+    multimodal.multimodal_full_features,
+    oracles.MULTIMODAL_FULL_FEATURES_SQL,
+)
 
 
 # --------------------------------------------------------------------------

@@ -28,6 +28,31 @@ def test_lsh_bits_scale_with_corpus():
             assert n / 2**bits <= 1024  # never coarser than target
 
 
+def test_lsh_bits_matches_oracle_integer_characterization():
+    """The ann_lsh_topk DuckDB twin derives the bit width as
+    ``min {b in [4,24] : 1024·2^b >= n}`` (coalesced to 24) to avoid
+    trusting cross-engine libm log2 rounding; pin that this integer form
+    equals Python's float ceil(log2(n/1024)) clamp for every corpus size
+    up to far beyond driver scales — including the exact power-of-two
+    boundaries where a rounding slip would bite."""
+    from aws_saas_etl_spark.operators.similarity import (
+        LSH_TARGET_BUCKET_ROWS as T,
+    )
+
+    def sql_bits(n: int) -> int:
+        for b in range(LSH_BITS_MIN, LSH_BITS_MAX + 1):
+            if T * (1 << b) >= n:
+                return b
+        return LSH_BITS_MAX
+
+    sizes = set(range(1, 5000))
+    for b in range(LSH_BITS_MAX + 2):
+        base = T * (1 << b)
+        sizes.update((base - 1, base, base + 1))
+    for n in sorted(sizes):
+        assert lsh_bits_for(n) == sql_bits(n), n
+
+
 def test_bucket_sizes_shrink_as_bits_grow(spark):
     emb = load_tables(spark, SF_SMOKE).embeddings
     def max_bucket(bits: int) -> int:
