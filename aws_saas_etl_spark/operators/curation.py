@@ -638,3 +638,126 @@ def cluster_deletion_repair(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# Multinomial Naive Bayes over hashed unigram buckets — the model-based
+# classification stage (fastText-style lang/quality classifiers) most LLM
+# data pipelines run after the rule-based filters.
+NB_BUCKETS = 4096
+
+
+def nb_lang_scores(spark, sf_dir: str) -> DataFrame:
+    """Train-and-score a multinomial Naive Bayes language classifier on
+    the corpus itself (in-sample by design — the pipeline artifact is the
+    per-document class decision + confidence margin a filter thresholds
+    on, and the in-sample fit freezes the full train→score plumbing):
+    hashed unigram buckets (md5 → NB_BUCKETS, the shared engine-neutral
+    ``hash_bucket``), add-one-smoothed per-class token-bucket likelihoods,
+    document-count priors, per-doc argmax with a deterministic
+    lexicographic tie-break, and the margin to the runner-up class.
+
+    Scale shape: the exploded (doc, bucket) table is built ONCE
+    (localCheckpoint — feeds class counts, joint counts, and scoring);
+    every model aggregate is map-side combined to ≤ NB_BUCKETS·n_classes
+    rows; the weight and prior tables broadcast (≤ 4096·|langs| rows at
+    ANY corpus size — model size is corpus-independent, the property
+    that makes NB trainable in one pass at 100 TB); scoring is one
+    narrow broadcast join + one groupBy(doc_id, class). Nothing doc×doc,
+    nothing driver-side.
+
+    Determinism (the DSIR recipe): every ln is a single libm call on a
+    double formed by ONE division of exact int64 quantities, rescaled to
+    6dp DECIMAL before the per-doc sum, which therefore accumulates
+    order-independently; the argmax compares exact decimals with a class
+    tie-break, and the margin is an exact decimal difference.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    return nb_scores(docs)
+
+
+def nb_scores(docs: DataFrame) -> DataFrame:
+    """The classifier core over any (doc_id, lang, text) frame — split
+    out so tests can train on a CONSTRUCTED corpus with genuinely
+    class-distinct vocabulary (the synthetic fixture draws every lang
+    from one shared token pool, so in-sample accuracy there is the
+    majority-class floor by design; the oracle twin, not fixture
+    accuracy, is what proves the arithmetic)."""
+    from aws_saas_etl_spark.operators.sampling import hash_bucket
+
+    docs = docs.where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    base = (
+        docs.select("doc_id", "lang", F.explode(T.tokens("text")).alias("feat"))
+        .select("doc_id", "lang", hash_bucket("feat", NB_BUCKETS).alias("bucket"))
+        .localCheckpoint()
+    )
+    cls_tok = base.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    joint = base.groupBy("bucket", F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    weights = (
+        base.select("bucket")
+        .distinct()
+        .crossJoin(F.broadcast(cls_tok))
+        .join(joint, ["bucket", "cls"], "left")
+        .select(
+            "bucket",
+            "cls",
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_c") + F.lit(NB_BUCKETS)).cast("double")
+            )
+            .cast(N.DECIMAL_TYPE)
+            .alias("w"),
+        )
+    )
+    total_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    priors = (
+        docs.groupBy(F.col("lang").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .crossJoin(F.broadcast(total_docs))
+        .select(
+            "cls",
+            F.log(F.col("dc").cast("double") / F.col("n_docs").cast("double"))
+            .cast(N.DECIMAL_TYPE)
+            .alias("pw"),
+        )
+    )
+    per_class = (
+        base.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang", "cls")
+        .agg(F.sum("w").alias("sw"))
+        .join(F.broadcast(priors), "cls")
+        .select(
+            "doc_id",
+            "lang",
+            "cls",
+            (F.col("sw") + F.col("pw")).cast("decimal(38,6)").alias("total"),
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(F.desc("total"), F.asc("cls"))
+    return (
+        per_class.select(
+            "doc_id",
+            "lang",
+            "cls",
+            F.row_number().over(rank_w).alias("rn"),
+            (F.col("total") - F.lead("total").over(rank_w))
+            .cast("double")
+            .alias("margin"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cls").alias("pred_lang"),
+            (F.col("cls") == F.col("lang")).alias("is_correct"),
+            "margin",
+        )
+        .orderBy("doc_id")
+    )

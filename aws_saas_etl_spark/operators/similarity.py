@@ -605,3 +605,57 @@ def label_principal_axis(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def embedding_triplet_mining(spark, sf_dir: str) -> DataFrame:
+    """Hard triplet mining for contrastive embedding training: for each
+    anchor (the deterministic demo query set, vec_id < N_QUERY_VECS) find
+    the hardest POSITIVE (same label, lowest cosine — the pair a triplet
+    loss must pull together) and the hardest NEGATIVE (different label,
+    highest cosine — the pair it must push apart), plus the triplet
+    margin pos_sim − neg_sim (negative margin = currently violated).
+
+    Scale shape: the tiny anchor side broadcasts; the corpus is scanned
+    ONCE and reduced in a single conditional aggregate — hardest positive
+    = min(struct(cos_sim, id)) over same-label rows, hardest negative =
+    max(struct(cos_sim, id)) over different-label rows (struct ordering
+    gives the deterministic lexicographic tie-break), so the whole mine
+    is one broadcast join + one groupBy(anchor) regardless of corpus
+    size. At a real 10⁹-vector corpus the anchors stay a bounded batch
+    and the pass is the same map-side-combined scan.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    anchors = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    others = emb.select(
+        F.col("vec_id").alias("o_id"),
+        F.col("label").alias("o_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    pairs = (
+        others.join(F.broadcast(anchors), F.col("o_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "label",
+            "o_id",
+            "o_label",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    same = F.col("o_label") == F.col("label")
+    agg = pairs.groupBy("anchor_id", "label").agg(
+        F.min(F.when(same, F.struct("cos_sim", "o_id"))).alias("p"),
+        F.max(F.when(~same, F.struct("cos_sim", "o_id"))).alias("n"),
+    )
+    return agg.select(
+        "anchor_id",
+        "label",
+        F.col("p.o_id").alias("hard_pos_id"),
+        F.col("p.cos_sim").alias("pos_sim"),
+        F.col("n.o_id").alias("hard_neg_id"),
+        F.col("n.cos_sim").alias("neg_sim"),
+        F.round(F.col("p.cos_sim") - F.col("n.cos_sim"), 6).alias("margin"),
+    ).orderBy("anchor_id")

@@ -649,6 +649,50 @@ def _ann_lsh_topk_sql() -> str:
 ANN_LSH_TOPK_SQL = _ann_lsh_topk_sql()
 
 
+def _triplet_mining_sql() -> str:
+    """Twin of the hard-triplet mine: the same rounded cosine (identical
+    fold order), hardest positive via (cos ASC, id ASC) rank-1 and
+    hardest negative via (cos DESC, id DESC) rank-1 — exactly the
+    lexicographic struct-min/struct-max tie-breaks of the Spark
+    conditional aggregate — FULL-joined so a single-sided anchor keeps
+    NULLs on the missing side."""
+    return f"""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, label, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {N_QUERY_VECS}
+    ),
+    o AS (SELECT vec_id AS o_id, label AS o_label, embedding AS c_emb
+          FROM embeddings),
+    pairs AS (
+        SELECT anchor_id, label, o_id, o_label,
+               round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 6) AS cos_sim
+        FROM o JOIN a ON o.o_id <> a.anchor_id
+    ),
+    pos AS (
+        SELECT anchor_id, label, o_id AS hard_pos_id, cos_sim AS pos_sim,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos_sim ASC, o_id ASC) AS rn
+        FROM pairs WHERE o_label = label
+    ),
+    neg AS (
+        SELECT anchor_id, label, o_id AS hard_neg_id, cos_sim AS neg_sim,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cos_sim DESC, o_id DESC) AS rn
+        FROM pairs WHERE o_label <> label
+    )
+    SELECT coalesce(p.anchor_id, n.anchor_id) AS anchor_id,
+           coalesce(p.label, n.label) AS label,
+           hard_pos_id, pos_sim, hard_neg_id, neg_sim,
+           round(pos_sim - neg_sim, 6) AS margin
+    FROM (SELECT * FROM pos WHERE rn = 1) p
+    FULL JOIN (SELECT * FROM neg WHERE rn = 1) n USING (anchor_id)
+    ORDER BY anchor_id
+"""
+
+
+EMBEDDING_TRIPLET_MINING_SQL = _triplet_mining_sql()
+
+
 def _neardup_sql() -> str:
     from aws_saas_etl_spark.operators.similarity import NEARDUP_COS_MIN
 
@@ -2298,6 +2342,72 @@ def _dsir_sql() -> str:
 
 
 DSIR_IMPORTANCE_WEIGHTS_SQL = _dsir_sql()
+
+
+def _nb_lang_scores_sql() -> str:
+    """Twin of the multinomial NB classifier: identical md5 buckets,
+    exact int64 smoothed likelihood/prior ratios through one libm ln
+    each, 6dp-decimal rescale before the order-independent per-doc
+    per-class decimal sums, the same argmax tie-break and exact decimal
+    runner-up margin."""
+    from aws_saas_etl_spark.operators.curation import NB_BUCKETS
+
+    b = _hash_bucket_sql("feat", NB_BUCKETS)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lang, {toks('text')} AS tk FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+    ),
+    base AS (
+        SELECT doc_id, lang, {b} AS bucket
+        FROM (SELECT doc_id, lang, unnest(tk) AS feat FROM d)
+    ),
+    cls_tok AS (SELECT lang AS cls, count(*) AS n_c FROM base GROUP BY lang),
+    joint AS (
+        SELECT bucket, lang AS cls, count(*) AS ct
+        FROM base GROUP BY bucket, lang
+    ),
+    w AS (
+        SELECT bk.bucket, c.cls,
+               CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS DECIMAL(22,6)) AS w
+        FROM (SELECT DISTINCT bucket FROM base) bk
+        CROSS JOIN cls_tok c
+        LEFT JOIN joint j ON j.bucket = bk.bucket AND j.cls = c.cls
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM d),
+    pr AS (
+        SELECT lang AS cls,
+               CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS DECIMAL(22,6)) AS pw
+        FROM d, nd GROUP BY lang, n_docs
+    ),
+    pcs AS (
+        SELECT doc_id, lang, w.cls, sum(w.w) AS sw
+        FROM base JOIN w USING (bucket)
+        GROUP BY doc_id, lang, w.cls
+    ),
+    tot AS (
+        SELECT doc_id, lang, pcs.cls,
+               CAST(sw + pw AS DECIMAL(38,6)) AS total
+        FROM pcs JOIN pr ON pr.cls = pcs.cls
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY total DESC, cls ASC) AS rn,
+               CAST(total - lead(total) OVER (
+                   PARTITION BY doc_id ORDER BY total DESC, cls ASC)
+                    AS DOUBLE) AS margin
+        FROM tot
+    )
+    SELECT doc_id, lang, cls AS pred_lang, (cls = lang) AS is_correct, margin
+    FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+NB_LANG_SCORES_SQL = _nb_lang_scores_sql()
 
 
 def _training_manifest_sql() -> str:

@@ -329,6 +329,12 @@ register("label_centroid_norms", similarity.label_centroid_norms, oracles.LABEL_
 # hash-checked since r6: the seeded hyperplanes, sign-bit buckets,
 # multi-probe fan-out and cosine ranking all have an exact DuckDB twin
 register("ann_lsh_topk", similarity.ann_lsh_topk, oracles.ANN_LSH_TOPK_SQL)
+# contrastive-training data prep: hardest positive/negative per anchor
+register(
+    "embedding_triplet_mining",
+    similarity.embedding_triplet_mining,
+    oracles.EMBEDDING_TRIPLET_MINING_SQL,
+)
 register("ann_ivf_topk", similarity.ann_ivf_topk, None)  # iterative k-means: rows-only
 
 # --------------------------------------------------------------------------
@@ -888,6 +894,12 @@ register(
     "cluster_deletion_repair",
     curation.cluster_deletion_repair,
     oracles.CLUSTER_DELETION_REPAIR_SQL,
+)
+# model-based curation: one-pass multinomial NB lang classifier + margin
+register(
+    "nb_lang_scores",
+    curation.nb_lang_scores,
+    oracles.NB_LANG_SCORES_SQL,
 )
 
 

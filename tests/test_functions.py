@@ -485,3 +485,37 @@ def test_cluster_deletion_repair_invariants(spark):
         else:
             assert r.new_keeper in ns - deleted
             assert r.keeper_changed == (r.old_keeper in deleted)
+
+
+def test_nb_scores_learns_separable_vocab(spark):
+    """On a constructed corpus whose classes use disjoint vocabulary the
+    NB fit must reach perfect in-sample accuracy with positive margins —
+    a broken likelihood/prior/argmax collapses to the majority class.
+    (The synthetic fixture cannot test learning: every lang draws from
+    one shared token pool, so its in-sample accuracy is the majority
+    floor; fixture-level correctness is carried by the oracle twin.)"""
+    from aws_saas_etl_spark.operators.curation import nb_lang_scores, nb_scores
+    from tests.conftest import SF_SMOKE
+
+    words = {
+        "en": ["dog", "cat", "house", "tree"],
+        "de": ["hund", "katze", "haus", "baum"],
+        "fr": ["chien", "chat", "maison", "arbre"],
+    }
+    rows_in = [
+        (i * 10 + j, lang, " ".join(ws[j % 4] for _ in range(6)) + " " + ws[(j + 1) % 4])
+        for i, (lang, ws) in enumerate(sorted(words.items()))
+        for j in range(8)
+    ]
+    docs = spark.createDataFrame(rows_in, "doc_id long, lang string, text string")
+    out = nb_scores(docs).collect()
+    assert len(out) == len(rows_in)
+    assert all(r.is_correct for r in out)
+    assert all(r.margin > 0 for r in out)
+
+    # fixture run: structural invariants only (shared token pool)
+    fx = nb_lang_scores(spark, SF_SMOKE).collect()
+    assert fx
+    assert all(r.margin >= 0 for r in fx)
+    langs = {r.lang for r in fx}
+    assert all(r.pred_lang in langs for r in fx)

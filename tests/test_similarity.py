@@ -230,3 +230,44 @@ def test_label_principal_axis_orthogonal_start_fallback():
     # sign normalization: first nonzero component positive
     nz = axis[np.abs(axis) > 1e-12]
     assert nz[0] > 0
+
+
+def test_triplet_mining_invariants(spark):
+    """Pins the mine's contract on the smoke corpus: the hard positive is
+    the same-label minimum-cosine other (hand-recomputed from the knn
+    pair space), the hard negative the different-label maximum, margins
+    are their difference, and each anchor appears exactly once."""
+    from aws_saas_etl_spark.catalog import load_tables
+    from aws_saas_etl_spark.operators.similarity import (
+        N_QUERY_VECS,
+        cosine,
+        embedding_triplet_mining,
+    )
+    from pyspark.sql import functions as F
+
+    rows = embedding_triplet_mining(spark, SF_SMOKE).collect()
+    assert len(rows) == N_QUERY_VECS
+    assert len({r.anchor_id for r in rows}) == N_QUERY_VECS
+
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    a = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("aid"), F.col("label").alias("al"),
+        F.col("embedding").alias("qe"))
+    o = emb.select(F.col("vec_id").alias("oid"), F.col("label").alias("ol"),
+                   F.col("embedding").alias("ce"))
+    pairs = (o.crossJoin(a).where(F.col("oid") != F.col("aid"))
+             .select("aid", "al", "oid", "ol",
+                     F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("s"))
+             .collect())
+    by_anchor = {}
+    for p in pairs:
+        by_anchor.setdefault(p.aid, []).append(p)
+    for r in rows:
+        ps = by_anchor[r.anchor_id]
+        pos = sorted((p for p in ps if p.ol == r.label),
+                     key=lambda p: (p.s, p.oid))
+        neg = sorted((p for p in ps if p.ol != r.label),
+                     key=lambda p: (-p.s, -p.oid))
+        assert (r.hard_pos_id, r.pos_sim) == (pos[0].oid, pos[0].s)
+        assert (r.hard_neg_id, r.neg_sim) == (neg[0].oid, neg[0].s)
+        assert r.margin == round(r.pos_sim - r.neg_sim, 6)
