@@ -537,25 +537,31 @@ def training_manifest(spark, sf_dir: str) -> DataFrame:
     construction) — and nothing corpus×corpus.
     """
     from aws_saas_etl_spark.operators.dedup import content_clusters
-    from aws_saas_etl_spark.operators.sampling import split_label
     from aws_saas_etl_spark.operators.textops import doc_filter_pipeline
 
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
     keep = doc_filter_pipeline(spark, sf_dir).where(F.col("verdict") == "keep")
     comp = content_clusters(spark, sf_dir)
-    members = (
-        keep.select("doc_id")
-        .join(
-            docs.select(
-                "doc_id", "n_chars", T.token_count("text").alias("n_tokens")
-            ),
-            "doc_id",
-        )
-        .join(comp.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left")
-        .withColumn("ckey", F.coalesce(F.col("comp"), F.col("doc_id")))
+    return (
+        _manifest_frame(docs, keep, comp)
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .orderBy("split", "shard", "pos")
     )
-    w = Window.partitionBy("ckey").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    kept = members.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+
+
+def _doc_feats(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "n_chars", T.token_count("text").alias("n_tokens")
+    )
+
+
+def _keeper_rank() -> Window:
+    return Window.partitionBy("ckey").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+
+
+def _shard_cols(df: DataFrame) -> DataFrame:
+    from aws_saas_etl_spark.operators.sampling import split_label
+
     shuffle_key = F.md5(
         F.concat_ws(":", F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string"))
     )
@@ -563,15 +569,31 @@ def training_manifest(spark, sf_dir: str) -> DataFrame:
         F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("bigint")
         % SHUFFLE_SHARDS
     ).cast("int")
-    w2 = Window.partitionBy("split", "shard").orderBy("shuffle_key", "doc_id")
     return (
-        kept.withColumn("split", split_label(F.col("ckey")))
+        df.withColumn("split", split_label(F.col("ckey")))
         .withColumn("shuffle_key", shuffle_key)
         .withColumn("shard", shard)
-        .withColumn("pos", F.row_number().over(w2))
-        .select("doc_id", "split", "shard", "pos", "n_tokens")
-        .orderBy("split", "shard", "pos")
     )
+
+
+def _pos_window() -> Window:
+    return Window.partitionBy("split", "shard").orderBy("shuffle_key", "doc_id")
+
+
+def _manifest_frame(docs: DataFrame, keep: DataFrame, comp: DataFrame) -> DataFrame:
+    """The manifest pipeline core over explicit inputs, retaining the
+    internal columns (ckey, shuffle_key) so the incremental variant can
+    reuse stored rows and re-rank only touched shards."""
+    members = (
+        keep.select("doc_id")
+        .join(_doc_feats(docs), "doc_id")
+        .join(comp.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left")
+        .withColumn("ckey", F.coalesce(F.col("comp"), F.col("doc_id")))
+    )
+    kept = members.withColumn("rn", F.row_number().over(_keeper_rank())).where(
+        F.col("rn") == 1
+    )
+    return _shard_cols(kept).withColumn("pos", F.row_number().over(_pos_window()))
 
 
 # Right-to-be-forgotten deletion set: every 7th doc_id — a deterministic
@@ -728,10 +750,17 @@ def nb_scores(docs: DataFrame) -> DataFrame:
             .alias("pw"),
         )
     )
+    # pre-aggregate token multiplicity per (doc, bucket) BEFORE the
+    # x n_classes weight join: the expanded stream shrinks from
+    # tokens x classes to distinct-doc-buckets x classes, and
+    # sum(w * n) over exact decimals equals the token-level sum exactly
+    counts = base.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     per_class = (
-        base.join(F.broadcast(weights), "bucket")
+        counts.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id", "lang", "cls")
-        .agg(F.sum("w").alias("sw"))
+        .agg(F.sum(F.col("w") * F.col("n")).cast("decimal(38,6)").alias("sw"))
         .join(F.broadcast(priors), "cls")
         .select(
             "doc_id",
@@ -760,4 +789,272 @@ def nb_scores(docs: DataFrame) -> DataFrame:
             "margin",
         )
         .orderBy("doc_id")
+    )
+
+
+def training_manifest_incremental(spark, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the training manifest — the nightly
+    production shape at the ARTIFACT level: the stored manifest (built
+    over the 90% historical corpus with the stored cluster assignment)
+    absorbs the arriving top-decile batch without recomputing historical
+    pair-space or re-ranking untouched shards, and the merged manifest is
+    proven IDENTICAL to a full recompute (the oracle is the very same
+    TRAINING_MANIFEST_SQL the batch query hash-checks against).
+
+    What is delta-sized here, and why each reuse is exact:
+    - cluster state: stored (node, comp) + delta-only prefix-filtered
+      pairs through the star-edge CC merge (``_merge_delta_into_labels``
+      — exactness argued there);
+    - filter verdicts: stored base verdicts are reused VERBATIM — the
+      exact-dup keeper is min(doc_id) per sha group, so append-only
+      (higher-id) arrivals can never flip a historical verdict; delta
+      verdicts resolve their keeper against a stored sha→min-id index
+      joined with the delta-internal minimum;
+    - keeper re-election: only clusters whose merged component contains
+      an arrival re-rank; every other cluster's stored manifest row
+      (same membership, same min-id label ⇒ same ckey, split, shard)
+      is reused untouched;
+    - positions: only (split, shard) groups that gained or lost a row
+      re-rank; a shard whose membership is unchanged has an identical
+      ordered (shuffle_key, doc_id) list, hence identical positions —
+      those rows keep their stored pos, which is exactly why a 100 TB
+      run rewrites only the touched shard files.
+    """
+    from aws_saas_etl_spark.operators.dedup import (
+        _base_assignment,
+        _merge_delta_into_labels,
+        _shingle_table,
+        _tag_arrivals,
+        DELTA_DOC_FRACTION,
+    )
+    from aws_saas_etl_spark.operators.textops import (
+        filter_verdicts,
+        gate_signals,
+        gate_verdict,
+    )
+
+    sh = _shingle_table(spark, sf_dir)
+    tagged = _tag_arrivals(sh)
+    cutoff = sh.agg(
+        F.percentile("doc_id", 1.0 - DELTA_DOC_FRACTION).alias("cut")
+    )
+    docs = (
+        ensure_parallelism(load_tables(spark, sf_dir).documents)
+        .na.drop("any")
+        .crossJoin(F.broadcast(cutoff))
+    )
+    docs_base = docs.where(F.col("doc_id") <= F.col("cut")).drop("cut")
+    docs_delta = docs.where(F.col("doc_id") > F.col("cut")).drop("cut")
+
+    # --- stored state (in production: read back from the manifest sink)
+    base_labels = _base_assignment(spark, sf_dir)
+    keep_base = filter_verdicts(docs_base).where(F.col("verdict") == "keep")
+    stored = _manifest_frame(docs_base, keep_base, base_labels).localCheckpoint()
+    sha_idx = (
+        gate_signals(docs_base)
+        .groupBy("sha")
+        .agg(F.min("doc_id").alias("base_min"))
+    )
+
+    # --- delta verdicts: keeper = min(stored index, delta-internal min)
+    wd = Window.partitionBy("sha")
+    delta_scored = (
+        gate_signals(docs_delta)
+        .withColumn("dmin", F.min("doc_id").over(wd))
+        .join(F.broadcast(sha_idx), "sha", "left")
+        .withColumn("keeper", F.least(F.coalesce("base_min", "dmin"), F.col("dmin")))
+    )
+    keep_delta = delta_scored.select(
+        "doc_id", gate_verdict(F.col("keeper")).alias("verdict")
+    ).where(F.col("verdict") == "keep")
+
+    # --- exact cluster merge, then the affected scope
+    merged = _merge_delta_into_labels(base_labels, tagged, sh).localCheckpoint()
+    delta_ids = docs_delta.select("doc_id")
+    aff_comps = (
+        merged.join(delta_ids, merged["node"] == delta_ids["doc_id"], "semi")
+        .select("comp")
+        .distinct()
+    )
+    aff_nodes = merged.join(F.broadcast(aff_comps), "comp", "semi").select("node")
+
+    untouched_stored = stored.join(
+        aff_nodes, stored["doc_id"] == aff_nodes["node"], "anti"
+    )
+    removed = stored.join(aff_nodes, stored["doc_id"] == aff_nodes["node"], "semi")
+
+    # --- re-elect keepers inside affected clusters (+ delta singletons)
+    survivors = keep_base.select("doc_id").unionByName(keep_delta.select("doc_id"))
+    pool = (
+        survivors.join(_doc_feats(docs.drop("cut")), "doc_id")
+        .join(merged.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left")
+        .join(delta_ids.withColumn("is_delta", F.lit(True)), "doc_id", "left")
+        .withColumn("ckey", F.coalesce(F.col("comp"), F.col("doc_id")))
+        .join(F.broadcast(aff_comps.withColumnRenamed("comp", "ckey")
+                          .withColumn("aff", F.lit(True))), "ckey", "left")
+        .where(
+            F.col("aff").isNotNull()
+            | (F.col("is_delta").isNotNull() & F.col("comp").isNull())
+        )
+    )
+    re_elected = (
+        pool.withColumn("rn", F.row_number().over(_keeper_rank()))
+        .where(F.col("rn") == 1)
+    )
+    new_rows = _shard_cols(re_elected).select(
+        "doc_id", "ckey", "n_tokens", "split", "shuffle_key", "shard"
+    )
+
+    # --- re-rank only touched shards; reuse stored pos elsewhere
+    touched = (
+        new_rows.select("split", "shard")
+        .unionByName(removed.select("split", "shard"))
+        .distinct()
+    )
+    combined = untouched_stored.select(
+        "doc_id", "ckey", "n_tokens", "split", "shuffle_key", "shard", "pos"
+    ).unionByName(new_rows.withColumn("pos", F.lit(None).cast("int")))
+    re_ranked = (
+        combined.join(F.broadcast(touched), ["split", "shard"], "semi")
+        .withColumn("pos", F.row_number().over(_pos_window()))
+    )
+    kept_pos = combined.join(F.broadcast(touched), ["split", "shard"], "anti")
+    return (
+        re_ranked.unionByName(kept_pos)
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .orderBy("split", "shard", "pos")
+    )
+
+
+def training_manifest_deletion_repair(spark, sf_dir: str) -> DataFrame:
+    """GDPR / license-revocation propagated all the way into the
+    manifest: remove the deletion list (doc_id % DELETION_MOD == 0) and
+    emit the manifest a compliant pipeline must now serve — proven
+    IDENTICAL to a full recompute over the surviving corpus (the oracle
+    is the manifest twin with the deletion filter pushed into its
+    document source).
+
+    Deletions are harder than arrivals, and each hazard is handled
+    delta-sized against stored state:
+    - exact-dup keepers CAN flip (deleting a sha-group's min-id keeper
+      promotes a surviving copy), so verdicts re-evaluate only inside
+      sha groups that lost a member — against the stored signals table,
+      with the keeper window over survivors;
+    - cluster connectivity CAN break (the stored star-edge encoding
+      loses the hub when the min-id member is deleted), so pairs are
+      re-derived only AMONG SURVIVING MEMBERS OF AFFECTED CLUSTERS
+      (pairs never cross components, so the restriction is complete)
+      and re-closed into sub-clusters with fresh min-id labels;
+    - the affected scope is the union of clusters containing a deleted
+      doc and clusters/singletons containing a verdict-flip candidate —
+      every other stored manifest row is reused verbatim (membership,
+      label, split, shard all provably unchanged);
+    - positions re-rank only in shards that gained or lost a row —
+      untouched shard files never rewrite, the same property the
+      arrival path (``training_manifest_incremental``) exploits.
+    """
+    from aws_saas_etl_spark.operators.dedup import (
+        _prefix_candidates,
+        _shingle_table,
+        _verify_pairs,
+        connected_components,
+        content_clusters,
+    )
+    from aws_saas_etl_spark.operators.textops import (
+        doc_filter_pipeline,
+        gate_signals,
+        gate_verdict,
+    )
+
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    is_deleted = F.col("doc_id") % DELETION_MOD == 0
+
+    # --- stored state (in production: the persisted manifest, cluster
+    # assignment, and per-doc gate-signal table)
+    keep_full = doc_filter_pipeline(spark, sf_dir).where(F.col("verdict") == "keep")
+    comp_full = content_clusters(spark, sf_dir)
+    stored = _manifest_frame(docs, keep_full, comp_full).localCheckpoint()
+    signals = gate_signals(docs).localCheckpoint()
+
+    # --- affected scope
+    del_ids = docs.where(is_deleted).select("doc_id")
+    del_shas = signals.where(is_deleted).select("sha").distinct()
+    flip_cands = (
+        signals.where(~is_deleted).join(del_shas, "sha", "semi").select("doc_id")
+    )
+    node_comp = comp_full.select(F.col("node").alias("doc_id"), "comp")
+    aff_comps = (
+        node_comp.join(del_ids, "doc_id", "semi")
+        .select("comp")
+        .unionByName(node_comp.join(flip_cands, "doc_id", "semi").select("comp"))
+        .distinct()
+    )
+    aff_members = node_comp.join(F.broadcast(aff_comps), "comp", "semi")
+    scope_ids = (
+        aff_members.select("doc_id")
+        .unionByName(flip_cands)
+        .unionByName(del_ids)
+        .distinct()
+        .localCheckpoint()
+    )
+
+    # --- connectivity repair: pairs among surviving affected members only
+    surv_members = aff_members.select("doc_id").where(~is_deleted)
+    sub_sh = _shingle_table(spark, sf_dir).join(surv_members, "doc_id", "semi")
+    sub_pairs = _verify_pairs(_prefix_candidates(sub_sh, 0.4), sub_sh, 0.4)
+    sub_labels = connected_components(sub_pairs, src="doc_a", dst="doc_b")
+
+    # --- verdict repair inside sha groups that lost a member
+    wd = Window.partitionBy("sha")
+    re_verdicts = (
+        signals.where(~is_deleted)
+        .join(del_shas, "sha", "semi")
+        .withColumn("keeper", F.min("doc_id").over(wd))
+    )
+    keep_flipped = re_verdicts.select(
+        "doc_id", gate_verdict(F.col("keeper")).alias("verdict")
+    ).where(F.col("verdict") == "keep")
+
+    # --- keep-best pool for the scope: reused verdicts outside affected
+    # sha groups, repaired verdicts inside them
+    k1 = (
+        keep_full.select("doc_id")
+        .where(~is_deleted)
+        .join(scope_ids, "doc_id", "semi")
+        .join(flip_cands, "doc_id", "anti")
+    )
+    pool_ids = k1.unionByName(keep_flipped.select("doc_id")).distinct()
+    pool = (
+        pool_ids.join(_doc_feats(docs), "doc_id")
+        .join(sub_labels.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left")
+        .withColumn("ckey", F.coalesce(F.col("comp"), F.col("doc_id")))
+    )
+    re_elected = (
+        pool.withColumn("rn", F.row_number().over(_keeper_rank()))
+        .where(F.col("rn") == 1)
+    )
+    new_rows = _shard_cols(re_elected).select(
+        "doc_id", "ckey", "n_tokens", "split", "shuffle_key", "shard"
+    )
+
+    # --- merge with stored rows; re-rank only touched shards
+    untouched_stored = stored.join(scope_ids, "doc_id", "anti")
+    removed = stored.join(scope_ids, "doc_id", "semi")
+    touched = (
+        new_rows.select("split", "shard")
+        .unionByName(removed.select("split", "shard"))
+        .distinct()
+    )
+    combined = untouched_stored.select(
+        "doc_id", "ckey", "n_tokens", "split", "shuffle_key", "shard", "pos"
+    ).unionByName(new_rows.withColumn("pos", F.lit(None).cast("int")))
+    re_ranked = (
+        combined.join(F.broadcast(touched), ["split", "shard"], "semi")
+        .withColumn("pos", F.row_number().over(_pos_window()))
+    )
+    kept_pos = combined.join(F.broadcast(touched), ["split", "shard"], "anti")
+    return (
+        re_ranked.unionByName(kept_pos)
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .orderBy("split", "shard", "pos")
     )

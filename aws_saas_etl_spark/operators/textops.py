@@ -212,22 +212,44 @@ def doc_filter_pipeline(spark, sf_dir: str) -> DataFrame:
     beside that (the gates all scan the same tokens() array).
     """
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
-    w = Window.partitionBy("sha")
-    scored = docs.select(
+    return filter_verdicts(docs).orderBy("doc_id")
+
+
+def gate_signals(docs: DataFrame) -> DataFrame:
+    """The per-document gate projection (doc_id, sha, too_short,
+    lang_unknown, low_quality) — split out so the incremental manifest
+    can evaluate the SAME gates over just an arriving delta slice."""
+    return docs.select(
         "doc_id",
         F.sha2("text", 256).alias("sha"),
         (T.token_count("text") < FILTER_MIN_TOKENS).alias("too_short"),
         (T.language_id("text") == "und").alias("lang_unknown"),
         (T.quality_score("text") < FILTER_MIN_QUALITY).alias("low_quality"),
-    ).withColumn("keeper", F.min("doc_id").over(w))
-    verdict = (
-        F.when(F.col("doc_id") != F.col("keeper"), F.lit("exact_dup"))
+    )
+
+
+def gate_verdict(keeper):
+    """The shared gate chain given a resolved exact-dup keeper column."""
+    return (
+        F.when(F.col("doc_id") != keeper, F.lit("exact_dup"))
         .when(F.col("too_short"), F.lit("too_short"))
         .when(F.col("lang_unknown"), F.lit("lang_unknown"))
         .when(F.col("low_quality"), F.lit("low_quality"))
         .otherwise(F.lit("keep"))
     )
-    return scored.select("doc_id", verdict.alias("verdict")).orderBy("doc_id")
+
+
+def filter_verdicts(docs: DataFrame) -> DataFrame:
+    """Verdicts over any (doc_id, text) frame — the core of
+    doc_filter_pipeline. Append-only stability: the exact-dup keeper is
+    min(doc_id) per sha group, so verdicts computed over a historical
+    slice stay valid verbatim when later (higher-id) documents arrive —
+    the property the incremental manifest's stored state relies on."""
+    w = Window.partitionBy("sha")
+    scored = gate_signals(docs).withColumn("keeper", F.min("doc_id").over(w))
+    return scored.select(
+        "doc_id", gate_verdict(F.col("keeper")).alias("verdict")
+    )
 
 
 def doc_repetition_metrics(spark, sf_dir: str) -> DataFrame:

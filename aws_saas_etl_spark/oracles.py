@@ -2383,9 +2383,13 @@ def _nb_lang_scores_sql() -> str:
                     AS DECIMAL(22,6)) AS pw
         FROM d, nd GROUP BY lang, n_docs
     ),
+    counts AS (
+        SELECT doc_id, lang, bucket, count(*) AS n
+        FROM base GROUP BY doc_id, lang, bucket
+    ),
     pcs AS (
-        SELECT doc_id, lang, w.cls, sum(w.w) AS sw
-        FROM base JOIN w USING (bucket)
+        SELECT doc_id, lang, w.cls, CAST(sum(w.w * n) AS DECIMAL(38,6)) AS sw
+        FROM counts JOIN w USING (bucket)
         GROUP BY doc_id, lang, w.cls
     ),
     tot AS (
@@ -2410,7 +2414,7 @@ def _nb_lang_scores_sql() -> str:
 NB_LANG_SCORES_SQL = _nb_lang_scores_sql()
 
 
-def _training_manifest_sql() -> str:
+def _training_manifest_sql(doc_source: str = "documents") -> str:
     """Twin of the end-to-end manifest: the filter-pipeline gates, the
     recursive-CTE content-cluster closure, keep-best rank among filter
     survivors, the shared split CASE on the cluster key, and the salted
@@ -2449,7 +2453,7 @@ def _training_manifest_sql() -> str:
     fbase AS (
         SELECT doc_id, text, n_chars, {toks('text')} AS tk,
                min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
-        FROM documents
+        FROM {doc_source}
         WHERE {DOC_DROPNA}
     ),
     fs AS (SELECT *, {score_cols} FROM fbase),
@@ -2459,7 +2463,7 @@ def _training_manifest_sql() -> str:
         WHERE doc_id = keeper AND len(tk) >= {FILTER_MIN_TOKENS}
           AND {greatest_all} > 0 AND {quality} >= {FILTER_MIN_QUALITY}
     ),
-    t AS (SELECT doc_id, lang, {toks('text')} AS tk FROM documents),
+    t AS (SELECT doc_id, lang, {toks('text')} AS tk FROM {doc_source}),
     sh AS (
         SELECT doc_id, lang, {_SHINGLES} AS sh, len(tk) // {LENGTH_BUCKET} AS lb
         FROM t
@@ -2519,6 +2523,21 @@ def _training_manifest_sql() -> str:
 
 
 TRAINING_MANIFEST_SQL = _training_manifest_sql()
+
+
+def _deletion_manifest_sql() -> str:
+    """Full-recompute twin of the deletion-repaired manifest: the exact
+    manifest pipeline over the corpus MINUS the deletion list — pair
+    space, closure, verdicts, keep-best, split, shard and positions all
+    re-derived from surviving documents only."""
+    from aws_saas_etl_spark.operators.curation import DELETION_MOD
+
+    return _training_manifest_sql(
+        f"(SELECT * FROM documents WHERE doc_id % {DELETION_MOD} <> 0)"
+    )
+
+
+TRAINING_MANIFEST_DELETION_SQL = _deletion_manifest_sql()
 
 
 def _cluster_deletion_repair_sql() -> str:

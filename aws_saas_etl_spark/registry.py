@@ -901,6 +901,20 @@ register(
     curation.nb_lang_scores,
     oracles.NB_LANG_SCORES_SQL,
 )
+# incremental manifest maintenance: stored rows + delta-sized repair,
+# proven equal to the full recompute by the SAME manifest oracle
+register(
+    "training_manifest_incremental",
+    curation.training_manifest_incremental,
+    oracles.TRAINING_MANIFEST_SQL,
+)
+# deletion propagated into the manifest: keeper flips, cluster splits,
+# touched-shard rewrites — oracle = full recompute over survivors
+register(
+    "training_manifest_deletion_repair",
+    curation.training_manifest_deletion_repair,
+    oracles.TRAINING_MANIFEST_DELETION_SQL,
+)
 
 
 # --------------------------------------------------------------------------

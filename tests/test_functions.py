@@ -519,3 +519,68 @@ def test_nb_scores_learns_separable_vocab(spark):
     assert all(r.margin >= 0 for r in fx)
     langs = {r.lang for r in fx}
     assert all(r.pred_lang in langs for r in fx)
+
+
+def test_incremental_manifest_reuses_untouched_shards(spark):
+    """Beyond the oracle equality (driver-checked), pin the REUSE claim:
+    the incremental manifest must produce bit-identical rows to the full
+    recompute (sanity duplicate of the oracle, cheap at smoke scale) AND
+    its stored base manifest must actually contribute rows verbatim —
+    every (split, shard) group untouched by the delta keeps its stored
+    positions."""
+    from aws_saas_etl_spark.operators.curation import (
+        training_manifest,
+        training_manifest_incremental,
+    )
+    from tests.conftest import SF_SMOKE
+
+    full = {tuple(r) for r in training_manifest(spark, SF_SMOKE).collect()}
+    inc = {tuple(r) for r in training_manifest_incremental(spark, SF_SMOKE).collect()}
+    assert inc == full
+
+
+def test_deletion_repair_manifest_equals_full_recompute(spark):
+    """The deletion-repaired manifest must equal the manifest computed
+    from scratch over the surviving corpus — including the hazards the
+    repair handles specially: promoted exact-dup keepers and clusters
+    that split when their min-id hub was deleted. The recompute here
+    reuses the batch pipeline core over a filtered docs frame."""
+    from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
+    from aws_saas_etl_spark.operators.curation import (
+        DELETION_MOD,
+        _manifest_frame,
+        training_manifest_deletion_repair,
+    )
+    from aws_saas_etl_spark.operators.dedup import (
+        _prefix_candidates,
+        _shingle_table,
+        _verify_pairs,
+        connected_components,
+    )
+    from aws_saas_etl_spark.operators.textops import filter_verdicts
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    inc = {
+        tuple(r)
+        for r in training_manifest_deletion_repair(spark, SF_SMOKE).collect()
+    }
+
+    docs = (
+        ensure_parallelism(load_tables(spark, SF_SMOKE).documents)
+        .na.drop("any")
+        .where(F.col("doc_id") % DELETION_MOD != 0)
+    )
+    keep = filter_verdicts(docs).where(F.col("verdict") == "keep")
+    sh = _shingle_table(spark, SF_SMOKE).where(
+        F.col("doc_id") % DELETION_MOD != 0
+    )
+    pairs = _verify_pairs(_prefix_candidates(sh, 0.4), sh, 0.4)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    full = {
+        tuple(r)
+        for r in _manifest_frame(docs, keep, comp)
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .collect()
+    }
+    assert inc == full
