@@ -239,17 +239,27 @@ def gate_verdict(keeper):
     )
 
 
+def verdicts_from_signals(signals: DataFrame) -> DataFrame:
+    """Verdicts from an existing gate-signal frame (doc_id, sha, gate
+    booleans) — the path the manifest-maintenance queries take over
+    their STORED signals table, skipping the text re-scan. The keeper
+    window runs over whatever slice is passed in, which is exactly the
+    semantics the callers need (base-slice keepers for arrivals,
+    survivor keepers for deletions)."""
+    w = Window.partitionBy("sha")
+    scored = signals.withColumn("keeper", F.min("doc_id").over(w))
+    return scored.select(
+        "doc_id", gate_verdict(F.col("keeper")).alias("verdict")
+    )
+
+
 def filter_verdicts(docs: DataFrame) -> DataFrame:
     """Verdicts over any (doc_id, text) frame — the core of
     doc_filter_pipeline. Append-only stability: the exact-dup keeper is
     min(doc_id) per sha group, so verdicts computed over a historical
     slice stay valid verbatim when later (higher-id) documents arrive —
     the property the incremental manifest's stored state relies on."""
-    w = Window.partitionBy("sha")
-    scored = gate_signals(docs).withColumn("keeper", F.min("doc_id").over(w))
-    return scored.select(
-        "doc_id", gate_verdict(F.col("keeper")).alias("verdict")
-    )
+    return verdicts_from_signals(gate_signals(docs))
 
 
 def doc_repetition_metrics(spark, sf_dir: str) -> DataFrame:

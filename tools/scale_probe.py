@@ -225,10 +225,13 @@ def main() -> None:
                 from aws_saas_etl_spark.operators import dedup as _dd
                 from aws_saas_etl_spark.operators import similarity as _sim
 
+                from aws_saas_etl_spark.operators import curation as _cur
+
                 _dd._CLUSTER_CACHE.clear()
                 _dd._SHINGLE_CACHE.clear()
                 _dd._BASE_LABELS_CACHE.clear()
                 _sim._IVF_CACHE.clear()
+                _cur._MANIFEST_CACHE.clear()
                 t0 = time.perf_counter()
                 fn(spark, dirs[s]).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
