@@ -103,6 +103,11 @@ def main() -> None:
             # composed manifest chain
             "dsir_importance_weights",
             "training_manifest",
+            # r6b: the two manifest-maintenance queries — their cost is
+            # the repair path (CC merge rounds, sub-pair verify, touched-
+            # shard re-ranks) on top of memoized stored state
+            "training_manifest_incremental",
+            "training_manifest_deletion_repair",
         )
         if n in timings
     ]
