@@ -584,3 +584,54 @@ def test_deletion_repair_manifest_equals_full_recompute(spark):
         .collect()
     }
     assert inc == full
+
+
+def test_minhash_signature_matches_pure_python(spark):
+    """Third-implementation pin for the r6 engine-neutral rehash: given
+    the shingle STRINGS Spark produces, a pure-Python hashlib/md5 +
+    31-bit-affine reimplementation must reproduce the hashed-shingle
+    arrays and all 64 permutation mins bit-for-bit. This isolates the
+    md60/permutation layer (what the DuckDB twin also recomputes) from
+    the tokenizer, which has its own fuzzed parity suite."""
+    import hashlib
+
+    from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
+    from aws_saas_etl_spark.operators.dedup import (
+        _M31,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_HASHES,
+        minhash_signatures,
+        shingles,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = ensure_parallelism(load_tables(spark, SF_SMOKE).documents).where(
+        F.col("doc_id") < 40
+    )
+    sig_rows = {r.doc_id: r for r in minhash_signatures(docs).collect()}
+    assert sig_rows
+    shingle_rows = docs.select(
+        "doc_id", shingles(F.col("text")).alias("gr")
+    ).collect()
+
+    def md60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    checked = 0
+    for r in shingle_rows:
+        grams = r.gr or []
+        hashes = sorted(md60(g) for g in grams)
+        if not hashes:
+            assert r.doc_id not in sig_rows  # dropped at the explode
+            continue
+        got = sig_rows[r.doc_id]
+        assert list(got.sh) == hashes
+        for i in range(MINHASH_HASHES):
+            want = min(
+                (MINHASH_A[i] * (h & _M31) + MINHASH_B[i]) % _M31 for h in hashes
+            )
+            assert got[f"h{i}"] == want, (r.doc_id, i)
+        checked += 1
+    assert checked >= 10
