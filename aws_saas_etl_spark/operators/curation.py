@@ -957,9 +957,14 @@ def training_manifest_incremental(spark, sf_dir: str) -> DataFrame:
         .unionByName(removed.select("split", "shard"))
         .distinct()
     )
+    # manifest-sized; materialized once — its two consumers (the touched
+    # re-rank and the untouched pass-through) would otherwise each
+    # re-execute the whole repair subtree
     combined = untouched_stored.select(
         "doc_id", "ckey", "n_tokens", "split", "shuffle_key", "shard", "pos"
-    ).unionByName(new_rows.withColumn("pos", F.lit(None).cast("int")))
+    ).unionByName(
+        new_rows.withColumn("pos", F.lit(None).cast("int"))
+    ).localCheckpoint()
     re_ranked = (
         combined.join(F.broadcast(touched), ["split", "shard"], "semi")
         .withColumn("pos", F.row_number().over(_pos_window()))
@@ -1090,9 +1095,14 @@ def training_manifest_deletion_repair(spark, sf_dir: str) -> DataFrame:
         .unionByName(removed.select("split", "shard"))
         .distinct()
     )
+    # manifest-sized; materialized once — its two consumers (the touched
+    # re-rank and the untouched pass-through) would otherwise each
+    # re-execute the whole repair subtree
     combined = untouched_stored.select(
         "doc_id", "ckey", "n_tokens", "split", "shuffle_key", "shard", "pos"
-    ).unionByName(new_rows.withColumn("pos", F.lit(None).cast("int")))
+    ).unionByName(
+        new_rows.withColumn("pos", F.lit(None).cast("int"))
+    ).localCheckpoint()
     re_ranked = (
         combined.join(F.broadcast(touched), ["split", "shard"], "semi")
         .withColumn("pos", F.row_number().over(_pos_window()))
