@@ -835,6 +835,59 @@ def _stored_signals(spark, sf_dir: str) -> DataFrame:
     return out
 
 
+def _stored_base_verdicts(spark, sf_dir: str):
+    """The stored verdict artifacts next to the manifest: the historical
+    keep-list and the sha → min(doc_id) keeper index, memoized per
+    session and localCheckpoint-ed. In production both are read back
+    from storage (they are what makes delta verdict repair a
+    signals-join instead of a corpus re-scan); in-session, before r7
+    each was an unmaterialized subtree re-executed per consumer — the
+    verdict windows over ``sig_base`` ran once for the stored-manifest
+    build, again for the survivor pool, and the sha index rebuilt from
+    scratch inside the broadcast — the bulk of the 38-shuffle
+    ``training_manifest_incremental`` plan the r6 verdict flagged.
+
+    The base/delta cut is the SAME shingle-table percentile
+    ``_tag_arrivals`` uses (NOT a per-doc percentile: the shingle table
+    weights docs by shingle count, and the oracle twin encodes exactly
+    that cut), so every consumer agrees on the split.
+    """
+    import os
+
+    from aws_saas_etl_spark.operators.dedup import (
+        DELTA_DOC_FRACTION,
+        _shingle_table,
+    )
+    from aws_saas_etl_spark.operators.textops import verdicts_from_signals
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "verdicts")
+    cached = _MANIFEST_CACHE.get(key)
+    if cached is None:
+        sh = _shingle_table(spark, sf_dir)
+        cutoff = sh.agg(
+            F.percentile("doc_id", 1.0 - DELTA_DOC_FRACTION).alias("cut")
+        )
+        sig_base = (
+            _stored_signals(spark, sf_dir)
+            .crossJoin(F.broadcast(cutoff))
+            .where(F.col("doc_id") <= F.col("cut"))
+            .drop("cut")
+        )
+        keep_base = (
+            verdicts_from_signals(sig_base)
+            .where(F.col("verdict") == "keep")
+            .localCheckpoint()
+        )
+        sha_idx = (
+            sig_base.groupBy("sha")
+            .agg(F.min("doc_id").alias("base_min"))
+            .localCheckpoint()
+        )
+        cached = (keep_base, sha_idx)
+        _MANIFEST_CACHE[key] = cached
+    return cached
+
+
 def training_manifest_incremental(spark, sf_dir: str) -> DataFrame:
     """INCREMENTAL maintenance of the training manifest — the nightly
     production shape at the ARTIFACT level: the stored manifest (built
@@ -870,42 +923,36 @@ def training_manifest_incremental(spark, sf_dir: str) -> DataFrame:
         _tag_arrivals,
         DELTA_DOC_FRACTION,
     )
-    from aws_saas_etl_spark.operators.textops import (
-        gate_verdict,
-        verdicts_from_signals,
-    )
+    from aws_saas_etl_spark.operators.textops import gate_verdict
 
     sh = _shingle_table(spark, sf_dir)
     tagged = _tag_arrivals(sh)
-    cutoff = sh.agg(
+    # the shingle-percentile cut, fetched ONCE as a scalar: the lazy
+    # broadcast(cutoff) form re-executed the percentile agg per consumer
+    # (docs split ×2, signal split ×1 — three passes over the shingle
+    # table for one number; a double roundtrips F.lit exactly)
+    cut = sh.agg(
         F.percentile("doc_id", 1.0 - DELTA_DOC_FRACTION).alias("cut")
-    )
-    docs = (
-        ensure_parallelism(load_tables(spark, sf_dir).documents)
-        .na.drop("any")
-        .crossJoin(F.broadcast(cutoff))
-    )
-    docs_base = docs.where(F.col("doc_id") <= F.col("cut")).drop("cut")
-    docs_delta = docs.where(F.col("doc_id") > F.col("cut")).drop("cut")
+    ).first()["cut"]
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    docs_base = docs.where(F.col("doc_id") <= F.lit(cut))
+    docs_delta = docs.where(F.col("doc_id") > F.lit(cut))
 
     # --- stored state (in production: read back from the manifest sink)
     import os
 
     base_labels = _base_assignment(spark, sf_dir)
-    signals = _stored_signals(spark, sf_dir).crossJoin(F.broadcast(cutoff))
-    sig_base = signals.where(F.col("doc_id") <= F.col("cut")).drop("cut")
-    keep_base = verdicts_from_signals(sig_base).where(F.col("verdict") == "keep")
+    keep_base, sha_idx = _stored_base_verdicts(spark, sf_dir)
     mkey = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "base")
     stored = _MANIFEST_CACHE.get(mkey)
     if stored is None:
         stored = _manifest_frame(docs_base, keep_base, base_labels).localCheckpoint()
         _MANIFEST_CACHE[mkey] = stored
-    sha_idx = sig_base.groupBy("sha").agg(F.min("doc_id").alias("base_min"))
 
     # --- delta verdicts: keeper = min(stored index, delta-internal min)
     wd = Window.partitionBy("sha")
     delta_scored = (
-        signals.where(F.col("doc_id") > F.col("cut")).drop("cut")
+        _stored_signals(spark, sf_dir).where(F.col("doc_id") > F.lit(cut))
         .withColumn("dmin", F.min("doc_id").over(wd))
         .join(F.broadcast(sha_idx), "sha", "left")
         .withColumn("keeper", F.least(F.coalesce("base_min", "dmin"), F.col("dmin")))
@@ -917,12 +964,21 @@ def training_manifest_incremental(spark, sf_dir: str) -> DataFrame:
     # --- exact cluster merge, then the affected scope
     merged = _merge_delta_into_labels(base_labels, tagged, sh).localCheckpoint()
     delta_ids = docs_delta.select("doc_id")
+    # affected components + their membership: each consumed twice (the
+    # comp set feeds the node expansion and the pool broadcast; the node
+    # set feeds the stored-row semi and anti joins) — materialized once;
+    # affected-set-sized
     aff_comps = (
         merged.join(delta_ids, merged["node"] == delta_ids["doc_id"], "semi")
         .select("comp")
         .distinct()
+        .localCheckpoint()
     )
-    aff_nodes = merged.join(F.broadcast(aff_comps), "comp", "semi").select("node")
+    aff_nodes = (
+        merged.join(F.broadcast(aff_comps), "comp", "semi")
+        .select("node")
+        .localCheckpoint()
+    )
 
     untouched_stored = stored.join(
         aff_nodes, stored["doc_id"] == aff_nodes["node"], "anti"
@@ -932,7 +988,7 @@ def training_manifest_incremental(spark, sf_dir: str) -> DataFrame:
     # --- re-elect keepers inside affected clusters (+ delta singletons)
     survivors = keep_base.select("doc_id").unionByName(keep_delta.select("doc_id"))
     pool = (
-        survivors.join(_doc_feats(docs.drop("cut")), "doc_id")
+        survivors.join(_doc_feats(docs), "doc_id")
         .join(merged.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left")
         .join(delta_ids.withColumn("is_delta", F.lit(True)), "doc_id", "left")
         .withColumn("ckey", F.coalesce(F.col("comp"), F.col("doc_id")))
@@ -947,8 +1003,13 @@ def training_manifest_incremental(spark, sf_dir: str) -> DataFrame:
         pool.withColumn("rn", F.row_number().over(_keeper_rank()))
         .where(F.col("rn") == 1)
     )
-    new_rows = _shard_cols(re_elected).select(
-        "doc_id", "ckey", "n_tokens", "split", "shuffle_key", "shard"
+    # the re-elected rows: consumed twice (the touched-shard set and the
+    # combined row set) — materialized once so the survivor-pool joins +
+    # keeper window run a single time; affected-set-sized
+    new_rows = (
+        _shard_cols(re_elected)
+        .select("doc_id", "ckey", "n_tokens", "split", "shuffle_key", "shard")
+        .localCheckpoint()
     )
 
     # --- re-rank only touched shards; reuse stored pos elsewhere
@@ -1083,8 +1144,12 @@ def training_manifest_deletion_repair(spark, sf_dir: str) -> DataFrame:
         pool.withColumn("rn", F.row_number().over(_keeper_rank()))
         .where(F.col("rn") == 1)
     )
-    new_rows = _shard_cols(re_elected).select(
-        "doc_id", "ckey", "n_tokens", "split", "shuffle_key", "shard"
+    # consumed twice (touched-shard set + combined row set): materialized
+    # once so the sub-pair/CC repair chain runs a single time
+    new_rows = (
+        _shard_cols(re_elected)
+        .select("doc_id", "ckey", "n_tokens", "split", "shuffle_key", "shard")
+        .localCheckpoint()
     )
 
     # --- merge with stored rows; re-rank only touched shards

@@ -224,7 +224,7 @@ def ann_lsh_topk(
 # --------------------------------------------------------------------------
 
 IVF_ITERS = 2  # Lloyd refinement rounds over the seeded centroids
-IVF_NPROBE_FRAC = 0.1  # probe the ~10% nearest cells per query
+IVF_NPROBE_DIV = 10  # probe ceil(n_cells/10) ≈ the 10% nearest cells per query
 IVF_CELLS_MAX = 4096
 
 
@@ -271,24 +271,46 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+#: Centroid means quantize each component to an integer grid of 1e-9
+#: before summing (``floor(double(x) · 1e9)`` → BIGINT), so the per-cell
+#: accumulation is EXACT integer arithmetic — order-independent across
+#: partitions, AQE schedules, and engines. A double-``avg`` centroid is
+#: the classic nondeterminism trap in distributed k-means: the sum order
+#: follows the shuffle, so two runs (or two engines) disagree in the last
+#: bits, the next round's argmax flips on a near-tie, and the divergence
+#: cascades — exactly the reason this query was rows-only through r5. The
+#: grid is far below float32 input resolution (~1e-7 at |x|≈1), so recall
+#: is untouched; what it buys is a bit-reproducible trained index, which
+#: a stored artifact (ann_ivf_store_roundtrip) must be anyway.
+IVF_QUANT = 10**9
+
+
 def ivf_fit_cells(emb: DataFrame, n_cells: int, iters: int = IVF_ITERS) -> DataFrame:
     """Fit IVF centroids: deterministic hash-spread seeds (the n_cells
-    vectors with the smallest md5(vec_id) — TakeOrdered, no global sort
-    materialization), refined by ``iters`` Lloyd rounds.
+    vectors with the smallest (md5(vec_id), vec_id) — TakeOrdered, no
+    global sort materialization; cell ids numbered in that same hash
+    order), refined by ``iters`` Lloyd rounds.
 
     Each round is corpus × broadcast(centroids) assignment + ONE
-    groupBy(cell) whose per-dimension means are dim parallel ``avg``
-    expressions over array elements — measured rewrite (r5) of the
-    posexplode → groupBy(cell, dim) → collect_list rebuild, which
-    shuffled n×dim exploded rows through TWO exchanges per round and put
-    the sf0.1 fit at 5.0s; the single-exchange form fits in 1.6s (round
-    floor ≈ per-stage overhead, see SCALE.md). At 100 TB the win is the
-    same ×dim shuffle-volume cut. Only the FINAL centroid set is
-    localCheckpoint-ed: intermediate rounds are consumed exactly once,
-    but the returned table is broadcast into both the corpus assignment
-    and the query probe, and an unmaterialized broadcast subtree
-    re-executes per consumer (the exchange-reuse pitfall measured in
-    doc_tfidf_neighbors)."""
+    groupBy(cell) whose per-dimension means are dim parallel quantized
+    integer-sum expressions over array elements (see IVF_QUANT) —
+    measured rewrite (r5) of the posexplode → groupBy(cell, dim) →
+    collect_list rebuild, which shuffled n×dim exploded rows through TWO
+    exchanges per round and put the sf0.1 fit at 5.0s; the
+    single-exchange form fits in 1.6s (round floor ≈ per-stage overhead,
+    see SCALE.md). At 100 TB the win is the same ×dim shuffle-volume
+    cut. Per-cell integer sums stay well inside BIGINT (|component| ≤ 8
+    ⇒ ≤ 8e9 per row; overflow needs > 1e9 rows IN ONE CELL, and the √n
+    cell sizing bounds cells at ~√n ≪ that). The whole fit is
+    engine-neutral: every arithmetic step is either exact integer math
+    or a deterministic double op on identical inputs, so DuckDB
+    replaying the same rounds lands on bit-identical centroids
+    (oracles.ANN_IVF_TOPK_SQL — the hash gate this enables). Only the
+    FINAL centroid set is localCheckpoint-ed: intermediate rounds are
+    consumed exactly once, but the returned table is broadcast into both
+    the corpus assignment and the query probe, and an unmaterialized
+    broadcast subtree re-executes per consumer (the exchange-reuse
+    pitfall measured in doc_tfidf_neighbors)."""
     vectors = emb.select("vec_id", "embedding")
     first = vectors.select("embedding").first()
     if first is None or first[0] is None:
@@ -297,20 +319,31 @@ def ivf_fit_cells(emb: DataFrame, n_cells: int, iters: int = IVF_ITERS) -> DataF
             "is null) — cannot derive the vector dimension to fit centroids"
         )
     dim = len(first[0])
+    h = F.md5(F.col("vec_id").cast("string")).alias("h")
     seeds = (
-        vectors.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        vectors.select("vec_id", "embedding", h)
+        .orderBy("h", "vec_id")
         .limit(n_cells)
-        .select(F.col("embedding").alias("centroid"))
     )
     centroids = seeds.select(
-        (F.row_number().over(Window.orderBy(F.col("centroid"))) - 1).alias("cell"),
-        "centroid",
+        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).alias("cell"),
+        F.col("embedding").alias("centroid"),
     )
+    q = F.lit(float(IVF_QUANT))
     for _ in range(iters):
         assigned = _assign_cells(vectors, centroids)
         centroids = assigned.groupBy("cell").agg(
             F.array(
-                *[F.avg(F.col("embedding")[i]).cast("float") for i in range(dim)]
+                *[
+                    (
+                        F.sum(
+                            F.floor(F.col("embedding")[i].cast("double") * q)
+                        ).cast("double")
+                        / F.count(F.lit(1)).cast("double")
+                        / q
+                    )
+                    for i in range(dim)
+                ]
             ).alias("centroid")
         )
     return centroids.localCheckpoint()
@@ -355,9 +388,11 @@ def ann_ivf_topk(
     data-oblivious (hash planes), IVF cells follow the data distribution,
     so at equal probe cost IVF usually recalls more on clustered real
     embeddings. Corpus-side work is one assignment pass (n × √n dots) and
-    the probe join touches ~nprobe/√n of the corpus per query. Rows-only
-    check (iterative refinement is not SQL-expressible); recall vs
-    knn_bruteforce is pytest-asserted.
+    the probe join touches ~nprobe/√n of the corpus per query.
+    Hash-checked since r7: the quantized-integer Lloyd fit (IVF_QUANT) is
+    bit-reproducible, so oracles.ANN_IVF_TOPK_SQL unrolls the same rounds
+    as plain CTEs and the full probe output value-hashes against DuckDB;
+    recall vs knn_bruteforce is additionally pytest-asserted.
 
     Measured profile at sf0.1 (n=2000, dim=64, n_cells=45, round-5
     session): candidates scanned per query = nprobe × avg cell ≈ 4×44 =
@@ -378,7 +413,11 @@ def ann_ivf_topk(
     if n_cells is None:
         n_cells = ivf_cells_for(emb.count())
     if nprobe is None:
-        nprobe = max(2, round(n_cells * IVF_NPROBE_FRAC))
+        # ceil(n_cells/10) via integer arithmetic: Python's round() is
+        # half-even ON THE DOUBLE n_cells*0.1, whose nearness to .5 depends
+        # on binary representation — an engine-neutral twin can't reproduce
+        # that reliably (e.g. 25*0.1 rounds to 2 in Python, 3 in DuckDB).
+        nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
     centroids = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
     corpus = _assign_cells(emb.select("vec_id", "embedding"), centroids).select(
         F.col("vec_id").alias("neighbor_id"),

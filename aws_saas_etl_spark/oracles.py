@@ -649,6 +649,140 @@ def _ann_lsh_topk_sql() -> str:
 ANN_LSH_TOPK_SQL = _ann_lsh_topk_sql()
 
 
+def _ann_ivf_topk_sql() -> str:
+    """Exact twin of the IVF ANN — the Lloyd fit UNROLLED as plain CTEs
+    (IVF_ITERS is a module constant, so the twin is generated with one
+    chain per round; no recursive CTE needed) plus the probe.
+
+    Engine-neutrality argument, step by step:
+    - n_cells: ``max(2, min(4096, ceil(sqrt(n))))`` characterized as the
+      INTEGER ``min {c in [2, 4096] : c·c >= n}`` (else 4096) — provably
+      equal (ceil∘sqrt of an int is the least integer whose square
+      reaches it; pinned in tests/test_similarity.py) without trusting
+      cross-engine libm sqrt rounding.
+    - nprobe: ``max(2, ceil(n_cells/10))`` — pure integer arithmetic on
+      both sides (similarity.py documents why Python's half-even round
+      of n_cells*0.1 was abandoned).
+    - seeds: smallest (md5(vec_id), vec_id), cells numbered in that
+      order — md5 hex strings compare identically in both engines.
+    - assignment: cosine with the SAME left-fold double dot the
+      hash-green knn_bruteforce twin established; argmax via
+      row_number(sim DESC, cell ASC) = Spark's max_by struct tie-break.
+    - centroid update: ``floor(double(x)·1e9)`` → BIGINT, exact integer
+      SUM (order-independent), then double(sum)/double(count)/1e9 —
+      every double op on bit-identical operands (see
+      similarity.IVF_QUANT). Spark's floor(double) is already BIGINT;
+      DuckDB's floor needs the explicit cast.
+    - probe/rank: round(cos, 6) + row_number — the knn convention.
+    """
+    from aws_saas_etl_spark.operators.similarity import (
+        EMBED_DIM,
+        IVF_CELLS_MAX,
+        IVF_ITERS,
+        IVF_NPROBE_DIV,
+        IVF_QUANT,
+        N_QUERY_VECS,
+        TOP_K,
+    )
+
+    qlit = f"{float(IVF_QUANT)!r}"
+
+    def dot(a_expr: str, b_expr: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"j -> CAST(({a_expr})[j] AS DOUBLE) * CAST(({b_expr})[j] AS DOUBLE)), 'sum')"
+        )
+
+    def cos(a_expr: str, b_expr: str) -> str:
+        return (
+            f"{dot(a_expr, b_expr)} / (sqrt({dot(a_expr, a_expr)})"
+            f" * sqrt({dot(b_expr, b_expr)}))"
+        )
+
+    mean = ", ".join(
+        f"(CAST(sum(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {qlit}) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(count(*) AS DOUBLE)) / {qlit}"
+        for i in range(EMBED_DIM)
+    )
+    rounds = ""
+    prev = "cent0"
+    for it in range(1, IVF_ITERS + 1):
+        rounds += f"""
+    assign{it} AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos("e.embedding", "c.centroid")} DESC,
+                                c.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    cent{it} AS (
+        SELECT cell, [{mean}] AS centroid
+        FROM assign{it} GROUP BY cell
+    ),"""
+        prev = f"cent{it}"
+    return f"""
+    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    ncells AS (
+        SELECT coalesce(
+            (SELECT min(g.c) FROM generate_series(2, {IVF_CELLS_MAX}) g(c), nn
+             WHERE g.c * g.c >= nn.n),
+            {IVF_CELLS_MAX}) AS n_cells
+    ),
+    np_ AS (
+        SELECT greatest(2, (n_cells + {IVF_NPROBE_DIV - 1}) // {IVF_NPROBE_DIV})
+                   AS nprobe
+        FROM ncells
+    ),
+    cent0 AS (
+        SELECT cell, embedding AS centroid FROM (
+            SELECT row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+                   embedding
+            FROM embeddings) s, ncells
+        WHERE cell < n_cells
+    ),{rounds}
+    corpus AS (
+        SELECT vec_id AS neighbor_id, embedding AS c_emb, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {cos("e.embedding", "c.centroid")} DESC,
+                                c.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, q_emb, cell FROM (
+            SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {cos("q.embedding", "c.centroid")} DESC,
+                                c.cell ASC) AS pr
+            FROM embeddings q CROSS JOIN {prev} c
+            WHERE q.vec_id < {N_QUERY_VECS}
+        ), np_ WHERE pr <= nprobe
+    ),
+    sims AS (
+        SELECT p.query_id, c.neighbor_id,
+               round({cos("p.q_emb", "c.c_emb")}, 6) AS cos_sim
+        FROM corpus c JOIN probes p ON c.cell = p.cell
+        WHERE c.neighbor_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+ANN_IVF_TOPK_SQL = _ann_ivf_topk_sql()
+
+
 def _triplet_mining_sql() -> str:
     """Twin of the hard-triplet mine: the same rounded cosine (identical
     fold order), hardest positive via (cos ASC, id ASC) rank-1 and

@@ -335,7 +335,7 @@ register(
     similarity.embedding_triplet_mining,
     oracles.EMBEDDING_TRIPLET_MINING_SQL,
 )
-register("ann_ivf_topk", similarity.ann_ivf_topk, None)  # iterative k-means: rows-only
+register("ann_ivf_topk", similarity.ann_ivf_topk, oracles.ANN_IVF_TOPK_SQL)
 
 # --------------------------------------------------------------------------
 # Event-time analytics (SURVEY §2b, M5 batch)

@@ -53,6 +53,46 @@ def test_lsh_bits_matches_oracle_integer_characterization():
         assert lsh_bits_for(n) == sql_bits(n), n
 
 
+def test_ivf_cells_matches_oracle_integer_characterization():
+    """The ann_ivf_topk DuckDB twin derives n_cells as
+    ``min {c in [2, 4096] : c·c >= n}`` (coalesced to 4096) to avoid
+    trusting cross-engine libm sqrt rounding; pin that this integer form
+    equals Python's ``max(2, min(4096, ceil(sqrt(n))))`` for every
+    corpus size up to far beyond driver scales — including the exact
+    perfect-square boundaries where a sqrt rounding slip would bite."""
+    from aws_saas_etl_spark.operators.similarity import (
+        IVF_CELLS_MAX,
+        ivf_cells_for,
+    )
+
+    def sql_cells(n: int) -> int:
+        for c in range(2, IVF_CELLS_MAX + 1):
+            if c * c >= n:
+                return c
+        return IVF_CELLS_MAX
+
+    sizes = set(range(1, 20000))
+    for c in (2, 3, 1000, IVF_CELLS_MAX - 1, IVF_CELLS_MAX, IVF_CELLS_MAX + 5):
+        sizes.update((c * c - 1, c * c, c * c + 1))
+    for n in sorted(sizes):
+        assert ivf_cells_for(n) == sql_cells(n), n
+
+
+def test_ivf_nprobe_integer_ceil():
+    """nprobe = max(2, ceil(n_cells/10)) via -(-n // 10): pin the integer
+    form against the (n + 9) // 10 the oracle uses, for every legal
+    n_cells."""
+    from aws_saas_etl_spark.operators.similarity import (
+        IVF_CELLS_MAX,
+        IVF_NPROBE_DIV,
+    )
+
+    for n_cells in range(2, IVF_CELLS_MAX + 1):
+        assert max(2, -(-n_cells // IVF_NPROBE_DIV)) == max(
+            2, (n_cells + IVF_NPROBE_DIV - 1) // IVF_NPROBE_DIV
+        )
+
+
 def test_bucket_sizes_shrink_as_bits_grow(spark):
     emb = load_tables(spark, SF_SMOKE).embeddings
     def max_bucket(bits: int) -> int:
