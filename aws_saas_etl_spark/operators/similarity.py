@@ -419,6 +419,15 @@ def ann_ivf_topk(
         # that reliably (e.g. 25*0.1 rounds to 2 in Python, 3 in DuckDB).
         nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
     centroids = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
+    return _ivf_probe(emb, centroids, nprobe, k)
+
+
+def _ivf_probe(emb: DataFrame, centroids: DataFrame, nprobe: int, k: int) -> DataFrame:
+    """The IVF serving path over an already-fitted centroid table: one
+    corpus assignment pass, per-query nprobe cell routing, exact re-rank
+    inside the probed cells. Split from ``ann_ivf_topk`` so the stored
+    index (``ann_ivf_store_roundtrip``) serves through the IDENTICAL
+    plan the in-session fit does."""
     corpus = _assign_cells(emb.select("vec_id", "embedding"), centroids).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
@@ -449,6 +458,47 @@ def ann_ivf_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivf_store_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """The PERSISTED ANN index — the storage half a 100 TB vector corpus
+    actually runs: the fitted IVF centroid table is WRITTEN through the
+    exactly-once manifest sink (atomic commit, crash-invisible staging —
+    the same protocol the cluster store uses), READ BACK as the stored
+    index, and queries are served against the stored table through the
+    identical probe plan (``_ivf_probe``). The session memo
+    (``_IVF_CACHE``) is deliberately bypassed on the read side: the
+    probe below consumes ONLY what came back from storage, so the hash
+    match proves write → read is lossless end to end.
+
+    Why the oracle can be the very same ``ANN_IVF_TOPK_SQL`` hash gate:
+    the quantized-integer Lloyd fit (IVF_QUANT) is bit-reproducible, and
+    every centroid component is an IEEE-754 double that parquet stores
+    verbatim (PLAIN/dictionary encodings are bit-exact for doubles; no
+    rounding anywhere on the write or read path), so the stored index is
+    bit-identical to the in-session fit and the probe output hashes to
+    the same value. A trained index living in object storage between
+    sessions — train nightly, serve all day — is the production shape;
+    in-session memoization alone (r6) never proved the storage leg.
+    """
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    n_cells = ivf_cells_for(emb.count())
+    nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
+    fitted = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
+
+    path = proc_dir("ivf_index", sf_dir, n_cells)
+    fitted.write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    stored = read_manifest_parquet(spark, path)
+    return _ivf_probe(emb, stored, nprobe, k=TOP_K)
 
 
 K_CENTROIDS = 8  # fixed demo codebook: the K lowest vec_ids

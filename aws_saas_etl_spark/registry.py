@@ -915,6 +915,14 @@ register(
     curation.training_manifest_deletion_repair,
     oracles.TRAINING_MANIFEST_DELETION_SQL,
 )
+# the PERSISTED ANN index (r7): fitted IVF centroids written through the
+# exactly-once manifest sink, read back, and served through the identical
+# probe plan — same hash gate as ann_ivf_topk proves storage lossless
+register(
+    "ann_ivf_store_roundtrip",
+    similarity.ann_ivf_store_roundtrip,
+    oracles.ANN_IVF_TOPK_SQL,
+)
 
 
 # --------------------------------------------------------------------------

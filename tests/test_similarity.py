@@ -311,3 +311,37 @@ def test_triplet_mining_invariants(spark):
         assert (r.hard_pos_id, r.pos_sim) == (pos[0].oid, pos[0].s)
         assert (r.hard_neg_id, r.neg_sim) == (neg[0].oid, neg[0].s)
         assert r.margin == round(r.pos_sim - r.neg_sim, 6)
+
+
+def test_ivf_store_roundtrip_bit_exact_and_probe_identical(spark):
+    """The persisted-index leg: centroids written through the manifest
+    sink and read back must be BIT-identical to the in-session fit
+    (doubles roundtrip parquet verbatim — the property the shared
+    ANN_IVF_TOPK_SQL hash gate rests on), and the probe served from the
+    stored table must equal ann_ivf_topk row for row."""
+    from aws_saas_etl_spark.operators import similarity as S
+
+    S._IVF_CACHE.clear()
+    served = S.ann_ivf_store_roundtrip(spark, SF_SMOKE).collect()
+
+    # the memo now holds the fitted table the roundtrip wrote; compare
+    # the STORED bytes against it
+    from aws_saas_etl_spark.catalog import load_tables as _lt
+    from aws_saas_etl_spark.sources.custom import proc_dir, read_manifest_parquet
+
+    emb = _lt(spark, SF_SMOKE).embeddings
+    n_cells = S.ivf_cells_for(emb.count())
+    (key,) = [k for k in S._IVF_CACHE if k[1] == SF_SMOKE]
+    fitted = {r["cell"]: r["centroid"] for r in S._IVF_CACHE[key].collect()}
+    stored = {
+        r["cell"]: r["centroid"]
+        for r in read_manifest_parquet(
+            spark, proc_dir("ivf_index", SF_SMOKE, n_cells)
+        ).collect()
+    }
+    assert fitted.keys() == stored.keys()
+    for cell, cen in fitted.items():
+        assert list(cen) == list(stored[cell]), cell  # exact, no tolerance
+
+    in_session = S.ann_ivf_topk(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in in_session]
