@@ -61,3 +61,20 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def clear_session_memos() -> None:
+    """Purge every session-scoped DataFrame memo (content clusters,
+    shingle table, stored base assignment, fitted IVF centroids, manifest
+    artifacts). The memos model STORED artifacts — in production each is
+    read back from object storage, so computing one per session is the
+    faithful serving shape — but cold-path measurement (scale_probe,
+    plan_audit's cold mode) must clear them or it times/plans only the
+    cheap consumer stage."""
+    from aws_saas_etl_spark.operators import curation, dedup, similarity
+
+    dedup._CLUSTER_CACHE.clear()
+    dedup._SHINGLE_CACHE.clear()
+    dedup._BASE_LABELS_CACHE.clear()
+    similarity._IVF_CACHE.clear()
+    curation._MANIFEST_CACHE.clear()

@@ -120,6 +120,32 @@ def main() -> None:
         worst3 = max(timings[name] + spreads[name], third)
         canary[name] = [round(best3, 4), round(worst3 - best3, 4)]
 
+    # COLD/WARM: the memo-backed queries (stored-artifact model: content
+    # clusters, manifest, fitted IVF index) have a deliberate two-regime
+    # cost — rep 1 BUILDS the stored state, reps 2+ consume it — which
+    # otherwise masquerades as canary spread. Measure both explicitly:
+    # memos cleared, one cold run, one warm run.
+    from aws_saas_etl_spark.session import clear_session_memos
+
+    cold_warm: dict[str, dict[str, float]] = {}
+    for name in (
+        "dedup_canonical_keep_best",
+        "ann_ivf_topk",
+        "ann_ivf_store_roundtrip",
+        "training_manifest",
+        "training_manifest_incremental",
+        "training_manifest_deletion_repair",
+    ):
+        if name not in qs:
+            continue
+        clear_session_memos()
+        pair = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            pair.append(round(time.perf_counter() - t0, 4))
+        cold_warm[name] = {"cold": pair[0], "warm": pair[1]}
+
     # STREAM_BENCH: the stream_* drains are excluded from the latency table
     # (fixed micro-batch/checkpoint overhead would swamp query cost), but
     # their end-to-end throughput IS a regression signal for the 9
@@ -165,6 +191,10 @@ def main() -> None:
                 # this line, and `queries` is alphabetical — without this the
                 # slowest a–l queries would be invisible in BENCH_r{N}.json.
                 "canary_best3_spread": canary,
+                # two-regime costs of the stored-artifact queries: cold
+                # builds the artifact, warm serves from it — the honest
+                # split of what best-of-2 + canary spread conflate
+                "cold_warm": cold_warm,
                 "top_12_slowest": [
                     [n, timings[n], spreads[n]]
                     for n in sorted(timings, key=timings.get, reverse=True)[:12]

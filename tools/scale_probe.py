@@ -57,6 +57,18 @@ PROBES = [
     # windows — the cold full-pipeline cost)
     ("dsir_importance_weights", "curation", "dsir_importance_weights"),
     ("training_manifest", "curation", "training_manifest"),
+    # r7 additions: the manifest MAINTENANCE queries, probed WARM-STORED
+    # (memos pre-populated by one untimed run): the design claim is
+    # "repair cost ∝ delta / affected clusters, never corpus", and the
+    # honest measurement of that claim times the repair against stored
+    # state that is a given (in production: read back from the manifest
+    # sink) while the CORPUS grows 8× at fixed delta fraction. A cold
+    # rep would time the full stored-state build — the cost the
+    # maintenance path exists to avoid paying nightly.
+    ("training_manifest_incremental (warm-stored)", "curation",
+     "training_manifest_incremental", "warm_stored"),
+    ("training_manifest_deletion_repair (warm-stored)", "curation",
+     "training_manifest_deletion_repair", "warm_stored"),
 ]
 
 # Per-copy character translation: remaps the 5 vowels, which rewrites
@@ -210,28 +222,30 @@ def main() -> None:
 
     import importlib
 
+    from aws_saas_etl_spark.session import clear_session_memos
+
     dirs = {s: stage(spark, s) for s in scales}
     results: dict[str, dict[int, float]] = {}
-    for label, mod_name, fn_name in probes:
+    for probe in probes:
+        label, mod_name, fn_name = probe[:3]
+        mode = probe[3] if len(probe) > 3 else "cold"
         mod = importlib.import_module(f"aws_saas_etl_spark.operators.{mod_name}")
         fn = getattr(mod, fn_name)
         results[label] = {}
         for s in scales:
+            # purge session memo caches (content clusters, fitted IVF
+            # centroids, manifest artifacts): the cold probes measure the
+            # COLD chain's scaling — a warm rep would time only the cheap
+            # consumer stage. warm_stored probes instead PRE-populate the
+            # stored state with one untimed run, then time the
+            # maintenance path alone (the nightly repair cost).
+            clear_session_memos()
+            if mode == "warm_stored":
+                fn(spark, dirs[s]).write.format("noop").mode("overwrite").save()
             best = float("inf")
             for _ in range(2):
-                # purge session memo caches (content clusters, fitted IVF
-                # centroids): the probe measures the COLD chain's scaling;
-                # a warm rep would time only the cheap consumer stage
-                from aws_saas_etl_spark.operators import dedup as _dd
-                from aws_saas_etl_spark.operators import similarity as _sim
-
-                from aws_saas_etl_spark.operators import curation as _cur
-
-                _dd._CLUSTER_CACHE.clear()
-                _dd._SHINGLE_CACHE.clear()
-                _dd._BASE_LABELS_CACHE.clear()
-                _sim._IVF_CACHE.clear()
-                _cur._MANIFEST_CACHE.clear()
+                if mode == "cold":
+                    clear_session_memos()
                 t0 = time.perf_counter()
                 fn(spark, dirs[s]).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
