@@ -649,10 +649,17 @@ def _ann_lsh_topk_sql() -> str:
 ANN_LSH_TOPK_SQL = _ann_lsh_topk_sql()
 
 
-def _ann_ivf_topk_sql() -> str:
+def _ann_ivf_topk_sql(fit_src: str = "embeddings") -> str:
     """Exact twin of the IVF ANN — the Lloyd fit UNROLLED as plain CTEs
     (IVF_ITERS is a module constant, so the twin is generated with one
     chain per round; no recursive CTE needed) plus the probe.
+
+    ``fit_src="base"`` twins the STALE-INDEX serving shape
+    (``ann_ivf_incremental_append``): the fit CTEs (seed selection, cell
+    count, Lloyd rounds) read only the historical slice — the largest
+    ``n − n//10`` vec_ids cut by exact integer rank, no float percentile
+    anywhere — while corpus assignment and probing still cover ALL
+    vectors, arrivals included.
 
     Engine-neutrality argument, step by step:
     - n_cells: ``max(2, min(4096, ceil(sqrt(n))))`` characterized as the
@@ -714,7 +721,7 @@ def _ann_ivf_topk_sql() -> str:
                    row_number() OVER (PARTITION BY e.vec_id
                        ORDER BY {cos("e.embedding", "c.centroid")} DESC,
                                 c.cell ASC) AS rn
-            FROM embeddings e CROSS JOIN {prev} c
+            FROM {fit_src} e CROSS JOIN {prev} c
         ) WHERE rn = 1
     ),
     cent{it} AS (
@@ -722,8 +729,22 @@ def _ann_ivf_topk_sql() -> str:
         FROM assign{it} GROUP BY cell
     ),"""
         prev = f"cent{it}"
+    base_ctes = ""
+    if fit_src == "base":
+        base_ctes = """nall AS (SELECT count(*) AS n FROM embeddings),
+    cutv AS (
+        SELECT max(vec_id) AS cut FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM embeddings) r, nall
+        WHERE r.rn <= nall.n - nall.n // 10
+    ),
+    base AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e, cutv
+        WHERE e.vec_id <= cutv.cut
+    ),
+    """
     return f"""
-    WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    WITH {base_ctes}nn AS (SELECT count(*) AS n FROM {fit_src}),
     ncells AS (
         SELECT coalesce(
             (SELECT min(g.c) FROM generate_series(2, {IVF_CELLS_MAX}) g(c), nn
@@ -740,7 +761,7 @@ def _ann_ivf_topk_sql() -> str:
             SELECT row_number() OVER (
                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
                    embedding
-            FROM embeddings) s, ncells
+            FROM {fit_src}) s, ncells
         WHERE cell < n_cells
     ),{rounds}
     corpus AS (
@@ -781,6 +802,7 @@ def _ann_ivf_topk_sql() -> str:
 
 
 ANN_IVF_TOPK_SQL = _ann_ivf_topk_sql()
+ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
 
 
 def _triplet_mining_sql() -> str:

@@ -923,6 +923,14 @@ register(
     similarity.ann_ivf_store_roundtrip,
     oracles.ANN_IVF_TOPK_SQL,
 )
+# stale-index serving (r7): index fitted on the historical 90%, arrivals
+# assigned into existing cells without refit, queries see them at once —
+# the intra-day append half of the ANN production cycle
+register(
+    "ann_ivf_incremental_append",
+    similarity.ann_ivf_incremental_append,
+    oracles.ANN_IVF_INCREMENTAL_SQL,
+)
 
 
 # --------------------------------------------------------------------------

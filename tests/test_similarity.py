@@ -345,3 +345,24 @@ def test_ivf_store_roundtrip_bit_exact_and_probe_identical(spark):
 
     in_session = S.ann_ivf_topk(spark, SF_SMOKE).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in in_session]
+
+
+def test_ivf_incremental_append_serves_arrivals(spark):
+    """Stale-index semantics: the fit sees only the base slice, yet
+    arrivals (vec_id above the integer-rank cut) must be immediately
+    searchable — at least one appears among some query's neighbors — and
+    the served set must cover the same queries as the fresh-fit path."""
+    from aws_saas_etl_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    n = emb.count()
+    cut_row = (
+        emb.select("vec_id").orderBy("vec_id").limit(n - n // 10)
+        .agg(F.max("vec_id")).first()
+    )
+    out = S.ann_ivf_incremental_append(spark, SF_SMOKE).collect()
+    assert out, "stale-index probe returned nothing"
+    arrivals_served = [r for r in out if r["neighbor_id"] > cut_row[0]]
+    assert arrivals_served, "no arrival vector appeared as a neighbor"
+    fresh = S.ann_ivf_topk(spark, SF_SMOKE).collect()
+    assert {r["query_id"] for r in out} == {r["query_id"] for r in fresh}
