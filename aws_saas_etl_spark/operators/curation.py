@@ -248,6 +248,58 @@ def doc_bigram_logprob(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def ccnet_perplexity_buckets(spark, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source perplexity bucketing (Wenzek et al. 2020):
+    each source's documents split into head / middle / tail thirds by
+    their LM score under the corpus bigram model (lower mean −ln P =
+    more fluent; ``doc_bigram_logprob`` is the scorer) — the standard
+    web-corpus curation move where the QUALITY THRESHOLD ADAPTS PER
+    SOURCE (a p50 news-crawl doc is cleaner than a p50 forum doc; one
+    global cutoff would empty the hard sources and keep the easy ones'
+    tails). One row per scored doc: (doc_id, source, score, ppl_bucket).
+
+    Scale shape: NOT a per-source ntile — that sorts each source inside
+    ONE partition (the hottest source = the whole crawl). Instead the
+    two per-source cut points come from one groupBy(source) percentile
+    aggregate (rows ≤ |sources|), broadcast back, and each row buckets
+    itself map-side against its source's cuts — the
+    ``customer_balance_deciles`` decomposition, made per-group. Ties at
+    a cut go to the lower bucket on both engines (strict >). At true
+    100 TB the exact percentile state per source is the remaining
+    memory term; scores are 6dp-rounded, so the histogram decomposition
+    (groupBy(source, score) counts → cumulative over the bounded value
+    domain, the ``corpus_token_budget_sample`` trick) drops in without
+    changing semantics — CCNet itself thresholds on approximate thirds.
+
+    Determinism: the score is the 6dp decimal LM mean cast to double
+    (exact), and both engines interpolate the same type-7 quantile on
+    identical doubles (the hash-green deciles precedent).
+    """
+    scored = doc_bigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("mean_neg_logp").cast("double").alias("score")
+    )
+    src = load_tables(spark, sf_dir).documents.select("doc_id", "source")
+    d = scored.join(src, "doc_id")
+    cuts = d.groupBy("source").agg(
+        F.percentile("score", F.array(F.lit(1 / 3), F.lit(2 / 3))).alias("cuts")
+    )
+    idx = F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("score") > c, 1).otherwise(0),
+    )
+    label = (
+        F.when(idx == 0, F.lit("head"))
+        .when(idx == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        d.join(F.broadcast(cuts), "source")
+        .select("doc_id", "source", "score", label.alias("ppl_bucket"))
+        .orderBy("doc_id")
+    )
+
+
 SEMDEDUP_MIN_K = 8
 SEMDEDUP_MAX_K = 4096
 

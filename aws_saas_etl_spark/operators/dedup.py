@@ -111,6 +111,61 @@ def exact_dedup_groups(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def source_duplication_matrix(spark, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication FLOW — which sources copy from
+    which: for every source pair, how many sha256 text groups they
+    share and how many documents sit on each side; the diagonal rows
+    (source_a == source_b) count WITHIN-source duplication (groups with
+    ≥ 2 copies inside one source). The corpus-composition diagnostic a
+    multi-crawl pipeline reads before choosing dedup order and source
+    weights: a mirror site shows up as a hot off-diagonal cell, heavy
+    diagonal mass means a crawler re-fetched itself, and the matrix is
+    what justifies cross-source (global) rather than per-source dedup.
+
+    Scale shape: one groupBy(sha, source) collapses the corpus to group
+    rows (the exact-dedup shuffle); the self-join runs per sha over that
+    group's DISTINCT SOURCES (≤ |sources| rows per key, a small bounded
+    domain — never per document); the pair aggregate outputs ≤
+    |sources|² rows. Nothing doc×doc anywhere.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    m = (
+        docs.select(F.sha2(F.col("text"), 256).alias("sha"), "source")
+        .groupBy("sha", "source")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    a, b = m.alias("a"), m.alias("b")
+    cross = (
+        a.join(b, "sha")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_groups"),
+            F.sum("a.nd").alias("n_docs_a"),
+            F.sum("b.nd").alias("n_docs_b"),
+        )
+    )
+    diag = (
+        m.where(F.col("nd") >= 2)
+        .groupBy(F.col("source").alias("source_a"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_groups"),
+            F.sum("nd").alias("n_docs_a"),
+        )
+        .select(
+            "source_a",
+            F.col("source_a").alias("source_b"),
+            "n_shared_groups",
+            "n_docs_a",
+            F.col("n_docs_a").alias("n_docs_b"),
+        )
+    )
+    return cross.unionByName(diag).orderBy("source_a", "source_b")
+
+
 def normalized_dedup_groups(spark, sf_dir: str) -> DataFrame:
     """Normalized-hash dedup: case/whitespace/punctuation-insensitive."""
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)

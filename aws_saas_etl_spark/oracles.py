@@ -242,6 +242,29 @@ DEDUP_EXACT_SQL = """
     ORDER BY 1
 """
 
+SOURCE_DUPLICATION_MATRIX_SQL = f"""
+    WITH m AS (
+        SELECT sha256(text) AS sha, source, count(*) AS nd
+        FROM documents WHERE {DOC_DROPNA}
+        GROUP BY 1, 2
+    ),
+    cross_pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared_groups,
+               sum(a.nd) AS n_docs_a, sum(b.nd) AS n_docs_b
+        FROM m a JOIN m b ON a.sha = b.sha AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    diag AS (
+        SELECT source AS source_a, source AS source_b,
+               count(*) AS n_shared_groups,
+               sum(nd) AS n_docs_a, sum(nd) AS n_docs_b
+        FROM m WHERE nd >= 2 GROUP BY 1, 2
+    )
+    SELECT * FROM cross_pairs UNION ALL SELECT * FROM diag
+    ORDER BY source_a, source_b
+"""
+
 DEDUP_NORMALIZED_SQL = f"""
     SELECT sha256({_NORM_TEXT}) AS norm_hash,
            min(doc_id)          AS keeper_doc_id,
@@ -3952,6 +3975,36 @@ def _doc_bigram_logprob_sql() -> str:
 
 
 DOC_BIGRAM_LOGPROB_SQL = _doc_bigram_logprob_sql()
+
+
+def _ccnet_perplexity_buckets_sql() -> str:
+    """Twin of the CCNet per-source thirds: the bigram-LM scorer reused
+    verbatim as a CTE, per-source 1/3-2/3 ``quantile_cont`` cuts (same
+    double literals as Python's ``1/3`` / ``2/3``; the interpolation
+    equality is the hash-green deciles precedent), ties to the lower
+    bucket via strict >."""
+    third1, third2 = repr(1 / 3), repr(2 / 3)
+    return f"""
+    WITH scored AS ({DOC_BIGRAM_LOGPROB_SQL}),
+    s AS (
+        SELECT sc.doc_id, d.source, CAST(sc.mean_neg_logp AS DOUBLE) AS score
+        FROM scored sc JOIN documents d USING (doc_id)
+    ),
+    cuts AS (
+        SELECT source, quantile_cont(score, [{third1}, {third2}]) AS qs
+        FROM s GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.score,
+           CASE (CASE WHEN s.score > cuts.qs[1] THEN 1 ELSE 0 END
+               + CASE WHEN s.score > cuts.qs[2] THEN 1 ELSE 0 END)
+                WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM s JOIN cuts USING (source)
+    ORDER BY s.doc_id
+"""
+
+
+CCNET_PERPLEXITY_BUCKETS_SQL = _ccnet_perplexity_buckets_sql()
 
 
 def _semdedup_sql() -> str:

@@ -931,6 +931,21 @@ register(
     similarity.ann_ivf_incremental_append,
     oracles.ANN_IVF_INCREMENTAL_SQL,
 )
+# CCNet per-source perplexity thirds (r7): quality threshold adapts per
+# source — broadcast percentile cuts, map-side bucketing, no per-source sort
+register(
+    "ccnet_perplexity_buckets",
+    curation.ccnet_perplexity_buckets,
+    oracles.CCNET_PERPLEXITY_BUCKETS_SQL,
+)
+# cross-source exact-duplication flow matrix (r7): which sources copy from
+# which (off-diagonal) and re-fetch themselves (diagonal) — the diagnostic
+# that justifies global-vs-per-source dedup and informs source weights
+register(
+    "source_duplication_matrix",
+    dedup.source_duplication_matrix,
+    oracles.SOURCE_DUPLICATION_MATRIX_SQL,
+)
 
 
 # --------------------------------------------------------------------------
