@@ -887,6 +887,68 @@ def _stored_signals(spark, sf_dir: str) -> DataFrame:
     return out
 
 
+def training_manifest_decontaminated(spark, sf_dir: str) -> DataFrame:
+    """EVAL-DECONTAMINATED training manifest — the leakage check run at
+    the ARTIFACT level: any train-split document sharing ≥
+    ``CONTAM_MIN_SHARED`` rare winnowing fingerprints with any val/test
+    document is REMOVED from the manifest (industry practice per
+    GPT-3/PaLM/Llama reports: contaminated docs are dropped, never
+    replaced by a near-dup — the near-dup likely carries the same
+    overlap), and shard positions close ranks. The cluster-keyed split
+    already guarantees no NEAR-DUP straddles train/eval; this gate
+    catches the orthogonal leak of partial content overlap (a quote, a
+    table, a benchmark question embedded in an otherwise-different doc).
+
+    Scale shape: fingerprint candidates reuse the
+    ``doc_contamination_pairs`` machinery — winnow sets, document-
+    frequency cut (blocks ≤ max_df²), fp-keyed join — but the join is
+    train×eval instead of a self-join, so its output is bounded by the
+    (tiny) eval side; the manifest is the stored artifact
+    (``_full_manifest``), and removal re-ranks positions by the STORED
+    pos (removal preserves relative order, so ranks simply close up) —
+    at 100 TB only shards that lost a row rewrite, exactly the
+    deletion-repair property.
+    """
+    from aws_saas_etl_spark.operators.textops import (
+        CONTAM_MAX_DF,
+        CONTAM_MIN_SHARED,
+        winnow_fingerprint_sets,
+    )
+
+    man = _full_manifest(spark, sf_dir)
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    ex = winnow_fingerprint_sets(docs).select("doc_id", F.explode("fps").alias("fp"))
+    rare = ex.join(
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("fp_df"))
+        .where(F.col("fp_df") <= CONTAM_MAX_DF)
+        .select("fp"),
+        "fp",
+    )
+    tr = rare.join(
+        man.where(F.col("split") == "train").select("doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("train_id"), "fp")
+    ev = rare.join(
+        man.where(F.col("split") != "train").select("doc_id"), "doc_id"
+    ).select(F.col("doc_id").alias("eval_id"), "fp")
+    contam = (
+        tr.join(ev, "fp")
+        .where(F.col("train_id") != F.col("eval_id"))
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    w = Window.partitionBy("split", "shard").orderBy("pos")
+    return (
+        man.join(contam, "doc_id", "anti")
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .orderBy("split", "shard", "pos")
+    )
+
+
 def _stored_base_verdicts(spark, sf_dir: str):
     """The stored verdict artifacts next to the manifest: the historical
     keep-list and the sha → min(doc_id) keeper index, memoized per

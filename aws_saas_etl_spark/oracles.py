@@ -2719,6 +2719,69 @@ def _deletion_manifest_sql() -> str:
 TRAINING_MANIFEST_DELETION_SQL = _deletion_manifest_sql()
 
 
+def _decontaminated_manifest_sql() -> str:
+    """Twin of the eval-decontaminated manifest: the full manifest as a
+    CTE, the winnow rare-fingerprint machinery verbatim from the
+    contamination twin, a train×eval (not self) fp join with the same
+    per-pair ≥ CONTAM_MIN_SHARED threshold, anti-join removal, and
+    positions re-ranked by the STORED pos (removal preserves relative
+    order)."""
+    from aws_saas_etl_spark.functions.text import WINNOW_K, WINNOW_W
+    from aws_saas_etl_spark.operators.textops import (
+        CONTAM_MAX_DF,
+        CONTAM_MIN_SHARED,
+    )
+
+    k, w = WINNOW_K, WINNOW_W
+    h = _winnow_kgram_hash_sql(f"substr(txt, i, {k})")
+    return f"""
+    WITH man AS ({TRAINING_MANIFEST_SQL}),
+    t AS (SELECT doc_id, {_NORM_TEXT} AS txt FROM documents WHERE {DOC_DROPNA}),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN length(txt) >= {k}
+                    THEN list_transform(generate_series(1, length(txt) - {k - 1}),
+                         i -> {h})
+                    ELSE CAST([] AS BIGINT[]) END AS hs
+        FROM t
+    ),
+    wmin AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) >= {w}
+                    THEN list_sort(list_distinct(
+                         list_transform(generate_series(1, len(hs) - {w - 1}),
+                         j -> list_aggregate(hs[j:j+{w - 1}], 'min'))))
+                    ELSE CAST([] AS BIGINT[]) END AS fps
+        FROM g
+    ),
+    ex AS (SELECT doc_id, unnest(fps) AS fp FROM wmin),
+    rare AS (
+        SELECT ex.doc_id, ex.fp FROM ex
+        JOIN (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= {CONTAM_MAX_DF}) r
+          ON ex.fp = r.fp
+    ),
+    contam AS (
+        SELECT DISTINCT a.doc_id
+        FROM rare a
+        JOIN man ma ON a.doc_id = ma.doc_id AND ma.split = 'train'
+        JOIN rare b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+        JOIN man mb ON b.doc_id = mb.doc_id AND mb.split <> 'train'
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {CONTAM_MIN_SHARED}
+    )
+    SELECT m.doc_id, m.split, m.shard,
+           row_number() OVER (PARTITION BY m.split, m.shard ORDER BY m.pos)
+               AS pos,
+           m.n_tokens
+    FROM man m LEFT JOIN contam c ON m.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL
+    ORDER BY m.split, m.shard, pos
+"""
+
+
+TRAINING_MANIFEST_DECONTAMINATED_SQL = _decontaminated_manifest_sql()
+
+
 def _cluster_deletion_repair_sql() -> str:
     """Twin of the deletion repair: the same recursive-CTE closure, the
     same keep-best rank over all members and over survivors, NULL new

@@ -946,6 +946,13 @@ register(
     dedup.source_duplication_matrix,
     oracles.SOURCE_DUPLICATION_MATRIX_SQL,
 )
+# eval-decontaminated manifest (r7): train docs sharing rare winnow
+# fingerprints with val/test docs are dropped, shard positions close ranks
+register(
+    "training_manifest_decontaminated",
+    curation.training_manifest_decontaminated,
+    oracles.TRAINING_MANIFEST_DECONTAMINATED_SQL,
+)
 
 
 # --------------------------------------------------------------------------

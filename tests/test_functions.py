@@ -635,3 +635,43 @@ def test_minhash_signature_matches_pure_python(spark):
             assert got[f"h{i}"] == want, (r.doc_id, i)
         checked += 1
     assert checked >= 10
+
+
+def test_decontaminated_manifest_semantics(spark):
+    """Pins the decontamination contract on the smoke corpus: (1) the
+    gate is non-vacuous (the fixture contains at least one train↔eval
+    rare-fingerprint overlap); (2) only TRAIN rows are ever removed —
+    val/test rows survive verbatim; (3) surviving rows keep their
+    relative order (positions close ranks); (4) removed docs are exactly
+    those with a ≥-threshold contamination pair against a val/test doc."""
+    from aws_saas_etl_spark.operators.curation import (
+        training_manifest,
+        training_manifest_decontaminated,
+    )
+    from aws_saas_etl_spark.operators.textops import doc_contamination_pairs
+    from tests.conftest import SF_SMOKE
+
+    full = {r.doc_id: r for r in training_manifest(spark, SF_SMOKE).collect()}
+    dec = {r.doc_id: r for r in
+           training_manifest_decontaminated(spark, SF_SMOKE).collect()}
+    removed = set(full) - set(dec)
+    assert removed, "fixture produced no contamination — gate untested"
+    assert all(full[d].split == "train" for d in removed)
+
+    # expected removals from the pairs query restricted train x eval
+    split = {d: r.split for d, r in full.items()}
+    expect = set()
+    for p in doc_contamination_pairs(spark, SF_SMOKE).collect():
+        a, b = p.doc_a, p.doc_b
+        if split.get(a) == "train" and split.get(b) in ("val", "test"):
+            expect.add(a)
+        if split.get(b) == "train" and split.get(a) in ("val", "test"):
+            expect.add(b)
+    assert removed == expect
+
+    for (s, sh) in {(r.split, r.shard) for r in dec.values()}:
+        old = [r.doc_id for r in sorted(full.values(), key=lambda r: r.pos)
+               if (r.split, r.shard) == (s, sh) and r.doc_id in dec]
+        new = [r.doc_id for r in sorted(dec.values(), key=lambda r: r.pos)
+               if (r.split, r.shard) == (s, sh)]
+        assert old == new
