@@ -887,6 +887,37 @@ def _stored_signals(spark, sf_dir: str) -> DataFrame:
     return out
 
 
+def manifest_shard_stats(spark, sf_dir: str) -> DataFrame:
+    """Loader-facing manifest audit — the per-shard summary a training
+    launcher reads before streaming: per (split, shard) the document
+    count, token total (what actually balances data-parallel ranks),
+    token min/max/mean, and the position span (max_pos == n_docs iff
+    positions are contiguous — the seekability invariant surfaced as a
+    checkable column instead of a hidden assumption). Uneven shard token
+    totals are the classic cause of straggler ranks; this table is what
+    you alert on.
+
+    Scale shape: consumes the stored manifest artifact; one
+    groupBy(split, shard) with algebraic aggregates — output rows =
+    shards, corpus-independent. Token mean accumulates in decimal
+    (order-independent).
+    """
+    man = _full_manifest(spark, sf_dir)
+    return (
+        man.groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            N.davg_rounded(F.col("n_tokens"), 4).alias("mean_tokens"),
+            F.max("pos").alias("max_pos"),
+            (F.max("pos") == F.count(F.lit(1))).alias("positions_contiguous"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
 def training_manifest_decontaminated(spark, sf_dir: str) -> DataFrame:
     """EVAL-DECONTAMINATED training manifest — the leakage check run at
     the ARTIFACT level: any train-split document sharing ≥

@@ -553,6 +553,53 @@ def ann_ivf_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     return _ivf_probe(emb, centroids, nprobe, k)
 
 
+def ann_index_staleness_report(spark, sf_dir: str) -> DataFrame:
+    """Index-quality monitoring — the job a vector platform schedules to
+    decide WHEN the nightly refit must run: per query, how many exact
+    top-k neighbors (``knn_bruteforce`` ground truth) the FRESH index
+    (``ann_ivf_topk``, fitted on everything) and the STALE index
+    (``ann_ivf_incremental_append``, fitted pre-arrivals) each recover,
+    plus their mutual overlap. When ``n_stale_hits`` decays materially
+    below ``n_fresh_hits`` across queries, the arrival distribution has
+    drifted off the trained cells and the refit is due — measured, not
+    guessed. Integer hit counts only (exact fractions are k-division
+    away), so the gate hashes with no float anywhere.
+
+    Scale shape: three already-bounded top-k frames (each ≤ queries × k
+    rows) joined on (query_id, neighbor_id) — the report costs nothing
+    beyond the serving paths it audits, and both IVF fits come from the
+    session memo / stored index.
+    """
+    key = ["query_id", "neighbor_id"]
+    truth = knn_bruteforce(spark, sf_dir).select(*key)
+    fresh = ann_ivf_topk(spark, sf_dir).select(*key)
+    stale = ann_ivf_incremental_append(spark, sf_dir).select(*key)
+
+    def hits(cand: DataFrame, ref: DataFrame, name: str) -> DataFrame:
+        return (
+            cand.join(ref, key)
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    base = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        base.join(hits(fresh, truth, "n_fresh_hits"), "query_id", "left")
+        .join(hits(stale, truth, "n_stale_hits"), "query_id", "left")
+        .join(hits(stale, fresh, "n_stale_fresh_common"), "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("n_fresh_hits", F.lit(0)).alias("n_fresh_hits"),
+            F.coalesce("n_stale_hits", F.lit(0)).alias("n_stale_hits"),
+            F.coalesce("n_stale_fresh_common", F.lit(0)).alias(
+                "n_stale_fresh_common"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
 K_CENTROIDS = 8  # fixed demo codebook: the K lowest vec_ids
 
 

@@ -828,6 +828,38 @@ ANN_IVF_TOPK_SQL = _ann_ivf_topk_sql()
 ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
 
 
+def _ann_staleness_sql() -> str:
+    """Twin of the staleness report: the three top-k twins as CTEs,
+    (query_id, neighbor_id) hit joins, integer counts with coalesce-0."""
+    return f"""
+    WITH truth AS ({KNN_BRUTEFORCE_SQL}),
+    fresh AS ({ANN_IVF_TOPK_SQL}),
+    stale AS ({ANN_IVF_INCREMENTAL_SQL}),
+    base AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1),
+    fh AS (SELECT f.query_id, count(*) AS c FROM fresh f
+           JOIN truth t ON f.query_id = t.query_id
+                       AND f.neighbor_id = t.neighbor_id GROUP BY 1),
+    sh AS (SELECT s.query_id, count(*) AS c FROM stale s
+           JOIN truth t ON s.query_id = t.query_id
+                       AND s.neighbor_id = t.neighbor_id GROUP BY 1),
+    sf AS (SELECT s.query_id, count(*) AS c FROM stale s
+           JOIN fresh f ON s.query_id = f.query_id
+                       AND s.neighbor_id = f.neighbor_id GROUP BY 1)
+    SELECT base.query_id, base.n_truth,
+           coalesce(fh.c, 0) AS n_fresh_hits,
+           coalesce(sh.c, 0) AS n_stale_hits,
+           coalesce(sf.c, 0) AS n_stale_fresh_common
+    FROM base
+    LEFT JOIN fh ON base.query_id = fh.query_id
+    LEFT JOIN sh ON base.query_id = sh.query_id
+    LEFT JOIN sf ON base.query_id = sf.query_id
+    ORDER BY base.query_id
+"""
+
+
+ANN_STALENESS_SQL = _ann_staleness_sql()
+
+
 def _triplet_mining_sql() -> str:
     """Twin of the hard-triplet mine: the same rounded cosine (identical
     fold order), hardest positive via (cos ASC, id ASC) rank-1 and
@@ -2717,6 +2749,24 @@ def _deletion_manifest_sql() -> str:
 
 
 TRAINING_MANIFEST_DELETION_SQL = _deletion_manifest_sql()
+
+
+def _manifest_shard_stats_sql() -> str:
+    return f"""
+    WITH man AS ({TRAINING_MANIFEST_SQL})
+    SELECT split, shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens,
+           {davg_sql("n_tokens", 4)} AS mean_tokens,
+           max(pos) AS max_pos,
+           max(pos) = count(*) AS positions_contiguous
+    FROM man GROUP BY split, shard ORDER BY split, shard
+"""
+
+
+MANIFEST_SHARD_STATS_SQL = _manifest_shard_stats_sql()
 
 
 def _decontaminated_manifest_sql() -> str:

@@ -953,6 +953,20 @@ register(
     curation.training_manifest_decontaminated,
     oracles.TRAINING_MANIFEST_DECONTAMINATED_SQL,
 )
+# loader-facing manifest audit (r7): per-shard doc/token balance + the
+# position-contiguity invariant as a checkable column
+register(
+    "manifest_shard_stats",
+    curation.manifest_shard_stats,
+    oracles.MANIFEST_SHARD_STATS_SQL,
+)
+# index-quality monitoring (r7): exact-vs-fresh-vs-stale hit counts per
+# query — the measured signal that schedules the nightly ANN refit
+register(
+    "ann_index_staleness_report",
+    similarity.ann_index_staleness_report,
+    oracles.ANN_STALENESS_SQL,
+)
 
 
 # --------------------------------------------------------------------------
