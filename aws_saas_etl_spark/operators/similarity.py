@@ -553,6 +553,37 @@ def ann_ivf_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     return _ivf_probe(emb, centroids, nprobe, k)
 
 
+#: Deletion-list convention shared with the manifest layer
+#: (curation.DELETION_MOD — defined locally because curation imports this
+#: module): every 7th vec_id is the arriving right-to-be-forgotten set.
+VEC_DELETION_MOD = 7
+
+
+def ann_ivf_deletion_repair(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """GDPR / license-revocation propagated through the ANN index — the
+    vector-side twin of ``training_manifest_deletion_repair``: the
+    deletion list's vectors (vec_id % VEC_DELETION_MOD == 0) drop out of
+    the POSTINGS (corpus assignment) and the query set, while the
+    TRAINED CENTROIDS stay as stored — cell means are aggregates over
+    thousands of vectors, carry no recoverable per-item content, and
+    refitting per deletion batch would cost corpus × iters. Serving over
+    the repaired postings provably equals probing a corpus that never
+    contained the deleted vectors against the same stored index (the
+    hash gate replays exactly that: fit CTEs over ALL vectors, serve
+    CTEs filtered) — so the repair is a postings anti-join, delta-sized,
+    and the stale-fit drift it leaves behind is what
+    ``ann_index_staleness_report`` exists to watch.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    n_cells = ivf_cells_for(emb.count())
+    nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
+    # the stored index: same memo slot the batch query fit (fit sees the
+    # full corpus — deletions arrive AFTER the nightly fit)
+    centroids = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
+    surviving = emb.where(F.col("vec_id") % VEC_DELETION_MOD != 0)
+    return _ivf_probe(surviving, centroids, nprobe, k)
+
+
 def ann_index_staleness_report(spark, sf_dir: str) -> DataFrame:
     """Index-quality monitoring — the job a vector platform schedules to
     decide WHEN the nightly refit must run: per query, how many exact

@@ -672,7 +672,7 @@ def _ann_lsh_topk_sql() -> str:
 ANN_LSH_TOPK_SQL = _ann_lsh_topk_sql()
 
 
-def _ann_ivf_topk_sql(fit_src: str = "embeddings") -> str:
+def _ann_ivf_topk_sql(fit_src: str = "embeddings", serve_where: str = "") -> str:
     """Exact twin of the IVF ANN — the Lloyd fit UNROLLED as plain CTEs
     (IVF_ITERS is a module constant, so the twin is generated with one
     chain per round; no recursive CTE needed) plus the probe.
@@ -794,6 +794,7 @@ def _ann_ivf_topk_sql(fit_src: str = "embeddings") -> str:
                        ORDER BY {cos("e.embedding", "c.centroid")} DESC,
                                 c.cell ASC) AS rn
             FROM embeddings e CROSS JOIN {prev} c
+            {f"WHERE e.{serve_where}" if serve_where else ""}
         ) WHERE rn = 1
     ),
     probes AS (
@@ -804,6 +805,7 @@ def _ann_ivf_topk_sql(fit_src: str = "embeddings") -> str:
                                 c.cell ASC) AS pr
             FROM embeddings q CROSS JOIN {prev} c
             WHERE q.vec_id < {N_QUERY_VECS}
+            {f"AND q.{serve_where}" if serve_where else ""}
         ), np_ WHERE pr <= nprobe
     ),
     sims AS (
@@ -826,6 +828,18 @@ def _ann_ivf_topk_sql(fit_src: str = "embeddings") -> str:
 
 ANN_IVF_TOPK_SQL = _ann_ivf_topk_sql()
 ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
+
+
+def _ann_ivf_deletion_sql() -> str:
+    """Twin of the vector-side deletion repair: fit over ALL vectors
+    (the stored index predates the deletion batch), postings and query
+    set filtered to survivors."""
+    from aws_saas_etl_spark.operators.similarity import VEC_DELETION_MOD
+
+    return _ann_ivf_topk_sql(serve_where=f"vec_id % {VEC_DELETION_MOD} <> 0")
+
+
+ANN_IVF_DELETION_SQL = _ann_ivf_deletion_sql()
 
 
 def _ann_staleness_sql() -> str:

@@ -967,6 +967,14 @@ register(
     similarity.ann_index_staleness_report,
     oracles.ANN_STALENESS_SQL,
 )
+# vector-side GDPR (r7): deletions drop out of postings + query set, the
+# trained centroids stay as stored — serving provably equals probing a
+# corpus that never held the deleted vectors against the same index
+register(
+    "ann_ivf_deletion_repair",
+    similarity.ann_ivf_deletion_repair,
+    oracles.ANN_IVF_DELETION_SQL,
+)
 
 
 # --------------------------------------------------------------------------

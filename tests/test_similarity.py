@@ -366,3 +366,24 @@ def test_ivf_incremental_append_serves_arrivals(spark):
     assert arrivals_served, "no arrival vector appeared as a neighbor"
     fresh = S.ann_ivf_topk(spark, SF_SMOKE).collect()
     assert {r["query_id"] for r in out} == {r["query_id"] for r in fresh}
+
+
+def test_ivf_deletion_repair_forgets_deleted_vectors(spark):
+    """Vector-side right-to-be-forgotten: no deleted vec_id may appear as
+    a neighbor OR a query after the repair, and surviving queries must
+    still be served (candidate promotion, not truncation, fills ranks)."""
+    from aws_saas_etl_spark.operators import similarity as S
+
+    out = S.ann_ivf_deletion_repair(spark, SF_SMOKE).collect()
+    assert out
+    assert all(r["neighbor_id"] % S.VEC_DELETION_MOD != 0 for r in out)
+    assert all(r["query_id"] % S.VEC_DELETION_MOD != 0 for r in out)
+    # a neighbor that replaced a deleted one: some rank is occupied by an
+    # id absent from the unfiltered top-k at the same rank position
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.ann_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    assert any(
+        full.get((r["query_id"], r["rank"])) != r["neighbor_id"] for r in out
+    )
