@@ -1,0 +1,80 @@
+"""Session-scoped stored-artifact memos, self-registering.
+
+Several operators model a STORED artifact (content clusters, shingle
+table, fitted IVF centroids, manifest frames): in production each is
+written once and read back from object storage, so computing it once per
+session is the faithful serving shape. Every such cache is a
+``MemoDict`` — a plain dict that (a) registers itself in a module-level
+registry so ``session.clear_session_memos`` and the scale/plan tools can
+purge ALL stored state without hand-curating a list, and (b) records
+reads and writes while a ``track()`` context is active so ``bench.py``
+can DERIVE which registered queries are memo-backed (two-regime
+cold/warm cost) instead of maintaining the set by hand (VERDICT r7 #4:
+the hand-curated six missed ``ann_index_staleness_report`` and its
+10.4 s canary spread masqueraded as noise).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+_REGISTRY: list["MemoDict"] = []
+
+# While non-None, every MemoDict get/set appends its memo's name here —
+# bench wraps each query invocation in ``track()`` and reads this back.
+_TRACE: list[str] | None = None
+
+
+class MemoDict(dict):
+    """dict + self-registration + read/write tracing."""
+
+    def __init__(self, name: str) -> None:
+        super().__init__()
+        self.name = name
+        _REGISTRY.append(self)
+
+    def _trace(self) -> None:
+        if _TRACE is not None:
+            _TRACE.append(self.name)
+
+    def get(self, key: Any, default: Any = None) -> Any:
+        self._trace()
+        return super().get(key, default)
+
+    def __getitem__(self, key: Any) -> Any:
+        self._trace()
+        return super().__getitem__(key)
+
+    def __setitem__(self, key: Any, value: Any) -> None:
+        self._trace()
+        super().__setitem__(key, value)
+
+
+def clear_all() -> None:
+    """Purge every registered memo — the cold-path reset used by
+    bench/scale_probe/plan_audit (and clear_session_memos)."""
+    for m in _REGISTRY:
+        m.clear()
+
+
+def all_memos() -> list[MemoDict]:
+    return list(_REGISTRY)
+
+
+class track:
+    """Context manager: records which memos were touched inside it.
+
+    >>> with track() as touched:
+    ...     run_query()
+    >>> bool(touched)   # query is memo-backed
+    """
+
+    def __enter__(self) -> list[str]:
+        global _TRACE
+        self._prev = _TRACE
+        _TRACE = []
+        return _TRACE
+
+    def __exit__(self, *exc: Any) -> None:
+        global _TRACE
+        _TRACE = self._prev

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aws_saas_etl_spark.memo import MemoDict
 from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
 from aws_saas_etl_spark.functions import text as T
 
@@ -129,8 +130,15 @@ def source_duplication_matrix(spark, sf_dir: str) -> DataFrame:
     |sources|² rows. Nothing doc×doc anywhere.
     """
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    return duplication_matrix(docs.select("text", "source"))
+
+
+def duplication_matrix(corpus: DataFrame) -> DataFrame:
+    """The matrix body over any ``(text, source)`` corpus frame — shared
+    by the real-corpus query and the planted-duplicates gate so one
+    implementation carries both."""
     m = (
-        docs.select(F.sha2(F.col("text"), 256).alias("sha"), "source")
+        corpus.select(F.sha2(F.col("text"), 256).alias("sha"), "source")
         .groupBy("sha", "source")
         .agg(F.count(F.lit(1)).alias("nd"))
     )
@@ -164,6 +172,34 @@ def source_duplication_matrix(spark, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(diag).orderBy("source_a", "source_b")
+
+
+def source_duplication_matrix_planted(spark, sf_dir: str) -> DataFrame:
+    """Non-vacuous gate for the duplication matrix (ADVICE r7): the real
+    fixtures contain zero exact sha256 duplicate groups, so the plain
+    query's oracle row is 0 rows == 0 rows and proves nothing about the
+    pair join, the ``a.source < b.source`` dedup, or the diagonal union.
+    This variant deterministically PLANTS duplicates before running the
+    identical matrix body: every ``doc_id % 10 == 0`` document is
+    re-inserted under a ``mirror_<source>`` twin source (one off-diagonal
+    cell per original source) and every ``doc_id % 10 == 3`` document is
+    re-inserted under its own source (diagonal re-fetch cells) — ~40
+    result rows at sf0.01 that the driver value-hashes against the same
+    augmentation done in DuckDB SQL. The augmentation is two narrow
+    filtered unions; the matrix scale shape is unchanged (groupBy(sha,
+    source) then a per-sha self-join over distinct sources only)."""
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    base = docs.select("text", "source", "doc_id")
+    aug = (
+        base.select("text", "source")
+        .unionAll(
+            base.where(F.col("doc_id") % 10 == 0).select(
+                "text", F.concat(F.lit("mirror_"), F.col("source")).alias("source")
+            )
+        )
+        .unionAll(base.where(F.col("doc_id") % 10 == 3).select("text", "source"))
+    )
+    return duplication_matrix(aug)
 
 
 def normalized_dedup_groups(spark, sf_dir: str) -> DataFrame:
@@ -372,7 +408,7 @@ def _prefix_candidates(sh: DataFrame, min_jaccard: float) -> DataFrame:
 #: consumers reach it (the pairs query, the cluster chain, the
 #: incremental merge, the store roundtrip, the pairs parity tests);
 #: without the memo each builds and holds its own materialized copy.
-_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+_SHINGLE_CACHE = MemoDict("shingle")
 
 
 def _shingle_table(spark, sf_dir: str) -> DataFrame:
@@ -632,7 +668,7 @@ def connected_components(
 #: (node, comp) table: cluster-membership-sized, tiny relative to the
 #: corpus. Entries for stopped SparkContexts can never be hit again
 #: (applicationId is context-unique), so no invalidation is needed.
-_CLUSTER_CACHE: dict[tuple, DataFrame] = {}
+_CLUSTER_CACHE = MemoDict("clusters")
 
 
 def content_clusters(spark, sf_dir: str, min_jaccard: float = 0.4) -> DataFrame:
@@ -774,7 +810,7 @@ def clusters_incremental_merge(spark, sf_dir: str) -> DataFrame:
 #: "stored table" both incremental-maintenance queries consume; in
 #: production it is one artifact, so computing it once per session is
 #: the faithful model (and saves a full pairs→CC chain when both run).
-_BASE_LABELS_CACHE: dict[tuple, DataFrame] = {}
+_BASE_LABELS_CACHE = MemoDict("base_labels")
 
 
 def _base_assignment(spark, sf_dir: str) -> DataFrame:
@@ -917,6 +953,13 @@ def cluster_store_roundtrip(spark, sf_dir: str) -> DataFrame:
         "overwrite"
     ).save()
     return _cluster_rows(read_manifest_parquet(spark, path))
+
+
+# Constructing this query's DataFrame EXECUTES two manifest-sink writes
+# (base assignment, merged assignment) — deliberate (it proves the
+# storage + merge legs), but plan/bench tools that call every registered
+# fn must know each call re-runs the stored-state rewrite. (ADVICE r7)
+cluster_store_roundtrip.side_effecting = True
 
 
 ER_MAX_EDITS = 2  # fuzzy-match threshold on edit distance

@@ -308,13 +308,30 @@ def supplier_diversity_per_brand(spark, sf_dir: str) -> DataFrame:
 def approx_distinct_parts(spark, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count per return flag (approximate — the
     scale path for 100 TB distinct counts; rows-only verified since the
-    sketch is engine-specific)."""
+    sketch is engine-specific).
+
+    SELF-AUDITING (VERDICT r7 #6): the result carries the exact
+    ``countDistinct`` and the relative error beside the estimate — the
+    ``order_value_percentiles_approx`` convention — so the rows-only
+    driver row ships its own error bound (pytest pins rel_err ≤ 3·rsd).
+    At 100 TB you would drop ``exact_parts`` (it is the expensive path
+    the sketch replaces); it rides here because the query's JOB is to
+    certify the sketch."""
     t = load_tables(spark, sf_dir)
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts"),
+                6,
+            ),
         )
         .orderBy("l_returnflag")
     )

@@ -242,28 +242,65 @@ DEDUP_EXACT_SQL = """
     ORDER BY 1
 """
 
-SOURCE_DUPLICATION_MATRIX_SQL = f"""
-    WITH m AS (
+def _dup_matrix_sql(corpus_cte: str) -> str:
+    """Matrix body over a (text, source) corpus relation named ``aug``.
+
+    sum() is CAST to BIGINT: DuckDB's sum(BIGINT) widens to HUGEINT,
+    which the driver's pandas comparison renders as float strings
+    ('7.0') while Spark emits LONG ('7') — an uncast sum fails the
+    value hash on any corpus that actually contains duplicates (the r7
+    twin shipped uncast and passed only because the fixture has zero
+    sha256 dup groups; ADVICE r7)."""
+    return f"""
+    WITH {corpus_cte},
+    m AS (
         SELECT sha256(text) AS sha, source, count(*) AS nd
-        FROM documents WHERE {DOC_DROPNA}
+        FROM aug
         GROUP BY 1, 2
     ),
     cross_pairs AS (
         SELECT a.source AS source_a, b.source AS source_b,
                count(*) AS n_shared_groups,
-               sum(a.nd) AS n_docs_a, sum(b.nd) AS n_docs_b
+               CAST(sum(a.nd) AS BIGINT) AS n_docs_a,
+               CAST(sum(b.nd) AS BIGINT) AS n_docs_b
         FROM m a JOIN m b ON a.sha = b.sha AND a.source < b.source
         GROUP BY 1, 2
     ),
     diag AS (
         SELECT source AS source_a, source AS source_b,
                count(*) AS n_shared_groups,
-               sum(nd) AS n_docs_a, sum(nd) AS n_docs_b
+               CAST(sum(nd) AS BIGINT) AS n_docs_a,
+               CAST(sum(nd) AS BIGINT) AS n_docs_b
         FROM m WHERE nd >= 2 GROUP BY 1, 2
     )
     SELECT * FROM cross_pairs UNION ALL SELECT * FROM diag
     ORDER BY source_a, source_b
 """
+
+
+SOURCE_DUPLICATION_MATRIX_SQL = _dup_matrix_sql(
+    f"aug AS (SELECT text, source FROM documents WHERE {DOC_DROPNA})"
+)
+
+# Planted-duplicates variant: the real fixtures contain ZERO exact sha256
+# duplicate groups, so the plain matrix hash-matches on 0 rows == 0 rows —
+# a vacuous gate (ADVICE r7). This twin deterministically augments the
+# corpus before building the matrix: every doc_id % 10 == 0 document is
+# re-inserted under a 'mirror_' twin source (cross-source duplication, one
+# off-diagonal cell per source) and every doc_id % 10 == 3 document is
+# re-inserted under its OWN source (within-source re-fetch, diagonal
+# cells) — so the pair-join direction, the a.source < b.source dedup, and
+# the diagonal union all produce rows the driver value-hashes.
+SOURCE_DUPLICATION_MATRIX_PLANTED_SQL = _dup_matrix_sql(
+    f"""base AS (SELECT text, source, doc_id FROM documents WHERE {DOC_DROPNA}),
+    aug AS (
+        SELECT text, source FROM base
+        UNION ALL
+        SELECT text, 'mirror_' || source FROM base WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT text, source FROM base WHERE doc_id % 10 = 3
+    )"""
+)
 
 DEDUP_NORMALIZED_SQL = f"""
     SELECT sha256({_NORM_TEXT}) AS norm_hash,

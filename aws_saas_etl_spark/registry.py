@@ -908,6 +908,15 @@ register(
     curation.training_manifest_incremental,
     oracles.TRAINING_MANIFEST_SQL,
 )
+# file-level half of the incremental claim (r8): manifest stored as a
+# (split, shard)-partitioned parquet table, maintained by DYNAMIC
+# partition overwrite — only touched partitions rewrite; read-back of the
+# whole store must hash to the full recompute
+register(
+    "manifest_partitioned_store_roundtrip",
+    curation.manifest_partitioned_store_roundtrip,
+    oracles.TRAINING_MANIFEST_SQL,
+)
 # deletion propagated into the manifest: keeper flips, cluster splits,
 # touched-shard rewrites — oracle = full recompute over survivors
 register(
@@ -945,6 +954,16 @@ register(
     "source_duplication_matrix",
     dedup.source_duplication_matrix,
     oracles.SOURCE_DUPLICATION_MATRIX_SQL,
+)
+# planted-duplicates gate (r8): the fixtures have zero exact dup groups,
+# so the plain matrix row is vacuously green (0 rows == 0 rows); this twin
+# plants deterministic cross-source mirrors + within-source re-fetches so
+# the pair join / ordering dedup / diagonal union are value-hashed on a
+# populated result
+register(
+    "source_duplication_matrix_planted",
+    dedup.source_duplication_matrix_planted,
+    oracles.SOURCE_DUPLICATION_MATRIX_PLANTED_SQL,
 )
 # eval-decontaminated manifest (r7): train docs sharing rare winnow
 # fingerprints with val/test docs are dropped, shard positions close ranks

@@ -70,11 +70,11 @@ def clear_session_memos() -> None:
     read back from object storage, so computing one per session is the
     faithful serving shape — but cold-path measurement (scale_probe,
     plan_audit's cold mode) must clear them or it times/plans only the
-    cheap consumer stage."""
-    from aws_saas_etl_spark.operators import curation, dedup, similarity
+    cheap consumer stage. The set of memos is not hand-curated: every
+    cache is a self-registering ``memo.MemoDict`` (importing the operator
+    modules registers them), so a new stored artifact is covered the
+    moment it exists."""
+    from aws_saas_etl_spark import memo
+    from aws_saas_etl_spark.operators import curation, dedup, similarity  # noqa: F401
 
-    dedup._CLUSTER_CACHE.clear()
-    dedup._SHINGLE_CACHE.clear()
-    dedup._BASE_LABELS_CACHE.clear()
-    similarity._IVF_CACHE.clear()
-    curation._MANIFEST_CACHE.clear()
+    memo.clear_all()

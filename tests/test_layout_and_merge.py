@@ -87,3 +87,78 @@ def test_merge_upsert_plan_is_single_shuffle_join(spark):
     )
     assert "FullOuter" in plan or "full_outer" in plan.lower()
     assert "Window" not in plan
+
+
+def _partition_digests(root):
+    """rel-path → md5 for every data file under a partitioned table,
+    keyed so the (split, shard) partition of each file is recoverable."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def _pkey(rel_path):
+    """('train', 3) from 'split=train/shard=3/part-....parquet'."""
+    parts = dict(
+        seg.split("=", 1) for seg in rel_path.split("/")[:-1] if "=" in seg
+    )
+    return parts["split"], int(parts["shard"])
+
+
+def test_partitioned_manifest_rewrites_only_touched_shards(spark, tmp_path):
+    """VERDICT r7 #3, the file-level claim: after the initial partitioned
+    store, the incremental maintenance write (dynamic partition
+    overwrite of ONLY the touched partitions' row sets) must leave every
+    untouched (split, shard) partition's files byte-identical — same
+    names, same md5 — while touched partitions get new files; and the
+    read-back of the whole store must equal the row-level merge."""
+    from tests.conftest import SF_SMOKE
+    from aws_saas_etl_spark.operators.curation import (
+        MANIFEST_COLS,
+        _incremental_merge_parts,
+        training_manifest_incremental,
+    )
+
+    stored, re_ranked, _kept, touched = _incremental_merge_parts(spark, SF_SMOKE)
+    touched_keys = {(r.split, r.shard) for r in touched.collect()}
+    assert touched_keys, "fixture produced no touched partitions"
+
+    path = str(tmp_path / "manifest_store")
+    stored.select(*MANIFEST_COLS).write.partitionBy("split", "shard").mode(
+        "overwrite"
+    ).parquet(path)
+    before = _partition_digests(path)
+
+    re_ranked.select(*MANIFEST_COLS).write.partitionBy("split", "shard").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(path)
+    after = _partition_digests(path)
+
+    untouched_before = {p: d for p, d in before.items() if _pkey(p) not in touched_keys}
+    untouched_after = {p: d for p, d in after.items() if _pkey(p) not in touched_keys}
+    assert untouched_before, "every partition was touched — claim untestable"
+    assert untouched_before == untouched_after  # names AND bytes identical
+
+    touched_before = {p for p in before if _pkey(p) in touched_keys}
+    touched_after = {p for p in after if _pkey(p) in touched_keys}
+    assert touched_after and touched_after.isdisjoint(touched_before)
+
+    back = sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .collect()
+    )
+    expect = sorted(
+        tuple(r) for r in training_manifest_incremental(spark, SF_SMOKE).collect()
+    )
+    assert back == expect

