@@ -138,13 +138,22 @@ def duplication_matrix(corpus: DataFrame) -> DataFrame:
     by the real-corpus query and the planted-duplicates gate so one
     implementation carries both."""
     m = (
-        corpus.select(F.sha2(F.col("text"), 256).alias("sha"), "source")
-        .groupBy("sha", "source")
+        corpus.select(F.sha2(F.col("text"), 256).alias("gkey"), "source")
+        .groupBy("gkey", "source")
         .agg(F.count(F.lit(1)).alias("nd"))
     )
+    return _flow_matrix(m)
+
+
+def _flow_matrix(m: DataFrame) -> DataFrame:
+    """Source-flow matrix over a generic grouping: ``m`` holds one row
+    per (gkey, source) with the doc count ``nd`` — gkey is a sha256 text
+    group for the exact matrix, a connected-component id for the
+    near-dup matrix. Off-diagonal cells count groups shared by a source
+    pair; diagonal cells count within-source multi-copy groups."""
     a, b = m.alias("a"), m.alias("b")
     cross = (
-        a.join(b, "sha")
+        a.join(b, "gkey")
         .where(F.col("a.source") < F.col("b.source"))
         .groupBy(
             F.col("a.source").alias("source_a"),
@@ -200,6 +209,35 @@ def source_duplication_matrix_planted(spark, sf_dir: str) -> DataFrame:
         .unionAll(base.where(F.col("doc_id") % 10 == 3).select("text", "source"))
     )
     return duplication_matrix(aug)
+
+
+def source_neardup_matrix(spark, sf_dir: str) -> DataFrame:
+    """Cross-source NEAR-duplication flow — the fuzzy counterpart of
+    ``source_duplication_matrix``: for every source pair, how many
+    content CLUSTERS (prefix-filtered n-gram-Jaccard connected
+    components, the shared ``content_clusters`` intermediate) have
+    members in both sources, and how many documents sit on each side;
+    diagonal rows count clusters with ≥ 2 members inside one source.
+    Exact sha duplication catches byte-identical mirroring; THIS matrix
+    is what catches paraphrase mills, template farms, and syndicated
+    rewrites — and unlike the exact matrix it is non-vacuous on the real
+    fixtures (their clusters are built from cross-source near-dups).
+
+    Scale shape: the cluster table is the stored artifact every dedup
+    consumer already shares (computed once per session, incrementally
+    maintained in production); this adds one groupBy(comp, source) over
+    cluster members — cluster-count-sized, not corpus-sized — and the
+    per-gkey self-join runs over each cluster's DISTINCT SOURCES only
+    (bounded by the source domain). Output ≤ |sources|² rows.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    comp = content_clusters(spark, sf_dir)
+    m = (
+        comp.join(docs.select(F.col("doc_id").alias("node"), "source"), "node")
+        .groupBy(F.col("comp").alias("gkey"), "source")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    return _flow_matrix(m)
 
 
 def normalized_dedup_groups(spark, sf_dir: str) -> DataFrame:

@@ -665,6 +665,63 @@ def ann_index_staleness_report(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: Reciprocal-rank-fusion constant (Cormack et al. SIGIR'09 convention)
+RRF_K = 60
+
+
+def ann_hybrid_rrf(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """HYBRID retrieval fusion — reciprocal-rank fusion (RRF) of the two
+    ANN serving paths: data-oblivious LSH buckets (``ann_lsh_topk``) and
+    data-adaptive IVF cells (``ann_ivf_topk``). RRF is the standard way
+    a production search stack combines retrievers with incomparable
+    scores (lexical + vector, or two vector indexes): each candidate
+    scores Σ 1/(60 + rank_r) over the retrievers that returned it, so
+    agreement beats any single high rank and no score calibration is
+    needed. Emits per (query, neighbor): membership flags, the fused
+    score, and the fused rank (top-k).
+
+    Engine-neutral by construction: ranks are integers, 1/(60+rank) is
+    one exact IEEE double division, the two-term sum has a fixed
+    evaluation order, and the result rounds to 6dp — the twin wraps the
+    full LSH and IVF oracle CTEs and replays the identical arithmetic.
+
+    Scale shape: both inputs are already bounded top-k frames
+    (≤ queries × k rows each); the fusion is one full-outer join on
+    (query_id, neighbor_id) plus a per-query window over ≤ 2k rows.
+    The fusion stage costs nothing beyond the serving paths it combines
+    — at 100 TB its inputs are the two index probes, never the corpus.
+    """
+    lsh = ann_lsh_topk(spark, sf_dir, k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lsh_rank")
+    )
+    ivf = ann_ivf_topk(spark, sf_dir, k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ivf_rank")
+    )
+    one = F.lit(1.0)
+    fused = (
+        lsh.join(ivf, ["query_id", "neighbor_id"], "full_outer")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("lsh_rank").isNotNull(), 1).otherwise(0).alias("in_lsh"),
+            F.when(F.col("ivf_rank").isNotNull(), 1).otherwise(0).alias("in_ivf"),
+            F.round(
+                F.coalesce(one / (F.lit(RRF_K) + F.col("lsh_rank")), F.lit(0.0))
+                + F.coalesce(one / (F.lit(RRF_K) + F.col("ivf_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
 K_CENTROIDS = 8  # fixed demo codebook: the K lowest vec_ids
 
 

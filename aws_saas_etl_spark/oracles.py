@@ -242,28 +242,20 @@ DEDUP_EXACT_SQL = """
     ORDER BY 1
 """
 
-def _dup_matrix_sql(corpus_cte: str) -> str:
-    """Matrix body over a (text, source) corpus relation named ``aug``.
-
-    sum() is CAST to BIGINT: DuckDB's sum(BIGINT) widens to HUGEINT,
-    which the driver's pandas comparison renders as float strings
-    ('7.0') while Spark emits LONG ('7') — an uncast sum fails the
-    value hash on any corpus that actually contains duplicates (the r7
-    twin shipped uncast and passed only because the fixture has zero
-    sha256 dup groups; ADVICE r7)."""
-    return f"""
-    WITH {corpus_cte},
-    m AS (
-        SELECT sha256(text) AS sha, source, count(*) AS nd
-        FROM aug
-        GROUP BY 1, 2
-    ),
+# Matrix tail over a CTE named m(gkey, source, nd) — shared by the exact,
+# planted, and near-dup source-flow matrices. sum() is CAST to BIGINT:
+# DuckDB's sum(BIGINT) widens to HUGEINT, which the driver's pandas
+# comparison renders as float strings ('7.0') while Spark emits LONG
+# ('7') — an uncast sum fails the value hash on any corpus that actually
+# contains duplicates (the r7 twin shipped uncast and passed only because
+# the fixture has zero sha256 dup groups; ADVICE r7).
+_FLOW_MATRIX_TAIL = """
     cross_pairs AS (
         SELECT a.source AS source_a, b.source AS source_b,
                count(*) AS n_shared_groups,
                CAST(sum(a.nd) AS BIGINT) AS n_docs_a,
                CAST(sum(b.nd) AS BIGINT) AS n_docs_b
-        FROM m a JOIN m b ON a.sha = b.sha AND a.source < b.source
+        FROM m a JOIN m b ON a.gkey = b.gkey AND a.source < b.source
         GROUP BY 1, 2
     ),
     diag AS (
@@ -275,6 +267,19 @@ def _dup_matrix_sql(corpus_cte: str) -> str:
     )
     SELECT * FROM cross_pairs UNION ALL SELECT * FROM diag
     ORDER BY source_a, source_b
+"""
+
+
+def _dup_matrix_sql(corpus_cte: str) -> str:
+    """Exact matrix over a (text, source) corpus relation named ``aug``."""
+    return f"""
+    WITH {corpus_cte},
+    m AS (
+        SELECT sha256(text) AS gkey, source, count(*) AS nd
+        FROM aug
+        GROUP BY 1, 2
+    ),
+    {_FLOW_MATRIX_TAIL}
 """
 
 
@@ -864,6 +869,47 @@ def _ann_ivf_topk_sql(fit_src: str = "embeddings", serve_where: str = "") -> str
 
 
 ANN_IVF_TOPK_SQL = _ann_ivf_topk_sql()
+
+
+def _ann_hybrid_rrf_sql() -> str:
+    """Twin of the RRF fusion: wraps the full LSH and IVF oracle queries
+    as CTE subqueries and replays the identical integer-rank arithmetic
+    (CAST(1 AS DOUBLE) — a bare 1.0 literal is DECIMAL in DuckDB and its
+    division would take the decimal, not the IEEE-double, path)."""
+    return f"""
+    WITH lsh AS (SELECT * FROM ({ANN_LSH_TOPK_SQL}) _l),
+    ivf AS (SELECT * FROM ({ANN_IVF_TOPK_SQL}) _i),
+    fused AS (
+        SELECT COALESCE(l.query_id, i.query_id)       AS query_id,
+               COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+               l.rank AS lsh_rank, i.rank AS ivf_rank
+        FROM lsh l FULL OUTER JOIN ivf i
+          ON l.query_id = i.query_id AND l.neighbor_id = i.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CASE WHEN lsh_rank IS NOT NULL THEN 1 ELSE 0 END AS in_lsh,
+               CASE WHEN ivf_rank IS NOT NULL THEN 1 ELSE 0 END AS in_ivf,
+               round(COALESCE(CAST(1 AS DOUBLE) / (60 + lsh_rank), 0.0)
+                     + COALESCE(CAST(1 AS DOUBLE) / (60 + ivf_rank), 0.0),
+                     6) AS rrf_score
+        FROM fused
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, neighbor_id ASC
+               ) AS fused_rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, in_lsh, in_ivf, rrf_score, fused_rank
+    FROM ranked WHERE fused_rank <= 5
+    ORDER BY query_id, fused_rank
+"""
+
+
+ANN_HYBRID_RRF_SQL = _ann_hybrid_rrf_sql()
 ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
 
 
@@ -3772,6 +3818,48 @@ def _duplicate_clusters_exact_sql() -> str:
 
 
 DEDUP_DUPLICATE_CLUSTERS_EXACT_SQL = _duplicate_clusters_exact_sql()
+
+
+def _source_neardup_matrix_sql() -> str:
+    """Twin of the near-dup source-flow matrix: the same recursive-CTE
+    content-cluster closure as keep-best, then per-(component, source)
+    doc counts through the shared flow-matrix tail."""
+    return f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {toks('text')} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, lang, {_SHINGLES} AS sh, len(tk) // {LENGTH_BUCKET} AS lb
+        FROM t
+    ),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb
+                           AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                    6) >= 0.4
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION ALL
+        SELECT doc_b, doc_a FROM prs
+    ),
+    reach(node, x) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    comp AS (SELECT node, min(x) AS comp FROM reach GROUP BY node),
+    m AS (
+        SELECT c.comp AS gkey, d.source, count(*) AS nd
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+        GROUP BY 1, 2
+    ),
+    {_FLOW_MATRIX_TAIL}
+"""
+
+
+SOURCE_NEARDUP_MATRIX_SQL = _source_neardup_matrix_sql()
 
 
 def _split_leakage_sql() -> str:

@@ -965,6 +965,22 @@ register(
     dedup.source_duplication_matrix_planted,
     oracles.SOURCE_DUPLICATION_MATRIX_PLANTED_SQL,
 )
+# near-dup source-flow matrix (r8): which sources share paraphrase/
+# template content clusters — the fuzzy counterpart of the exact matrix,
+# non-vacuous on the real fixtures (clusters are cross-source near-dups)
+register(
+    "source_neardup_matrix",
+    dedup.source_neardup_matrix,
+    oracles.SOURCE_NEARDUP_MATRIX_SQL,
+)
+# hybrid retrieval fusion (r8): reciprocal-rank fusion of the LSH and IVF
+# serving paths — the standard multi-retriever combine; bounded top-k
+# inputs, one full-outer join, per-query window
+register(
+    "ann_hybrid_rrf",
+    similarity.ann_hybrid_rrf,
+    oracles.ANN_HYBRID_RRF_SQL,
+)
 # eval-decontaminated manifest (r7): train docs sharing rare winnow
 # fingerprints with val/test docs are dropped, shard positions close ranks
 register(

@@ -528,3 +528,50 @@ def test_approx_distinct_parts_self_audit(spark):
         }
         assert r.rel_err <= 0.03, (r.l_returnflag, r.rel_err)
         assert r.exact_parts <= r.n_rows
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF invariants on the real fixture: scores equal the replayed
+    1/(60+rank) arithmetic, agreement dominates — any neighbor returned
+    by BOTH retrievers outranks any single-retriever neighbor whose best
+    rank is no better (2/(60+k) > 1/61 for k ≤ TOP_K ≤ 61-ish), and
+    membership flags are consistent with the inputs."""
+    from aws_saas_etl_spark.operators.similarity import (
+        RRF_K,
+        TOP_K,
+        ann_hybrid_rrf,
+        ann_ivf_topk,
+        ann_lsh_topk,
+    )
+
+    lsh = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in ann_lsh_topk(spark, SF_SMOKE).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    out = ann_hybrid_rrf(spark, SF_SMOKE).collect()
+    assert out
+    assert any(r.in_lsh and r.in_ivf for r in out), "no agreement rows"
+    for r in out:
+        key = (r.query_id, r.neighbor_id)
+        assert r.in_lsh == (key in lsh) and r.in_ivf == (key in ivf)
+        expect = round(
+            (1.0 / (RRF_K + lsh[key]) if key in lsh else 0.0)
+            + (1.0 / (RRF_K + ivf[key]) if key in ivf else 0.0),
+            6,
+        )
+        assert abs(r.rrf_score - expect) < 1e-9, (key, r.rrf_score, expect)
+        assert r.fused_rank <= TOP_K
+    # agreement dominance: both-retriever rows outrank single-retriever
+    # rows within the same query (2/(60+TOP_K) > 1/(60+1) at TOP_K=5)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        both = [r.fused_rank for r in rows if r.in_lsh and r.in_ivf]
+        single = [r.fused_rank for r in rows if r.in_lsh + r.in_ivf == 1]
+        if both and single:
+            assert max(both) < min(single)
