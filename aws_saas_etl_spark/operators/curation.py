@@ -1400,3 +1400,55 @@ def training_manifest_deletion_repair(spark, sf_dir: str) -> DataFrame:
         .select("doc_id", "split", "shard", "pos", "n_tokens")
         .orderBy("split", "shard", "pos")
     )
+
+
+def manifest_deletion_churn(spark, sf_dir: str) -> DataFrame:
+    """Loader-facing CHURN report for a manifest maintenance event: per
+    (split, shard) of the stored manifest, how many rows the deletion
+    repair removed, how many moved (same doc, different placement —
+    keeper flips and rank-closing shift positions), how many are stable
+    byte-for-byte, and how many training tokens left the shard. This is
+    the diff an ops team reads before shipping a repaired manifest: a
+    shard with ``n_moved = n_stable = 0`` and ``n_removed > 0`` went
+    empty; a shard with zero removed AND zero moved needs no file
+    rewrite (the file-level claim ``manifest_partitioned_store_roundtrip``
+    proves for arrivals holds for deletions the same way).
+
+    Scale shape: one left join of two manifest frames on doc_id
+    (manifest-sized, uniformly keyed) + one (split, shard) aggregate —
+    both inputs come from the session-memoized stored artifacts, so the
+    report costs one bounded join beyond the repair it audits.
+    """
+    before = training_manifest(spark, sf_dir).alias("o")
+    after = training_manifest_deletion_repair(spark, sf_dir).select(
+        "doc_id",
+        F.col("split").alias("n_split"),
+        F.col("shard").alias("n_shard"),
+        F.col("pos").alias("n_pos"),
+    )
+    status = (
+        F.when(F.col("n_split").isNull(), F.lit("removed"))
+        .when(
+            (F.col("n_split") == F.col("o.split"))
+            & (F.col("n_shard") == F.col("o.shard"))
+            & (F.col("n_pos") == F.col("o.pos")),
+            F.lit("stable"),
+        )
+        .otherwise(F.lit("moved"))
+    )
+    flag = lambda s: F.sum(F.when(F.col("status") == s, 1).otherwise(0))  # noqa: E731
+    return (
+        before.join(after, "doc_id", "left")
+        .select("o.split", "o.shard", "o.n_tokens", status.alias("status"))
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            flag("removed").alias("n_removed"),
+            flag("moved").alias("n_moved"),
+            flag("stable").alias("n_stable"),
+            F.sum(
+                F.when(F.col("status") == "removed", F.col("n_tokens")).otherwise(0)
+            ).alias("tokens_removed"),
+        )
+        .orderBy("split", "shard")
+    )

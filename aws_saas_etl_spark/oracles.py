@@ -2866,6 +2866,37 @@ def _manifest_shard_stats_sql() -> str:
 MANIFEST_SHARD_STATS_SQL = _manifest_shard_stats_sql()
 
 
+def _manifest_deletion_churn_sql() -> str:
+    """Twin of the deletion-churn report: both manifest twins joined and
+    classified with the identical placement-equality rule."""
+    return f"""
+    WITH man_before AS ({TRAINING_MANIFEST_SQL}),
+    man_after AS ({TRAINING_MANIFEST_DELETION_SQL}),
+    j AS (
+        SELECT o.split, o.shard, o.n_tokens,
+               CASE WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN n.split = o.split AND n.shard = o.shard
+                         AND n.pos = o.pos THEN 'stable'
+                    ELSE 'moved' END AS status
+        FROM man_before o LEFT JOIN man_after n ON n.doc_id = o.doc_id
+    )
+    SELECT split, shard,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(sum(CASE WHEN status = 'moved' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+           CAST(sum(CASE WHEN status = 'stable' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stable,
+           CAST(sum(CASE WHEN status = 'removed' THEN n_tokens ELSE 0 END)
+               AS BIGINT) AS tokens_removed
+    FROM j GROUP BY split, shard ORDER BY split, shard
+"""
+
+
+MANIFEST_DELETION_CHURN_SQL = _manifest_deletion_churn_sql()
+
+
 def _decontaminated_manifest_sql() -> str:
     """Twin of the eval-decontaminated manifest: the full manifest as a
     CTE, the winnow rare-fingerprint machinery verbatim from the

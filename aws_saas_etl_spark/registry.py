@@ -981,6 +981,14 @@ register(
     similarity.ann_hybrid_rrf,
     oracles.ANN_HYBRID_RRF_SQL,
 )
+# loader-facing churn report (r8): per-shard removed/moved/stable counts
+# + token loss between the stored manifest and its deletion-repaired
+# successor — the diff read before shipping a repaired manifest
+register(
+    "manifest_deletion_churn",
+    curation.manifest_deletion_churn,
+    oracles.MANIFEST_DELETION_CHURN_SQL,
+)
 # eval-decontaminated manifest (r7): train docs sharing rare winnow
 # fingerprints with val/test docs are dropped, shard positions close ranks
 register(

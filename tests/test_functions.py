@@ -675,3 +675,35 @@ def test_decontaminated_manifest_semantics(spark):
         new = [r.doc_id for r in sorted(dec.values(), key=lambda r: r.pos)
                if (r.split, r.shard) == (s, sh)]
         assert old == new
+
+
+def test_manifest_deletion_churn_invariants(spark):
+    """Churn accounting must close: statuses partition every stored row,
+    removed rows are exactly the stored rows whose doc is deleted OR
+    whose repaired placement vanished, and a shard with zero churn needs
+    no rewrite (cross-checked against the repaired manifest itself)."""
+    from aws_saas_etl_spark.operators.curation import (
+        manifest_deletion_churn,
+        training_manifest,
+        training_manifest_deletion_repair,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = manifest_deletion_churn(spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r.n_removed > 0 for r in rows), "deletion list hit nothing"
+    for r in rows:
+        assert r.n_docs == r.n_removed + r.n_moved + r.n_stable
+        assert r.tokens_removed >= r.n_removed  # every doc has >= 1 token
+    before = {
+        r.doc_id: (r.split, r.shard, r.pos)
+        for r in training_manifest(spark, SF_SMOKE).collect()
+    }
+    after = {
+        r.doc_id: (r.split, r.shard, r.pos)
+        for r in training_manifest_deletion_repair(spark, SF_SMOKE).collect()
+    }
+    n_removed = sum(1 for d in before if d not in after)
+    n_stable = sum(1 for d, p in before.items() if after.get(d) == p)
+    assert n_removed == sum(r.n_removed for r in rows)
+    assert n_stable == sum(r.n_stable for r in rows)
