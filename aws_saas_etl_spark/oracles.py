@@ -910,6 +910,150 @@ def _ann_hybrid_rrf_sql() -> str:
 
 
 ANN_HYBRID_RRF_SQL = _ann_hybrid_rrf_sql()
+
+
+def _ann_pq_adc_sql() -> str:
+    """Exact twin of PQ + ADC search: the per-subspace quantized-integer
+    Lloyd fit unrolled as plain CTEs over ALL subspaces at once (the
+    exploded (vec_id, m, sub) relation mirrors the Spark single-pass
+    shape), encoding as the same (l2 ASC, code ASC) argmin, and the ADC
+    distance as an exact BIGINT sum of floor(1e9·l2²) table entries —
+    order-independent in both engines. Every double op runs on
+    bit-identical operands (subvectors cast to double once; centroids
+    rebuilt from exact integer sums), so the twin is equal by
+    construction, not by tolerance."""
+    from aws_saas_etl_spark.operators.similarity import (
+        EMBED_DIM,
+        N_QUERY_VECS,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_QUANT,
+        PQ_REFINE,
+        PQ_SUBDIM,
+        TOP_K,
+    )
+
+    qlit = f"{float(PQ_QUANT)!r}"
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {PQ_SUBDIM}), "
+            f"j -> (({a})[j] - ({b})[j]) * (({a})[j] - ({b})[j])), 'sum')"
+        )
+
+    def dotd(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"j -> CAST(({a})[j] AS DOUBLE) * CAST(({b})[j] AS DOUBLE)), 'sum')"
+        )
+
+    def cosd(a: str, b: str) -> str:
+        return (
+            f"{dotd(a, b)} / (sqrt({dotd(a, a)}) * sqrt({dotd(b, b)}))"
+        )
+
+    mean = ", ".join(
+        f"(CAST(sum(CAST(floor(sub[{i + 1}] * {qlit}) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(count(*) AS DOUBLE)) / {qlit}"
+        for i in range(PQ_SUBDIM)
+    )
+    rounds = ""
+    prev = "cb0"
+    for it in range(1, PQ_ITERS + 1):
+        rounds += f"""
+    asg{it} AS (
+        SELECT vec_id, m, sub, code FROM (
+            SELECT s.vec_id, s.m, s.sub, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {l2("s.sub", "c.centroid")} ASC,
+                                c.code ASC) AS rn
+            FROM subs s JOIN {prev} c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    cb{it} AS (
+        SELECT m, code, [{mean}] AS centroid
+        FROM asg{it} GROUP BY m, code
+    ),"""
+        prev = f"cb{it}"
+    return f"""
+    WITH normed AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {PQ_M * PQ_SUBDIM}),
+                   j -> CAST(embedding[j] AS DOUBLE) /
+                        sqrt(list_aggregate(list_transform(
+                            generate_series(1, {PQ_M * PQ_SUBDIM}),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[i] AS DOUBLE)), 'sum')))
+                   AS u
+        FROM embeddings
+    ),
+    subs AS (
+        SELECT e.vec_id, mm.m,
+               list_transform(generate_series(1, {PQ_SUBDIM}),
+                   j -> e.u[mm.m * {PQ_SUBDIM} + j]) AS sub
+        FROM normed e CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) mm
+    ),
+    seed_ids AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+        FROM embeddings
+    ),
+    cb0 AS (
+        SELECT s.m, d.code, s.sub AS centroid
+        FROM subs s JOIN seed_ids d USING (vec_id)
+        WHERE d.code < {PQ_K}
+    ),{rounds}
+    enc AS (
+        SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {l2("s.sub", "c.centroid")} ASC,
+                                c.code ASC) AS rn
+            FROM subs s JOIN {prev} c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    qtab AS (
+        SELECT s.vec_id AS query_id, s.m, c.code,
+               CAST(floor({l2("s.sub", "c.centroid")} * {qlit}) AS BIGINT)
+                   AS dint
+        FROM subs s JOIN {prev} c ON c.m = s.m
+        WHERE s.vec_id < {N_QUERY_VECS}
+    ),
+    cand AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id,
+               CAST(sum(t.dint) AS BIGINT) AS adc_dist
+        FROM enc e JOIN qtab t ON t.m = e.m AND t.code = e.code
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+        FROM cand WHERE neighbor_id <> query_id
+    ),
+    ref AS (
+        SELECT s.query_id, s.neighbor_id,
+               round({cosd("eq.embedding", "en.embedding")}, 6) AS cos_sim
+        FROM short s
+        JOIN embeddings eq ON eq.vec_id = s.query_id
+        JOIN embeddings en ON en.vec_id = s.neighbor_id
+        WHERE s.adc_rank <= {PQ_REFINE}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM ref
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+ANN_PQ_ADC_SQL = _ann_pq_adc_sql()
 ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
 
 

@@ -989,6 +989,14 @@ register(
     curation.manifest_deletion_churn,
     oracles.MANIFEST_DELETION_CHURN_SQL,
 )
+# product quantization + ADC search (r8): 4-bit codes per subspace, one
+# broadcast query distance table, exact integer fused distance — the
+# memory-compression half of IVF-PQ
+register(
+    "ann_pq_adc_topk",
+    similarity.ann_pq_adc_topk,
+    oracles.ANN_PQ_ADC_SQL,
+)
 # eval-decontaminated manifest (r7): train docs sharing rare winnow
 # fingerprints with val/test docs are dropped, shard positions close ranks
 register(

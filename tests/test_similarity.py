@@ -575,3 +575,111 @@ def test_hybrid_rrf_fusion_semantics(spark):
         single = [r.fused_rank for r in rows if r.in_lsh + r.in_ivf == 1]
         if both and single:
             assert max(both) < min(single)
+
+
+def test_pq_codes_and_refined_recall(spark):
+    """PQ/ADC invariants on the fixture: every vector gets exactly PQ_M
+    codes in [0, PQ_K); the refined (ADC shortlist → exact re-rank)
+    top-k recalls ≥ 0.5 of the brute-force truth even on the hard
+    isotropic fixture (ADC alone measured 0.06 pre-normalization, 0.18
+    raw — the shortlist+refine shape is what makes PQ serve)."""
+    from aws_saas_etl_spark.catalog import load_tables
+    from aws_saas_etl_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        _pq_argmin,
+        _pq_codebooks_cached,
+        _pq_subvectors,
+        ann_pq_adc_topk,
+    )
+
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    n = emb.count()
+    cb = _pq_codebooks_cached(spark, SF_SMOKE, emb)
+    codes = _pq_argmin(_pq_subvectors(emb), cb).collect()
+    assert len(codes) == n * PQ_M
+    assert all(0 <= r.code < PQ_K for r in codes)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_pq_adc_topk(spark, SF_SMOKE).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_pq_refined_recall_high_on_clustered_embeddings(spark):
+    """On clustered data (the regime PQ serves in production) the
+    refined pipeline must recover nearly all true neighbors: the ADC
+    shortlist keeps every same-cluster candidate (identical codes tie)
+    and the exact re-rank orders them — pin recall ≥ 0.9 on the
+    16-Gaussian mixture."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from aws_saas_etl_spark.operators.similarity import (
+        N_QUERY_VECS,
+        PQ_REFINE,
+        _l2sq,
+        _pq_argmin,
+        _pq_subvectors,
+        cosine,
+        pq_fit_codebooks,
+    )
+
+    rng = np.random.default_rng(8)
+    emb = _mixture_emb(spark, rng, 16, 30, 64, noise=0.08)
+    cb = pq_fit_codebooks(emb)
+    codes = _pq_argmin(_pq_subvectors(emb), cb).select("vec_id", "m", "code")
+    qsubs = _pq_subvectors(emb.where(F.col("vec_id") < N_QUERY_VECS)).select(
+        F.col("vec_id").alias("query_id"), "m", "sub"
+    )
+    qtab = qsubs.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code",
+        F.floor(_l2sq(F.col("sub"), F.col("centroid")) * F.lit(1e9))
+        .cast("long").alias("dint"),
+    )
+    adc_w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        codes.join(F.broadcast(qtab), ["m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dint").alias("adc_dist"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_rank", F.row_number().over(adc_w))
+        .where(F.col("adc_rank") <= PQ_REFINE)
+    )
+    nbrs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    qv = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ref_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    k = 10
+    out = (
+        shortlist.join(nbrs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(ref_w))
+        .where(F.col("rank") <= k)
+    )
+    approx = {}
+    for r in out.collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    qids = [r[0] for r in rows if r[0] < N_QUERY_VECS]
+    exact = _numpy_exact_topk(rows, qids, k)
+    recall = sum(len(approx.get(q, set()) & exact[q]) for q in qids) / (
+        len(qids) * k
+    )
+    assert recall >= 0.9, recall
