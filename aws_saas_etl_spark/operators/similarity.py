@@ -1179,3 +1179,104 @@ def ann_pq_adc_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivfpq_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """The COMPOSED production ANN serving path — IVF-PQ (FAISS's
+    IndexIVFPQ shape): coarse IVF cells route each query to its nprobe
+    nearest cells, PQ codes stand in for the float vectors inside those
+    cells (4-bit codes, 64× memory cut), ADC sums integer table lookups
+    to shortlist candidates, and the top PQ_REFINE re-rank against the
+    true vectors. Per query the scan touches ~nprobe/√n of the corpus
+    AND reads only codes — the two independent cost cuts multiply, which
+    is why this exact composition is what serves billion-vector corpora.
+
+    Both trained artifacts come from their session memos (in production:
+    the stored index the roundtrip queries prove) — the coarse centroids
+    are the SAME table ``ann_ivf_topk`` serves from, the codebooks the
+    same ``ann_pq_adc_topk`` fit; this query adds only bounded joins:
+    candidate pairs (probed-cell-sized) × M code rows × the broadcast
+    query table, then the PQ_REFINE-row exact refine. The twin runs the
+    IVF chain and the PQ chain as one CTE graph — every fragment
+    identical to its standalone hash-proven twin.
+
+    Non-residual variant: codes quantize the normalized vector itself,
+    not the residual (x − coarse_centroid); residual-PQ recovers more
+    precision per bit but needs per-cell code training — the refine
+    stage recovers the gap here at equal oracle complexity.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    n_cells = ivf_cells_for(emb.count())
+    nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
+    coarse = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
+    corpus_cells = _assign_cells(emb.select("vec_id", "embedding"), coarse).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    q_w = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    probe_cells = (
+        emb.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id",
+            "cell",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("cell_sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(q_w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cb = _pq_codebooks_cached(spark, sf_dir, emb)
+    codes = _pq_argmin(_pq_subvectors(emb), cb).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "code"
+    )
+    qsubs = _pq_subvectors(emb.where(F.col("vec_id") < N_QUERY_VECS)).select(
+        F.col("vec_id").alias("query_id"), "m", "sub"
+    )
+    qtab = qsubs.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        F.floor(_l2sq(F.col("sub"), F.col("centroid")) * F.lit(float(PQ_QUANT)))
+        .cast("long")
+        .alias("dint"),
+    )
+    # candidates FIRST (probed-cell-sized), then codes, then the table —
+    # joining codes×qtab before the cell filter would rebuild the full
+    # ADC scan the coarse index exists to avoid
+    cand_pairs = corpus_cells.join(F.broadcast(probe_cells), "cell").select(
+        "query_id", "neighbor_id"
+    )
+    adc_w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        cand_pairs.join(codes, "neighbor_id")
+        .join(F.broadcast(qtab), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dint").alias("adc_dist"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_rank", F.row_number().over(adc_w))
+        .where(F.col("adc_rank") <= PQ_REFINE)
+    )
+    nbrs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    qv = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ref_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(nbrs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(ref_w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -714,7 +714,9 @@ def _ann_lsh_topk_sql() -> str:
 ANN_LSH_TOPK_SQL = _ann_lsh_topk_sql()
 
 
-def _ann_ivf_topk_sql(fit_src: str = "embeddings", serve_where: str = "") -> str:
+def _ann_ivf_topk_sql(
+    fit_src: str = "embeddings", serve_where: str = "", tail: str | None = None
+) -> str:
     """Exact twin of the IVF ANN — the Lloyd fit UNROLLED as plain CTEs
     (IVF_ITERS is a module constant, so the twin is generated with one
     chain per round; no recursive CTE needed) plus the probe.
@@ -850,7 +852,7 @@ def _ann_ivf_topk_sql(fit_src: str = "embeddings", serve_where: str = "") -> str
             {f"AND q.{serve_where}" if serve_where else ""}
         ), np_ WHERE pr <= nprobe
     ),
-    sims AS (
+    {tail if tail is not None else f'''sims AS (
         SELECT p.query_id, c.neighbor_id,
                round({cos("p.q_emb", "c.c_emb")}, 6) AS cos_sim
         FROM corpus c JOIN probes p ON c.cell = p.cell
@@ -865,7 +867,7 @@ def _ann_ivf_topk_sql(fit_src: str = "embeddings", serve_where: str = "") -> str
     SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
     WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
-"""
+'''}"""
 
 
 ANN_IVF_TOPK_SQL = _ann_ivf_topk_sql()
@@ -912,7 +914,7 @@ def _ann_hybrid_rrf_sql() -> str:
 ANN_HYBRID_RRF_SQL = _ann_hybrid_rrf_sql()
 
 
-def _ann_pq_adc_sql() -> str:
+def _ann_pq_adc_sql(tail: str | None = None, chain_only: bool = False) -> str:
     """Exact twin of PQ + ADC search: the per-subspace quantized-integer
     Lloyd fit unrolled as plain CTEs over ALL subspaces at once (the
     exploded (vec_id, m, sub) relation mirrors the Spark single-pass
@@ -976,8 +978,7 @@ def _ann_pq_adc_sql() -> str:
         FROM asg{it} GROUP BY m, code
     ),"""
         prev = f"cb{it}"
-    return f"""
-    WITH normed AS (
+    chain = f"""normed AS (
         SELECT vec_id,
                list_transform(generate_series(1, {PQ_M * PQ_SUBDIM}),
                    j -> CAST(embedding[j] AS DOUBLE) /
@@ -1020,8 +1021,10 @@ def _ann_pq_adc_sql() -> str:
                    AS dint
         FROM subs s JOIN {prev} c ON c.m = s.m
         WHERE s.vec_id < {N_QUERY_VECS}
-    ),
-    cand AS (
+    )"""
+    if chain_only:
+        return chain
+    default_tail = f"""cand AS (
         SELECT t.query_id, e.vec_id AS neighbor_id,
                CAST(sum(t.dint) AS BIGINT) AS adc_dist
         FROM enc e JOIN qtab t ON t.m = e.m AND t.code = e.code
@@ -1051,9 +1054,76 @@ def _ann_pq_adc_sql() -> str:
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
 """
+    return f"""
+    WITH {chain},
+    {tail if tail is not None else default_tail}"""
 
 
 ANN_PQ_ADC_SQL = _ann_pq_adc_sql()
+
+
+def _ann_ivfpq_sql() -> str:
+    """Twin of the composed IVF-PQ serving path: the IVF chain (fit,
+    corpus cell assignment, per-query probed cells) and the PQ chain
+    (normalize, subspace fits, codes, query distance tables) run as one
+    CTE graph; candidates are the PQ codes of vectors in the query's
+    probed cells only; ADC shortlist → exact cosine refine — each
+    fragment identical to its standalone hash-proven twin, so the
+    composition is engine-neutral by construction."""
+    from aws_saas_etl_spark.operators.similarity import (
+        EMBED_DIM,
+        PQ_REFINE,
+        TOP_K,
+    )
+
+    def dotd(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"j -> CAST(({a})[j] AS DOUBLE) * CAST(({b})[j] AS DOUBLE)), 'sum')"
+        )
+
+    def cosd(a: str, b: str) -> str:
+        return f"{dotd(a, b)} / (sqrt({dotd(a, a)}) * sqrt({dotd(b, b)}))"
+
+    pq_chain = _ann_pq_adc_sql(chain_only=True)
+    tail = f"""{pq_chain},
+    cand AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id,
+               CAST(sum(t.dint) AS BIGINT) AS adc_dist
+        FROM enc e
+        JOIN qtab t ON t.m = e.m AND t.code = e.code
+        JOIN corpus c ON c.neighbor_id = e.vec_id
+        JOIN probes p ON p.cell = c.cell AND p.query_id = t.query_id
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+        FROM cand WHERE neighbor_id <> query_id
+    ),
+    ref AS (
+        SELECT s.query_id, s.neighbor_id,
+               round({cosd("eq.embedding", "en.embedding")}, 6) AS cos_sim
+        FROM short s
+        JOIN embeddings eq ON eq.vec_id = s.query_id
+        JOIN embeddings en ON en.vec_id = s.neighbor_id
+        WHERE s.adc_rank <= {PQ_REFINE}
+    ),
+    pq_ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM ref
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM pq_ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+    return _ann_ivf_topk_sql(tail=tail)
+
+
+ANN_IVFPQ_SQL = _ann_ivfpq_sql()
 ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
 
 

@@ -997,6 +997,14 @@ register(
     similarity.ann_pq_adc_topk,
     oracles.ANN_PQ_ADC_SQL,
 )
+# composed IVF-PQ serving path (r8): coarse cell routing x PQ codes x
+# ADC shortlist x exact refine — the billion-vector serving shape; both
+# trained artifacts come from their stored-index memos
+register(
+    "ann_ivfpq_topk",
+    similarity.ann_ivfpq_topk,
+    oracles.ANN_IVFPQ_SQL,
+)
 # eval-decontaminated manifest (r7): train docs sharing rare winnow
 # fingerprints with val/test docs are dropped, shard positions close ranks
 register(
