@@ -81,6 +81,14 @@ PROBES = [
      "ann_ivf_incremental_append", "warm_stored"),
     ("ann_ivf_deletion_repair (warm-stored)", "similarity",
      "ann_ivf_deletion_repair", "warm_stored"),
+    # r8b: PQ serving against stored codebooks — the ADC scan is the
+    # corpus-linear term PQ compresses (codes not floats); IVF-PQ should
+    # scale BELOW plain PQ because the probed-cell filter cuts the scan
+    # to ~nprobe/√n of the corpus before the code join.
+    ("ann_pq_adc_topk (warm-stored)", "similarity",
+     "ann_pq_adc_topk", "warm_stored"),
+    ("ann_ivfpq_topk (warm-stored)", "similarity",
+     "ann_ivfpq_topk", "warm_stored"),
 ]
 
 # Per-copy character translation: remaps the 5 vowels, which rewrites
@@ -282,6 +290,13 @@ def main() -> None:
         row = " | ".join(f"{ts[s]:.2f}" for s in scales)
         lines.append(f"| {label} | {row} | {alpha:.2f} |")
     out = "\n".join(lines) + "\n"
+    # SCALE_NOTES.md (tracked) carries the human interpretation of the
+    # maintenance rows; appending it here keeps the notes through every
+    # regeneration instead of --write silently clobbering them (r8).
+    notes = os.path.join(REPO, "SCALE_NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            out += "\n" + f.read()
     print(out)
     if write and len(probes) < len(PROBES):
         print("--write ignored: --only selected a subset; SCALE.md must cover all probes")
