@@ -263,3 +263,63 @@ def table_profile(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+def jsonl_roundtrip_stats(spark, sf_dir: str) -> DataFrame:
+    """Registry query: JSONL sink→scan roundtrip fidelity — the
+    line-delimited-JSON counterpart of ``csv_roundtrip_stats`` (JSONL is
+    the interchange format every LLM-data pipeline actually ships:
+    one document object per line). The ``documents`` table is written
+    with Spark's JSON sink (strings with newlines/quotes escape inside
+    JSON string literals — the lossless property CSV needs quoting
+    gymnastics for), read back with the ORIGINAL explicit schema, and
+    reduced to per-source stats including a content checksum (sum of
+    32-bit md5 prefixes over doc_id|lang|sha256(text)|n_chars). The
+    oracle computes the identical stats on the original Parquet — equal
+    results prove the JSON writer/parser pair is lossless for ids,
+    free text, and counts.
+
+    Plan note: ``n_keys`` runs as a pre-distinct aggregation joined
+    back null-safely instead of ``countDistinct`` inside the main agg —
+    the combined form plans an Expand (3× input rows through the first
+    exchange; the approx_distinct_parts lesson).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load_tables(spark, sf_dir).documents
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tmp = f"{tempfile.gettempdir()}/jsonl_roundtrip_{tag}_{os.getpid()}"
+    docs.write.mode("overwrite").json(tmp)
+    back = spark.read.schema(docs.schema).json(tmp)
+    row_key = F.concat_ws(
+        "|",
+        F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>")),
+        F.coalesce(F.col("lang"), F.lit("<null>")),
+        F.coalesce(F.sha2(F.col("text"), 256), F.lit("<null>")),
+        F.coalesce(F.col("n_chars").cast("string"), F.lit("<null>")),
+    )
+    checksum = F.conv(F.substring(F.md5(row_key), 1, 8), 16, 10).cast("bigint")
+    agg = back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(checksum).alias("content_checksum"),
+    )
+    keys = (
+        back.select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+    return (
+        agg.join(keys, agg["source"].eqNullSafe(keys["source"]))
+        .select(
+            agg["source"],
+            "n_rows",
+            "n_keys",
+            "total_chars",
+            "content_checksum",
+        )
+        .orderBy(agg["source"])
+    )

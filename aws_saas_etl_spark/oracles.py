@@ -3568,6 +3568,30 @@ CSV_ROUNDTRIP_SQL = """
 """
 
 
+JSONL_ROUNDTRIP_SQL = """
+    WITH agg AS (
+        SELECT source,
+               count(*) AS n_rows,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(('0x' || substr(md5(
+                   coalesce(CAST(doc_id AS VARCHAR), '<null>') || '|'
+                   || coalesce(lang, '<null>') || '|'
+                   || coalesce(sha256(text), '<null>') || '|'
+                   || coalesce(CAST(n_chars AS VARCHAR), '<null>')
+               ), 1, 8))::BIGINT) AS BIGINT) AS content_checksum
+        FROM documents GROUP BY source
+    ),
+    keys AS (
+        SELECT source, count(*) AS n_keys
+        FROM (SELECT DISTINCT source, doc_id FROM documents)
+        GROUP BY source
+    )
+    SELECT a.source, a.n_rows, k.n_keys, a.total_chars, a.content_checksum
+    FROM agg a JOIN keys k ON a.source IS NOT DISTINCT FROM k.source
+    ORDER BY a.source
+"""
+
+
 # --- Data-quality constraint report ------------------------------------------
 
 DATA_QUALITY_SQL = """

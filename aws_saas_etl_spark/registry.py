@@ -665,6 +665,13 @@ register(
 
 register("jobstore_status_view", jobs.jobstore_status_view, oracles.JOBSTORE_STATUS_SQL)
 register("csv_roundtrip_stats", etl.csv_roundtrip_stats, oracles.CSV_ROUNDTRIP_SQL)
+# JSONL sink→scan roundtrip fidelity (r8): the interchange format LLM
+# pipelines ship — free text escapes inside JSON string literals
+register(
+    "jsonl_roundtrip_stats",
+    etl.jsonl_roundtrip_stats,
+    oracles.JSONL_ROUNDTRIP_SQL,
+)
 
 
 # --------------------------------------------------------------------------
