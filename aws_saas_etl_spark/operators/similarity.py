@@ -1135,6 +1135,14 @@ def ann_pq_adc_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """
     emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
     cb = _pq_codebooks_cached(spark, sf_dir, emb)
+    return _pq_adc_refined(emb, cb, k)
+
+
+def _pq_adc_refined(emb: DataFrame, cb: DataFrame, k: int) -> DataFrame:
+    """The PQ serving path over an already-fitted codebook table —
+    split from ``ann_pq_adc_topk`` so the stored codebook
+    (``ann_pq_store_roundtrip``) serves through the IDENTICAL plan the
+    in-session fit does (the ``_ivf_probe`` convention)."""
     codes = _pq_argmin(_pq_subvectors(emb), cb).select("vec_id", "m", "code")
     qsubs = _pq_subvectors(emb.where(F.col("vec_id") < N_QUERY_VECS)).select(
         F.col("vec_id").alias("query_id"), "m", "sub"
@@ -1280,3 +1288,40 @@ def ann_ivfpq_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_pq_store_roundtrip(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """The PERSISTED PQ codebook — completes the stored-artifact triad
+    for the PQ family (train nightly, serve all day): the fitted
+    codebooks are WRITTEN through the exactly-once manifest sink (the
+    same atomic-commit protocol the IVF index and the cluster table
+    use), READ BACK as the stored artifact, and queries are served
+    against the stored table through the IDENTICAL ``_pq_adc_refined``
+    plan. The session memo is deliberately bypassed on the read side,
+    so the hash match (the very same ANN_PQ_ADC_SQL gate) proves
+    write → read is lossless end to end — centroid components are
+    IEEE-754 doubles that parquet stores verbatim, and codes/tables are
+    recomputed from the stored centroids, so bit-identical storage
+    implies bit-identical serving.
+    """
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    fitted = _pq_codebooks_cached(spark, sf_dir, emb)
+    path = proc_dir("pq_codebook", sf_dir, PQ_M, PQ_K)
+    fitted.write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    stored = read_manifest_parquet(spark, path)
+    return _pq_adc_refined(emb, stored, k)
+
+
+# Constructing this query's DataFrame EXECUTES work (the PQ fit and a
+# real manifest-sink write) — the storage leg it exists to prove.
+# (plan/bench tools: see ADVICE r7)
+ann_pq_store_roundtrip.side_effecting = True

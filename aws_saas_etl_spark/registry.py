@@ -1012,6 +1012,14 @@ register(
     similarity.ann_ivfpq_topk,
     oracles.ANN_IVFPQ_SQL,
 )
+# persisted PQ codebook (r8): written through the exactly-once manifest
+# sink, read back, served via the identical ADC+refine plan — the same
+# hash gate proves storage lossless
+register(
+    "ann_pq_store_roundtrip",
+    similarity.ann_pq_store_roundtrip,
+    oracles.ANN_PQ_ADC_SQL,
+)
 # eval-decontaminated manifest (r7): train docs sharing rare winnow
 # fingerprints with val/test docs are dropped, shard positions close ranks
 register(

@@ -713,3 +713,28 @@ def test_ivfpq_recall_matches_ivf_after_refine(spark):
     r_ivf = len(exact & ivf) / len(exact)
     assert r_pq >= r_ivf - 0.05, (r_pq, r_ivf)
     assert r_pq >= 0.3
+
+
+def test_pq_store_roundtrip_bit_exact(spark):
+    """Stored codebooks must be bit-identical to the fitted ones, and
+    the stored-serving result identical to the in-session serving
+    result (the ivf-store convention applied to the PQ artifact)."""
+    from aws_saas_etl_spark.catalog import load_tables
+    from aws_saas_etl_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    fitted = {
+        (r.m, r.code): tuple(r.centroid)
+        for r in S._pq_codebooks_cached(spark, SF_SMOKE, emb).collect()
+    }
+    out = S.ann_pq_store_roundtrip(spark, SF_SMOKE).collect()
+    from aws_saas_etl_spark.sources.custom import proc_dir, read_manifest_parquet
+
+    path = proc_dir("pq_codebook", SF_SMOKE, S.PQ_M, S.PQ_K)
+    stored = {
+        (r.m, r.code): tuple(r.centroid)
+        for r in read_manifest_parquet(spark, path).collect()
+    }
+    assert stored == fitted  # bit-exact doubles through parquet
+    direct = S.ann_pq_adc_topk(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in direct]
