@@ -198,6 +198,13 @@ def main() -> None:
                 # builds the artifact, warm serves from it — the honest
                 # split of what best-of-2 + canary spread conflate
                 "cold_warm": cold_warm,
+                # store-roundtrip queries execute a real storage write at
+                # DataFrame construction (the leg they exist to prove):
+                # BOTH their cold and warm figures include that rewrite
+                # (ADVICE r7)
+                "side_effecting": sorted(
+                    n for n in qs if getattr(qs[n], "side_effecting", False)
+                ),
                 "top_12_slowest": [
                     [n, timings[n], spreads[n]]
                     for n in sorted(timings, key=timings.get, reverse=True)[:12]
