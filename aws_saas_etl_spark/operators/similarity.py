@@ -1325,3 +1325,100 @@ def ann_pq_store_roundtrip(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
 # real manifest-sink write) — the storage leg it exists to prove.
 # (plan/bench tools: see ADVICE r7)
 ann_pq_store_roundtrip.side_effecting = True
+
+
+#: Binary-quantization shortlist size (the BQ refine budget — same
+#: 10·k convention as PQ_REFINE; BQ's 1-bit codes are coarser than PQ's
+#: 4-bit codes, so the exact refine carries more of the ranking).
+BQ_REFINE = 10 * TOP_K
+
+
+def _bq_sig_exprs(emb_col):
+    """Two 32-bit sign words per vector (bits = component > 0), each
+    summed from literal powers of two so both halves stay far inside
+    BIGINT — packing all 64 dims into one word would put dim 63 on the
+    sign bit, where Spark and DuckDB shift/overflow semantics differ.
+    Sign of a component is scale-invariant, so the raw column feeds the
+    signature directly (no normalization pass needed)."""
+    def half(lo: int) -> object:
+        sig = F.lit(0).cast("long")
+        for i in range(32):
+            bit = F.when(
+                F.col(emb_col)[lo + i].cast("double") > 0, F.lit(2**i)
+            ).otherwise(F.lit(0))
+            sig = sig + bit
+        return sig
+
+    return half(0).alias("sig_lo"), half(32).alias("sig_hi")
+
+
+def ann_bq_hamming_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Binary quantization + Hamming shortlist + exact refine — the
+    third rung of the quantization ladder (float → PQ 4-bit → BQ 1-bit):
+    each vector compresses to a 64-bit sign signature (512× smaller than
+    float64), candidate distance is two XOR+popcount instructions, and
+    the exact cosine re-ranks the top BQ_REFINE. This is the cheapest
+    possible first-pass scan — the shape modern vector stores ship as
+    "binary quantization with rescoring" — and the sign sketch is
+    exactly SimHash with coordinate planes, so Hamming distance is a
+    proven proxy for angle.
+
+    Engine-neutral: signatures are integer sums over sign tests of
+    bit-identical doubles; Hamming = bit_count(xor) on both engines
+    (two 32-bit halves keep every word positive — the 63rd bit would
+    sit on the BIGINT sign, where shift/overflow semantics diverge);
+    the refine is the proven cosine twin.
+
+    Scale shape: the corpus scan reads 16 bytes/vector (two BIGINTs);
+    queries broadcast; shortlist + refine are bounded. Composes with
+    IVF routing the same way PQ does (``ann_ivfpq_topk``).
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    sig_lo, sig_hi = _bq_sig_exprs("embedding")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), sig_lo, sig_hi
+    )
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), sig_lo, sig_hi)
+        .select(
+            "query_id",
+            F.col("sig_lo").alias("q_lo"),
+            F.col("sig_hi").alias("q_hi"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+    ).alias("hamming")
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", ham)
+        .withColumn("bq_rank", F.row_number().over(short_w))
+        .where(F.col("bq_rank") <= BQ_REFINE)
+    )
+    nbrs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    qv = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ref_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(nbrs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(ref_w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

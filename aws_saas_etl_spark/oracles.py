@@ -1124,6 +1124,73 @@ def _ann_ivfpq_sql() -> str:
 
 
 ANN_IVFPQ_SQL = _ann_ivfpq_sql()
+
+
+def _ann_bq_hamming_sql() -> str:
+    """Twin of the binary-quantization search: literal-unrolled sign
+    sums into two 32-bit words (the sign bit of a full 64-bit pack is
+    where engine shift/overflow semantics diverge — avoided on both
+    sides), bit_count(xor) Hamming, and the proven cosine refine."""
+    from aws_saas_etl_spark.operators.similarity import (
+        BQ_REFINE,
+        EMBED_DIM,
+        N_QUERY_VECS,
+        TOP_K,
+    )
+
+    def dotd(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"j -> CAST(({a})[j] AS DOUBLE) * CAST(({b})[j] AS DOUBLE)), 'sum')"
+        )
+
+    def cosd(a: str, b: str) -> str:
+        return f"{dotd(a, b)} / (sqrt({dotd(a, a)}) * sqrt({dotd(b, b)}))"
+
+    def half(lo: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN CAST(embedding[{lo + i + 1}] AS DOUBLE) > 0 "
+            f"THEN {2**i} ELSE 0 END)"
+            for i in range(32)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, {half(0)} AS sig_lo, {half(32)} AS sig_hi
+        FROM embeddings
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY bit_count(xor(c.sig_lo, q.sig_lo))
+                                + bit_count(xor(c.sig_hi, q.sig_hi)) ASC,
+                                c.vec_id ASC) AS bq_rank
+            FROM sigs c CROSS JOIN sigs q
+            WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+        ) WHERE bq_rank <= {BQ_REFINE}
+    ),
+    ref AS (
+        SELECT s.query_id, s.neighbor_id,
+               round({cosd("eq.embedding", "en.embedding")}, 6) AS cos_sim
+        FROM short s
+        JOIN embeddings eq ON eq.vec_id = s.query_id
+        JOIN embeddings en ON en.vec_id = s.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM ref
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+ANN_BQ_HAMMING_SQL = _ann_bq_hamming_sql()
 ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
 
 

@@ -1020,6 +1020,14 @@ register(
     similarity.ann_pq_store_roundtrip,
     oracles.ANN_PQ_ADC_SQL,
 )
+# binary quantization + Hamming shortlist + refine (r8): 1-bit signs,
+# two XOR+popcount per candidate — the cheapest first-pass scan (512x
+# compression), SimHash-with-coordinate-planes semantics
+register(
+    "ann_bq_hamming_topk",
+    similarity.ann_bq_hamming_topk,
+    oracles.ANN_BQ_HAMMING_SQL,
+)
 # eval-decontaminated manifest (r7): train docs sharing rare winnow
 # fingerprints with val/test docs are dropped, shard positions close ranks
 register(
