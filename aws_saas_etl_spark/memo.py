@@ -22,6 +22,11 @@ _REGISTRY: list["MemoDict"] = []
 
 # While non-None, every MemoDict get/set appends its memo's name here —
 # bench wraps each query invocation in ``track()`` and reads this back.
+# SINGLE-THREAD ASSUMPTION (ADVICE r8): the trace is a module global, so
+# concurrent query CONSTRUCTION under an active track() would
+# cross-attribute memo touches between queries. bench/plan_audit build
+# plans strictly sequentially; a future parallel harness must switch this
+# to a contextvars.ContextVar before tracking concurrently.
 _TRACE: list[str] | None = None
 
 

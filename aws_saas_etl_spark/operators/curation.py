@@ -1203,6 +1203,36 @@ def training_manifest_incremental(spark, sf_dir: str) -> DataFrame:
 MANIFEST_COLS = ["doc_id", "n_tokens", "split", "shard", "pos"]
 
 
+def _overwrite_touched_partitions(re_ranked, touched, path: str) -> None:
+    """Maintenance write for a (split, shard)-partitioned manifest store:
+    dynamic-partition-overwrite the touched partitions' new row sets,
+    then explicitly DROP every touched partition whose merged row set is
+    EMPTY (ADVICE r8 medium): ``partitionOverwriteMode=dynamic`` only
+    replaces partitions PRESENT in the written frame, so a one-row shard
+    whose keeper lost re-election to an arrival hashing elsewhere would
+    otherwise keep its stale files on disk and resurrect deleted rows on
+    read-back.
+
+    The emptied-key set is bounded by the touched PARTITION count (never
+    row-sized), so collecting it is a metadata-sized scalar collect — at
+    100 TB this is the ``ALTER TABLE ... DROP PARTITION`` call a catalog-
+    backed store issues after the same maintenance write.
+    """
+    import os
+    import shutil
+
+    re_ranked.select(*MANIFEST_COLS).write.partitionBy("split", "shard").option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").parquet(path)
+    emptied = touched.join(
+        re_ranked.select("split", "shard").distinct(), ["split", "shard"], "anti"
+    ).collect()
+    for r in emptied:
+        part = os.path.join(path, f"split={r['split']}", f"shard={r['shard']}")
+        if os.path.isdir(part):
+            shutil.rmtree(part)
+
+
 def manifest_partitioned_store_roundtrip(spark, sf_dir: str) -> DataFrame:
     """The manifest as a PARTITIONED FILE STORE, maintained by dynamic
     partition overwrite — the file-level half of the incremental claim
@@ -1219,6 +1249,9 @@ def manifest_partitioned_store_roundtrip(spark, sf_dir: str) -> DataFrame:
        exactly the partitions present in the written frame — it never
        lists, reads, or rewrites any other shard file, so at 100 TB the
        maintenance write is touched-shards-sized, not corpus-sized.
+       Touched partitions whose merged row set is EMPTY are dropped
+       explicitly (``_overwrite_touched_partitions``) — dynamic
+       overwrite alone would leave their stale files behind.
     3. The WHOLE partitioned table is read back and must value-hash to
        the full recompute (the same TRAINING_MANIFEST_SQL gate) — only
        possible if the untouched partitions' stored rows are exactly the
@@ -1233,14 +1266,12 @@ def manifest_partitioned_store_roundtrip(spark, sf_dir: str) -> DataFrame:
 
     from aws_saas_etl_spark.sources.custom import proc_dir
 
-    stored, re_ranked, _, _ = _incremental_merge_parts(spark, sf_dir)
+    stored, re_ranked, _, touched = _incremental_merge_parts(spark, sf_dir)
     path = proc_dir("manifest_part", os.path.abspath(sf_dir))
     stored.select(*MANIFEST_COLS).write.partitionBy("split", "shard").mode(
         "overwrite"
     ).parquet(path)
-    re_ranked.select(*MANIFEST_COLS).write.partitionBy("split", "shard").option(
-        "partitionOverwriteMode", "dynamic"
-    ).mode("overwrite").parquet(path)
+    _overwrite_touched_partitions(re_ranked, touched, path)
     back = spark.read.parquet(path)
     return (
         back.select(

@@ -198,6 +198,12 @@ PROFILE_COLS = (
 )
 
 
+# Constructing this query's DataFrame EXECUTES the CSV write it roundtrips
+# (bench reps / cold plan captures re-run it — flagged so those rows read
+# correctly).
+csv_roundtrip_stats.side_effecting = True
+
+
 def _render(col, kind: str):
     if kind == "double":
         return col.cast("decimal(22,6)").cast("string")
@@ -323,3 +329,8 @@ def jsonl_roundtrip_stats(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy(agg["source"])
     )
+
+
+# Constructing this query's DataFrame EXECUTES the JSONL write it
+# roundtrips (ADVICE r8: bench reps / plan captures re-run it).
+jsonl_roundtrip_stats.side_effecting = True

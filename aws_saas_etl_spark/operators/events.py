@@ -760,6 +760,11 @@ def events_partition_pruned_rollup(spark, sf_dir: str) -> DataFrame:
     )
 
 
+# Constructing this query's DataFrame WRITES the date-partitioned events
+# layout it prunes against (memoized per sf_dir, but cold captures pay it).
+events_partition_pruned_rollup.side_effecting = True
+
+
 def events_daily_trend_ols(spark, sf_dir: str) -> DataFrame:
     """Per-group OLS trend fit — the group-wise model-fitting shape
     (feature drift monitors, per-segment forecasts) done WITHOUT any

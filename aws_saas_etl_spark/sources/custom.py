@@ -419,3 +419,8 @@ def custom_sink_roundtrip(spark, sf_dir: str):
         )
         .orderBy("bucket")
     )
+
+
+# Constructing this query's DataFrame EXECUTES the custom-sink write
+# (staged parquet + manifest commit) it reads back.
+custom_sink_roundtrip.side_effecting = True

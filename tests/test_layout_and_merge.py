@@ -125,6 +125,7 @@ def test_partitioned_manifest_rewrites_only_touched_shards(spark, tmp_path):
     from aws_saas_etl_spark.operators.curation import (
         MANIFEST_COLS,
         _incremental_merge_parts,
+        _overwrite_touched_partitions,
         training_manifest_incremental,
     )
 
@@ -138,9 +139,7 @@ def test_partitioned_manifest_rewrites_only_touched_shards(spark, tmp_path):
     ).parquet(path)
     before = _partition_digests(path)
 
-    re_ranked.select(*MANIFEST_COLS).write.partitionBy("split", "shard").option(
-        "partitionOverwriteMode", "dynamic"
-    ).mode("overwrite").parquet(path)
+    _overwrite_touched_partitions(re_ranked, touched, path)
     after = _partition_digests(path)
 
     untouched_before = {p: d for p, d in before.items() if _pkey(p) not in touched_keys}
@@ -162,3 +161,47 @@ def test_partitioned_manifest_rewrites_only_touched_shards(spark, tmp_path):
         tuple(r) for r in training_manifest_incremental(spark, SF_SMOKE).collect()
     )
     assert back == expect
+
+
+def test_overwrite_drops_touched_partition_that_became_empty(spark, tmp_path):
+    """ADVICE r8 medium: dynamic partition overwrite only replaces
+    partitions PRESENT in the written frame — a touched partition whose
+    merged row set is EMPTY (its only row lost keeper re-election) would
+    keep stale files and resurrect dead rows on read-back. The helper
+    must drop such partitions explicitly."""
+    import os
+
+    from aws_saas_etl_spark.operators.curation import (
+        MANIFEST_COLS,
+        _overwrite_touched_partitions,
+    )
+
+    schema = "doc_id BIGINT, n_tokens BIGINT, split STRING, shard INT, pos INT"
+    base = spark.createDataFrame(
+        [
+            (1, 10, "train", 0, 1),
+            (2, 20, "train", 0, 2),
+            (3, 30, "train", 1, 1),  # one-row shard: will become empty
+            (4, 40, "val", 0, 1),  # untouched
+        ],
+        schema,
+    )
+    path = str(tmp_path / "store")
+    base.select(*MANIFEST_COLS).write.partitionBy("split", "shard").mode(
+        "overwrite"
+    ).parquet(path)
+
+    # maintenance touches (train,0) and (train,1); (train,1)'s row set is
+    # empty after the merge — doc 3's keeper moved into (train, 0).
+    re_ranked = spark.createDataFrame(
+        [(1, 10, "train", 0, 1), (3, 30, "train", 0, 2)], schema
+    )
+    touched = spark.createDataFrame([("train", 0), ("train", 1)], "split STRING, shard INT")
+    _overwrite_touched_partitions(re_ranked, touched, path)
+
+    assert not os.path.isdir(os.path.join(path, "split=train", "shard=1"))
+    back = sorted(
+        (r.doc_id, r.split, r.shard, r.pos)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert back == [(1, "train", 0, 1), (3, "train", 0, 2), (4, "val", 0, 1)]
