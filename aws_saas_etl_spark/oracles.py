@@ -873,27 +873,87 @@ def _ann_ivf_topk_sql(
 ANN_IVF_TOPK_SQL = _ann_ivf_topk_sql()
 
 
+def _doc_lexical_topk_sql() -> str:
+    """Twin of the per-query lexical retriever: identical tokenization
+    (the shared ``toks`` twin + list_distinct), exact integer
+    intersection/union sizes (``list_intersect`` on distinct lists ≡
+    ``array_intersect`` — the NGRAM_JACCARD-proven equivalence), one
+    rounded division, (jaccard DESC, neighbor ASC) ranking."""
+    from aws_saas_etl_spark.operators.similarity import N_QUERY_VECS, TOP_K
+
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, list_distinct({toks("text")}) AS tk
+        FROM documents WHERE {DOC_DROPNA}
+    ),
+    tk2 AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0),
+    q AS (SELECT doc_id AS query_id, tk AS q_tk FROM tk2
+          WHERE doc_id < {N_QUERY_VECS}),
+    prs AS (
+        SELECT q.query_id, c.doc_id AS neighbor_id,
+               round(CAST(len(list_intersect(c.tk, q.q_tk)) AS DOUBLE)
+                     / CAST(len(c.tk) + len(q.q_tk)
+                            - len(list_intersect(c.tk, q.q_tk)) AS DOUBLE),
+                     6) AS jaccard
+        FROM tk2 c CROSS JOIN q
+        WHERE c.doc_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY jaccard DESC, neighbor_id ASC
+        ) AS rank
+        FROM prs
+    )
+    SELECT query_id, neighbor_id, jaccard, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+DOC_LEXICAL_TOPK_SQL = _doc_lexical_topk_sql()
+
+
 def _ann_hybrid_rrf_sql() -> str:
-    """Twin of the RRF fusion: wraps the full LSH and IVF oracle queries
-    as CTE subqueries and replays the identical integer-rank arithmetic
-    (CAST(1 AS DOUBLE) — a bare 1.0 literal is DECIMAL in DuckDB and its
-    division would take the decimal, not the IEEE-double, path)."""
+    """Twin of the 3-arm RRF fusion: wraps the full LSH, IVF, and
+    lexical oracle queries as CTE subqueries and replays the identical
+    integer-rank arithmetic (CAST(1 AS DOUBLE) — a bare 1.0 literal is
+    DECIMAL in DuckDB and its division would take the decimal, not the
+    IEEE-double, path). The three coalesced terms sum in the same fixed
+    left-to-right order as the Spark expression. RRF_K / TOP_K are
+    interpolated from the query's own constants so the twin can never
+    silently desynchronize (ADVICE r8). Membership pairs come from the
+    UNION of the three arms' keys + per-arm LEFT JOINs — exactly the
+    chained full-outer joins of the Spark plan."""
+    from aws_saas_etl_spark.operators.similarity import RRF_K
+
     return f"""
     WITH lsh AS (SELECT * FROM ({ANN_LSH_TOPK_SQL}) _l),
     ivf AS (SELECT * FROM ({ANN_IVF_TOPK_SQL}) _i),
+    lex AS (SELECT * FROM ({DOC_LEXICAL_TOPK_SQL}) _x),
+    pairs AS (
+        SELECT query_id, neighbor_id FROM lsh
+        UNION SELECT query_id, neighbor_id FROM ivf
+        UNION SELECT query_id, neighbor_id FROM lex
+    ),
     fused AS (
-        SELECT COALESCE(l.query_id, i.query_id)       AS query_id,
-               COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
-               l.rank AS lsh_rank, i.rank AS ivf_rank
-        FROM lsh l FULL OUTER JOIN ivf i
-          ON l.query_id = i.query_id AND l.neighbor_id = i.neighbor_id
+        SELECT p.query_id, p.neighbor_id,
+               l.rank AS lsh_rank, i.rank AS ivf_rank, x.rank AS lex_rank
+        FROM pairs p
+        LEFT JOIN lsh l ON l.query_id = p.query_id
+                       AND l.neighbor_id = p.neighbor_id
+        LEFT JOIN ivf i ON i.query_id = p.query_id
+                       AND i.neighbor_id = p.neighbor_id
+        LEFT JOIN lex x ON x.query_id = p.query_id
+                       AND x.neighbor_id = p.neighbor_id
     ),
     scored AS (
         SELECT query_id, neighbor_id,
                CASE WHEN lsh_rank IS NOT NULL THEN 1 ELSE 0 END AS in_lsh,
                CASE WHEN ivf_rank IS NOT NULL THEN 1 ELSE 0 END AS in_ivf,
-               round(COALESCE(CAST(1 AS DOUBLE) / (60 + lsh_rank), 0.0)
-                     + COALESCE(CAST(1 AS DOUBLE) / (60 + ivf_rank), 0.0),
+               CASE WHEN lex_rank IS NOT NULL THEN 1 ELSE 0 END AS in_lex,
+               round(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + lsh_rank), 0.0)
+                     + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + ivf_rank), 0.0)
+                     + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + lex_rank), 0.0),
                      6) AS rrf_score
         FROM fused
     ),
@@ -905,8 +965,8 @@ def _ann_hybrid_rrf_sql() -> str:
                ) AS fused_rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, in_lsh, in_ivf, rrf_score, fused_rank
-    FROM ranked WHERE fused_rank <= 5
+    SELECT query_id, neighbor_id, in_lsh, in_ivf, in_lex, rrf_score, fused_rank
+    FROM ranked WHERE fused_rank <= {TOP_K}
     ORDER BY query_id, fused_rank
 """
 
@@ -914,7 +974,12 @@ def _ann_hybrid_rrf_sql() -> str:
 ANN_HYBRID_RRF_SQL = _ann_hybrid_rrf_sql()
 
 
-def _ann_pq_adc_sql(tail: str | None = None, chain_only: bool = False) -> str:
+def _ann_pq_adc_sql(
+    tail: str | None = None,
+    chain_only: bool = False,
+    fit_base: bool = False,
+    serve_where: str | None = None,
+) -> str:
     """Exact twin of PQ + ADC search: the per-subspace quantized-integer
     Lloyd fit unrolled as plain CTEs over ALL subspaces at once (the
     exploded (vec_id, m, sub) relation mirrors the Spark single-pass
@@ -923,7 +988,16 @@ def _ann_pq_adc_sql(tail: str | None = None, chain_only: bool = False) -> str:
     order-independent in both engines. Every double op runs on
     bit-identical operands (subvectors cast to double once; centroids
     rebuilt from exact integer sums), so the twin is equal by
-    construction, not by tolerance."""
+    construction, not by tolerance.
+
+    Lifecycle variants (the ``_ann_ivf_topk_sql`` convention): with
+    ``fit_base`` the codebook-fit CTEs (seeds + Lloyd rounds) restrict
+    to the historical base slice (exact integer-rank cut, n − n//10
+    smallest vec_ids) while encoding/queries see everything — the
+    stale-codebook append twin; ``serve_where`` filters the ENCODED
+    corpus and the query set (the code-table deletion-repair twin) while
+    the fit sees all vectors, because the stored codebook predates the
+    deletion batch."""
     from aws_saas_etl_spark.operators.similarity import (
         EMBED_DIM,
         N_QUERY_VECS,
@@ -960,6 +1034,26 @@ def _ann_pq_adc_sql(tail: str | None = None, chain_only: bool = False) -> str:
         f" / CAST(count(*) AS DOUBLE)) / {qlit}"
         for i in range(PQ_SUBDIM)
     )
+    fsrc = "fit_subs" if fit_base else "subs"
+    base_ctes = ""
+    fit_subs_cte = ""
+    seed_filter = ""
+    if fit_base:
+        base_ctes = """nall AS (SELECT count(*) AS n FROM embeddings),
+    cutv AS (
+        SELECT max(vec_id) AS cut FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+            FROM embeddings) r, nall
+        WHERE r.rn <= nall.n - nall.n // 10
+    ),
+    """
+        fit_subs_cte = """
+    fit_subs AS (
+        SELECT s.* FROM subs s, cutv WHERE s.vec_id <= cutv.cut
+    ),"""
+        seed_filter = ", cutv WHERE vec_id <= cutv.cut"
+    enc_where = f"\n            WHERE s.{serve_where}" if serve_where else ""
+    qtab_and = f" AND s.{serve_where}" if serve_where else ""
     rounds = ""
     prev = "cb0"
     for it in range(1, PQ_ITERS + 1):
@@ -970,7 +1064,7 @@ def _ann_pq_adc_sql(tail: str | None = None, chain_only: bool = False) -> str:
                    row_number() OVER (PARTITION BY s.vec_id, s.m
                        ORDER BY {l2("s.sub", "c.centroid")} ASC,
                                 c.code ASC) AS rn
-            FROM subs s JOIN {prev} c ON c.m = s.m
+            FROM {fsrc} s JOIN {prev} c ON c.m = s.m
         ) WHERE rn = 1
     ),
     cb{it} AS (
@@ -978,7 +1072,7 @@ def _ann_pq_adc_sql(tail: str | None = None, chain_only: bool = False) -> str:
         FROM asg{it} GROUP BY m, code
     ),"""
         prev = f"cb{it}"
-    chain = f"""normed AS (
+    chain = f"""{base_ctes}normed AS (
         SELECT vec_id,
                list_transform(generate_series(1, {PQ_M * PQ_SUBDIM}),
                    j -> CAST(embedding[j] AS DOUBLE) /
@@ -994,16 +1088,16 @@ def _ann_pq_adc_sql(tail: str | None = None, chain_only: bool = False) -> str:
                list_transform(generate_series(1, {PQ_SUBDIM}),
                    j -> e.u[mm.m * {PQ_SUBDIM} + j]) AS sub
         FROM normed e CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) mm
-    ),
+    ),{fit_subs_cte}
     seed_ids AS (
         SELECT vec_id,
                row_number() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
-        FROM embeddings
+        FROM embeddings{seed_filter}
     ),
     cb0 AS (
         SELECT s.m, d.code, s.sub AS centroid
-        FROM subs s JOIN seed_ids d USING (vec_id)
+        FROM {fsrc} s JOIN seed_ids d USING (vec_id)
         WHERE d.code < {PQ_K}
     ),{rounds}
     enc AS (
@@ -1012,7 +1106,7 @@ def _ann_pq_adc_sql(tail: str | None = None, chain_only: bool = False) -> str:
                    row_number() OVER (PARTITION BY s.vec_id, s.m
                        ORDER BY {l2("s.sub", "c.centroid")} ASC,
                                 c.code ASC) AS rn
-            FROM subs s JOIN {prev} c ON c.m = s.m
+            FROM subs s JOIN {prev} c ON c.m = s.m{enc_where}
         ) WHERE rn = 1
     ),
     qtab AS (
@@ -1020,7 +1114,7 @@ def _ann_pq_adc_sql(tail: str | None = None, chain_only: bool = False) -> str:
                CAST(floor({l2("s.sub", "c.centroid")} * {qlit}) AS BIGINT)
                    AS dint
         FROM subs s JOIN {prev} c ON c.m = s.m
-        WHERE s.vec_id < {N_QUERY_VECS}
+        WHERE s.vec_id < {N_QUERY_VECS}{qtab_and}
     )"""
     if chain_only:
         return chain
@@ -1124,6 +1218,24 @@ def _ann_ivfpq_sql() -> str:
 
 
 ANN_IVFPQ_SQL = _ann_ivfpq_sql()
+
+# Stale-codebook append serving: codebooks fitted on the historical base
+# slice, arrivals encoded + searched against them without a refit.
+ANN_PQ_INCREMENTAL_SQL = _ann_pq_adc_sql(fit_base=True)
+
+
+def _ann_pq_deletion_sql() -> str:
+    """Twin of the PQ code-table deletion repair: the codebook fit sees
+    ALL vectors (the stored artifact predates the deletion batch);
+    encoded corpus and query set are filtered to survivors — serving
+    over the repaired code table provably equals encoding a corpus that
+    never held the deleted vectors against the same codebooks."""
+    from aws_saas_etl_spark.operators.similarity import VEC_DELETION_MOD
+
+    return _ann_pq_adc_sql(serve_where=f"vec_id % {VEC_DELETION_MOD} <> 0")
+
+
+ANN_PQ_DELETION_SQL = _ann_pq_deletion_sql()
 
 
 def _ann_bq_hamming_sql() -> str:

@@ -980,13 +980,21 @@ register(
     dedup.source_neardup_matrix,
     oracles.SOURCE_NEARDUP_MATRIX_SQL,
 )
-# hybrid retrieval fusion (r8): reciprocal-rank fusion of the LSH and IVF
-# serving paths — the standard multi-retriever combine; bounded top-k
-# inputs, one full-outer join, per-query window
+# hybrid retrieval fusion (r8, 3-arm since r9): reciprocal-rank fusion of
+# the LSH, IVF, and lexical token-Jaccard serving paths — the true
+# lexical + vector hybrid-search combine; bounded top-k inputs, two
+# full-outer joins, per-query window
 register(
     "ann_hybrid_rrf",
     similarity.ann_hybrid_rrf,
     oracles.ANN_HYBRID_RRF_SQL,
+)
+# per-query lexical retrieval (r9): distinct-token Jaccard top-k per query
+# document — the text-side arm the RRF fusion combines with the vector arms
+register(
+    "doc_lexical_topk",
+    similarity.doc_lexical_topk,
+    oracles.DOC_LEXICAL_TOPK_SQL,
 )
 # loader-facing churn report (r8): per-shard removed/moved/stable counts
 # + token loss between the stored manifest and its deletion-repaired
@@ -1056,6 +1064,22 @@ register(
     "ann_ivf_deletion_repair",
     similarity.ann_ivf_deletion_repair,
     oracles.ANN_IVF_DELETION_SQL,
+)
+# stale-codebook serving (r9): PQ codebooks fitted on the historical 90%,
+# arrivals encoded against them without refit — the code-maintenance half
+# of the quantization lifecycle (VERDICT r8 #2a)
+register(
+    "ann_pq_incremental_append",
+    similarity.ann_pq_incremental_append,
+    oracles.ANN_PQ_INCREMENTAL_SQL,
+)
+# PQ code-table GDPR (r9): deletions drop out of codes + query set, the
+# trained codebooks stay as stored — filtering stored codes provably
+# equals encoding a corpus that never held the deleted vectors
+register(
+    "ann_pq_deletion_repair",
+    similarity.ann_pq_deletion_repair,
+    oracles.ANN_PQ_DELETION_SQL,
 )
 
 

@@ -389,6 +389,48 @@ def test_ivf_deletion_repair_forgets_deleted_vectors(spark):
     )
 
 
+def test_pq_incremental_append_serves_arrivals(spark):
+    """Stale-codebook semantics (the PQ analog of the IVF append test):
+    codebooks fitted on the base slice only, yet arrivals encode against
+    them and must be immediately searchable — at least one arrival
+    appears as a neighbor — and query coverage matches the fresh-fit
+    PQ path."""
+    from aws_saas_etl_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    n = emb.count()
+    cut_row = (
+        emb.select("vec_id").orderBy("vec_id").limit(n - n // 10)
+        .agg(F.max("vec_id")).first()
+    )
+    out = S.ann_pq_incremental_append(spark, SF_SMOKE).collect()
+    assert out, "stale-codebook serving returned nothing"
+    assert [r for r in out if r["neighbor_id"] > cut_row[0]], (
+        "no arrival vector appeared as a neighbor"
+    )
+    fresh = S.ann_pq_adc_topk(spark, SF_SMOKE).collect()
+    assert {r["query_id"] for r in out} == {r["query_id"] for r in fresh}
+
+
+def test_pq_deletion_repair_forgets_deleted_vectors(spark):
+    """PQ code-table right-to-be-forgotten: no deleted vec_id may appear
+    as a neighbor OR a query after the repair; surviving queries are
+    still served; and some rank is filled by a promoted survivor."""
+    from aws_saas_etl_spark.operators import similarity as S
+
+    out = S.ann_pq_deletion_repair(spark, SF_SMOKE).collect()
+    assert out
+    assert all(r["neighbor_id"] % S.VEC_DELETION_MOD != 0 for r in out)
+    assert all(r["query_id"] % S.VEC_DELETION_MOD != 0 for r in out)
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.ann_pq_adc_topk(spark, SF_SMOKE).collect()
+    }
+    assert any(
+        full.get((r["query_id"], r["rank"])) != r["neighbor_id"] for r in out
+    )
+
+
 def _mixture_emb(spark, rng, n_clusters, per_cluster, dim, noise):
     """Deterministic mixture-of-Gaussians embedding frame in the
     ``embeddings`` table shape (vec_id, embedding). Cluster centers are
@@ -531,10 +573,10 @@ def test_approx_distinct_parts_self_audit(spark):
 
 
 def test_hybrid_rrf_fusion_semantics(spark):
-    """RRF invariants on the real fixture: scores equal the replayed
-    1/(60+rank) arithmetic, agreement dominates — any neighbor returned
-    by BOTH retrievers outranks any single-retriever neighbor whose best
-    rank is no better (2/(60+k) > 1/61 for k ≤ TOP_K ≤ 61-ish), and
+    """RRF invariants on the real fixture (3-arm since r9): scores equal
+    the replayed 1/(60+rank) arithmetic over the LSH, IVF, and lexical
+    arms, agreement dominates — a neighbor returned by m arms outranks
+    any returned by m−1 (m/(60+TOP_K) > (m−1)/(60+1) at TOP_K=5), and
     membership flags are consistent with the inputs."""
     from aws_saas_etl_spark.operators.similarity import (
         RRF_K,
@@ -542,39 +584,48 @@ def test_hybrid_rrf_fusion_semantics(spark):
         ann_hybrid_rrf,
         ann_ivf_topk,
         ann_lsh_topk,
+        doc_lexical_topk,
     )
 
-    lsh = {
-        (r.query_id, r.neighbor_id): r.rank
-        for r in ann_lsh_topk(spark, SF_SMOKE).collect()
-    }
-    ivf = {
-        (r.query_id, r.neighbor_id): r.rank
-        for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+    arms = {
+        "in_lsh": {
+            (r.query_id, r.neighbor_id): r.rank
+            for r in ann_lsh_topk(spark, SF_SMOKE).collect()
+        },
+        "in_ivf": {
+            (r.query_id, r.neighbor_id): r.rank
+            for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+        },
+        "in_lex": {
+            (r.query_id, r.neighbor_id): r.rank
+            for r in doc_lexical_topk(spark, SF_SMOKE).collect()
+        },
     }
     out = ann_hybrid_rrf(spark, SF_SMOKE).collect()
     assert out
-    assert any(r.in_lsh and r.in_ivf for r in out), "no agreement rows"
+    assert any(r.in_lsh + r.in_ivf + r.in_lex >= 2 for r in out), "no agreement rows"
     for r in out:
         key = (r.query_id, r.neighbor_id)
-        assert r.in_lsh == (key in lsh) and r.in_ivf == (key in ivf)
-        expect = round(
-            (1.0 / (RRF_K + lsh[key]) if key in lsh else 0.0)
-            + (1.0 / (RRF_K + ivf[key]) if key in ivf else 0.0),
-            6,
-        )
+        expect = 0.0
+        for flag, ranks in arms.items():
+            assert getattr(r, flag) == (key in ranks), (flag, key)
+            if key in ranks:
+                expect += 1.0 / (RRF_K + ranks[key])
+        expect = round(expect, 6)
         assert abs(r.rrf_score - expect) < 1e-9, (key, r.rrf_score, expect)
         assert r.fused_rank <= TOP_K
-    # agreement dominance: both-retriever rows outrank single-retriever
-    # rows within the same query (2/(60+TOP_K) > 1/(60+1) at TOP_K=5)
+    # agreement dominance within each query: rows with more arms outrank
+    # rows with fewer (m/(60+TOP_K) > (m−1)/(60+1) for TOP_K=5)
     by_q = {}
     for r in out:
         by_q.setdefault(r.query_id, []).append(r)
     for rows in by_q.values():
-        both = [r.fused_rank for r in rows if r.in_lsh and r.in_ivf]
-        single = [r.fused_rank for r in rows if r.in_lsh + r.in_ivf == 1]
-        if both and single:
-            assert max(both) < min(single)
+        by_m = {}
+        for r in rows:
+            by_m.setdefault(r.in_lsh + r.in_ivf + r.in_lex, []).append(r.fused_rank)
+        ms = sorted(by_m)
+        for hi, lo in zip(ms[1:], ms[:-1]):
+            assert max(by_m[hi]) < min(by_m[lo])
 
 
 def test_pq_codes_and_refined_recall(spark):
