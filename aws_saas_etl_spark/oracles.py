@@ -1350,6 +1350,46 @@ def _ann_staleness_sql() -> str:
 ANN_STALENESS_SQL = _ann_staleness_sql()
 
 
+def _ann_ladder_recall_sql() -> str:
+    """Twin of the ladder recall report: the brute-force truth and the
+    four rung twins (IVF / PQ-ADC / IVF-PQ / BQ) as CTEs — each already
+    hash-proven standalone — joined into per-query integer hit counts
+    with coalesce-0 (the staleness-report convention)."""
+    rungs = {
+        "ivf": ANN_IVF_TOPK_SQL,
+        "pq": ANN_PQ_ADC_SQL,
+        "ivfpq": ANN_IVFPQ_SQL,
+        "bq": ANN_BQ_HAMMING_SQL,
+    }
+    ctes = ",\n    ".join(f"{n} AS ({sql})" for n, sql in rungs.items())
+    hits = ",\n    ".join(
+        f"""h_{n} AS (SELECT r.query_id, count(*) AS c FROM {n} r
+           JOIN truth t ON r.query_id = t.query_id
+                       AND r.neighbor_id = t.neighbor_id GROUP BY 1)"""
+        for n in rungs
+    )
+    cols = ",\n           ".join(
+        f"coalesce(h_{n}.c, 0) AS n_{n}_hits" for n in rungs
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN h_{n} ON base.query_id = h_{n}.query_id" for n in rungs
+    )
+    return f"""
+    WITH truth AS ({KNN_BRUTEFORCE_SQL}),
+    {ctes},
+    base AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1),
+    {hits}
+    SELECT base.query_id, base.n_truth,
+           {cols}
+    FROM base
+    {joins}
+    ORDER BY base.query_id
+"""
+
+
+ANN_LADDER_RECALL_SQL = _ann_ladder_recall_sql()
+
+
 def _triplet_mining_sql() -> str:
     """Twin of the hard-triplet mine: the same rounded cosine (identical
     fold order), hardest positive via (cos ASC, id ASC) rank-1 and

@@ -1004,6 +1004,14 @@ register(
     curation.manifest_deletion_churn,
     oracles.MANIFEST_DELETION_CHURN_SQL,
 )
+# store compaction after the deletion wave (r9): per-partition small-file
+# rewrite of the churned manifest store — read-back must hash to the SAME
+# deletion-repair twin (layout changes, content provably does not)
+register(
+    "manifest_store_compaction",
+    curation.manifest_store_compaction,
+    oracles.TRAINING_MANIFEST_DELETION_SQL,
+)
 # product quantization + ADC search (r8): 4-bit codes per subspace, one
 # broadcast query distance table, exact integer fused distance — the
 # memory-compression half of IVF-PQ
@@ -1080,6 +1088,14 @@ register(
     "ann_pq_deletion_repair",
     similarity.ann_pq_deletion_repair,
     oracles.ANN_PQ_DELETION_SQL,
+)
+# quantization-ladder recall frontier (r9): per-query exact-truth hit
+# counts for IVF / PQ-ADC / IVF-PQ / BQ in one integer-only report — the
+# recall-vs-scan-cost decision artifact (VERDICT r8 #3)
+register(
+    "ann_ladder_recall_report",
+    similarity.ann_ladder_recall_report,
+    oracles.ANN_LADDER_RECALL_SQL,
 )
 
 

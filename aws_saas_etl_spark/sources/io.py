@@ -174,6 +174,7 @@ def compact_parquet(
     src: str,
     dst: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
+    partition_cols: list[str] | None = None,
 ) -> int:
     """Compact a small-file parquet directory into ~target-sized files,
     returning the output file count. Streaming sinks, per-batch upserts,
@@ -186,6 +187,13 @@ def compact_parquet(
     round-robin repartition: even output sizes, a single narrow-input
     shuffle, no driver materialization. Row order is not preserved
     (parquet directories carry no order contract).
+
+    With ``partition_cols`` the Hive layout is PRESERVED: rows hash-
+    repartition on the partition key so each key lands wholly in one
+    task, and the partitioned rewrite therefore emits exactly ONE file
+    per partition directory — per-partition compaction, the maintenance
+    a partitioned store schedules after deletion waves leave shrunken
+    multi-file partitions behind (``manifest_store_compaction``).
     """
     import math
 
@@ -197,13 +205,21 @@ def compact_parquet(
     total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src)
-    df.repartition(n_files).write.mode("overwrite").parquet(dst)
-    out = jvm.org.apache.hadoop.fs.Path(dst)
-    return sum(
-        1
-        for f in fs.listStatus(out)
-        if f.getPath().getName().endswith(".parquet")
-    )
+    if partition_cols:
+        (
+            df.repartition(n_files, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(dst)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(dst), True)
+    n_out = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n_out += 1
+    return n_out
 
 
 # --- Partitioned writes (dynamic overwrite) ---------------------------------

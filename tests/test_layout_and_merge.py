@@ -163,6 +163,53 @@ def test_partitioned_manifest_rewrites_only_touched_shards(spark, tmp_path):
     assert back == expect
 
 
+def test_manifest_store_compaction_one_file_per_partition(spark):
+    """VERDICT r8 #7 file-count halves: the churned store is fragmented
+    (some partition holds >1 parquet file), the compacted store holds
+    exactly ONE parquet file per partition directory, and both read back
+    to identical row sets (content untouched, layout rewritten)."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from aws_saas_etl_spark.operators.curation import manifest_store_compaction
+    from aws_saas_etl_spark.sources.custom import proc_dir
+
+    back = sorted(tuple(r) for r in manifest_store_compaction(spark, SF_SMOKE).collect())
+
+    def per_partition_counts(path):
+        counts = {}
+        for root, _dirs, files in os.walk(path):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n:
+                counts[os.path.relpath(root, path)] = n
+        return counts
+
+    src = per_partition_counts(proc_dir("manifest_churned", os.path.abspath(SF_SMOKE)))
+    dst = per_partition_counts(proc_dir("manifest_compacted", os.path.abspath(SF_SMOKE)))
+    assert src and dst
+    assert sorted(src) == sorted(dst)  # same partition directories
+    assert any(n > 1 for n in src.values()), "source store not fragmented"
+    assert all(n == 1 for n in dst.values()), dst
+    src_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            proc_dir("manifest_churned", os.path.abspath(SF_SMOKE))
+        )
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .collect()
+    )
+    dst_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            proc_dir("manifest_compacted", os.path.abspath(SF_SMOKE))
+        )
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .collect()
+    )
+    assert src_rows == dst_rows
+    assert len(back) == len(dst_rows)
+
+
 def test_overwrite_drops_touched_partition_that_became_empty(spark, tmp_path):
     """ADVICE r8 medium: dynamic partition overwrite only replaces
     partitions PRESENT in the written frame — a touched partition whose

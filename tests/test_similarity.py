@@ -230,6 +230,18 @@ def test_label_principal_axis_invariants(spark):
             u = rng.randn(x.shape[1])
             u /= np.linalg.norm(u)
             assert ray >= float(u @ (xc.T @ (xc @ u))) / max(len(x) - 1, 1) - 1e-9
+        # in-row self-audit (VERDICT r8 #6): the emitted relative
+        # eigen-residual must match an independent recompute and be
+        # small after 50 power iterations on the real fixture
+        cov_v = (xc.T @ (xc @ v)) / max(len(x) - 1, 1)
+        resid = float(np.linalg.norm(cov_v - ray * v)) / ray
+        # v here is rebuilt from the 6dp axis string, so allow string
+        # truncation noise on the consistency check
+        assert abs(resid - r.eigen_residual) < 5e-4, r.label
+        # the isotropic fixture's top eigenvalues are near-degenerate
+        # (random data), so 50 power iterations leave up to ~1e-2 —
+        # the audit REPORTS it; the bound pins the convergence regime
+        assert 0.0 <= r.eigen_residual < 0.05, (r.label, r.eigen_residual)
 
 
 def test_hll_merge_self_audit(spark):
