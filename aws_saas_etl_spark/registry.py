@@ -1044,6 +1044,14 @@ register(
     similarity.ann_bq_hamming_topk,
     oracles.ANN_BQ_HAMMING_SQL,
 )
+# persisted BQ signature table (r9): 16-byte/vector sign words written
+# through the exactly-once sink, read back, served via the identical
+# Hamming+refine plan — stored-artifact parity across the whole ladder
+register(
+    "ann_bq_store_roundtrip",
+    similarity.ann_bq_store_roundtrip,
+    oracles.ANN_BQ_HAMMING_SQL,
+)
 # eval-decontaminated manifest (r7): train docs sharing rare winnow
 # fingerprints with val/test docs are dropped, shard positions close ranks
 register(

@@ -89,6 +89,15 @@ PROBES = [
      "ann_pq_adc_topk", "warm_stored"),
     ("ann_ivfpq_topk (warm-stored)", "similarity",
      "ann_ivfpq_topk", "warm_stored"),
+    # r9 additions (VERDICT r8 #8): the remaining serving rungs. BQ has
+    # no trained artifact (sign signatures derive per-row), so its scan
+    # should be corpus-linear with a tiny constant — 16 bytes/vector,
+    # XOR+popcount; the RRF fusion should be ≈ additive over its arm
+    # probes (the fusion stage itself is bounded top-k joins), probed
+    # warm-stored so the IVF arm serves from its memoized fit.
+    ("ann_bq_hamming_topk", "similarity", "ann_bq_hamming_topk"),
+    ("ann_hybrid_rrf (warm-stored)", "similarity",
+     "ann_hybrid_rrf", "warm_stored"),
 ]
 
 # Per-copy character translation: remaps the 5 vowels, which rewrites
