@@ -763,6 +763,74 @@ def doc_lexical_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     )
 
 
+def doc_lexical_topk_indexed(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """The INVERTED-INDEX form of :func:`doc_lexical_topk` — the lexical
+    retrieval shape that survives 100 TB: instead of scanning every
+    (query, doc) pair, the corpus explodes once into token POSTINGS and
+    each query probes only documents sharing at least one token.
+    Candidates with zero overlap are unreachable BY CONSTRUCTION (an
+    inverted index cannot retrieve a document it shares no term with) —
+    which is also why this variant carries its own twin: the brute-force
+    query ranks zero-jaccard rows into the tail when fewer than k
+    overlapping documents exist, the indexed one cannot.
+
+    Intersection sizes are exact integer counts over the postings join;
+    union = n_q + n_d − n_inter from a pre-aggregated per-doc size table;
+    the division/rounding/tie rule is byte-identical to the brute-force
+    arm, so wherever both return a row they agree exactly.
+
+    Scale shape: the query postings table (≤ queries × tokens-per-doc
+    rows) BROADCASTS, so the candidate join is one map-side pass over
+    the corpus postings — no shuffle keyed on token, hence no stopword
+    skew (the hot token never becomes a hot partition); the only
+    shuffles are the bounded (query, doc) aggregate and the top-k
+    window. At production scale the postings table is the stored
+    artifact (built once, like the ANN indexes) and df-based stopword
+    pruning bounds the candidate fan-out — the documented knob, not
+    applied here so the gate stays exact.
+    """
+    from aws_saas_etl_spark.functions import text as T
+
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    toks = docs.select(
+        "doc_id", F.array_distinct(T.tokens("text")).alias("tk")
+    ).where(F.size("tk") > 0)
+    sizes = toks.select("doc_id", F.size("tk").alias("n_tk"))
+    postings = toks.select("doc_id", F.explode("tk").alias("token"))
+    qpost = (
+        postings.where(F.col("doc_id") < N_QUERY_VECS)
+        .select(F.col("doc_id").alias("query_id"), "token")
+    )
+    qsizes = sizes.where(F.col("doc_id") < N_QUERY_VECS).select(
+        F.col("doc_id").alias("query_id"), F.col("n_tk").alias("n_q")
+    )
+    inter = (
+        postings.join(F.broadcast(qpost), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("jaccard"), F.asc("neighbor_id")
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qsizes), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_tk") + F.col("n_q") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_hybrid_rrf(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """HYBRID retrieval fusion — reciprocal-rank fusion (RRF) of three
     retrievers spanning both modalities: data-oblivious LSH buckets

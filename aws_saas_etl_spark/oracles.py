@@ -873,14 +873,18 @@ def _ann_ivf_topk_sql(
 ANN_IVF_TOPK_SQL = _ann_ivf_topk_sql()
 
 
-def _doc_lexical_topk_sql() -> str:
+def _doc_lexical_topk_sql(positive_only: bool = False) -> str:
     """Twin of the per-query lexical retriever: identical tokenization
     (the shared ``toks`` twin + list_distinct), exact integer
     intersection/union sizes (``list_intersect`` on distinct lists ≡
     ``array_intersect`` — the NGRAM_JACCARD-proven equivalence), one
-    rounded division, (jaccard DESC, neighbor ASC) ranking."""
+    rounded division, (jaccard DESC, neighbor ASC) ranking. With
+    ``positive_only`` candidates restrict to pairs sharing ≥ 1 token —
+    the inverted-index variant's reachable set (an index cannot retrieve
+    a document it shares no term with)."""
     from aws_saas_etl_spark.operators.similarity import N_QUERY_VECS, TOP_K
 
+    pos = "\n        AND len(list_intersect(c.tk, q.q_tk)) > 0" if positive_only else ""
     return f"""
     WITH tk AS (
         SELECT doc_id, list_distinct({toks("text")}) AS tk
@@ -896,7 +900,7 @@ def _doc_lexical_topk_sql() -> str:
                             - len(list_intersect(c.tk, q.q_tk)) AS DOUBLE),
                      6) AS jaccard
         FROM tk2 c CROSS JOIN q
-        WHERE c.doc_id <> q.query_id
+        WHERE c.doc_id <> q.query_id{pos}
     ),
     ranked AS (
         SELECT *, row_number() OVER (
@@ -911,6 +915,7 @@ def _doc_lexical_topk_sql() -> str:
 
 
 DOC_LEXICAL_TOPK_SQL = _doc_lexical_topk_sql()
+DOC_LEXICAL_TOPK_INDEXED_SQL = _doc_lexical_topk_sql(positive_only=True)
 
 
 def _ann_hybrid_rrf_sql() -> str:

@@ -996,6 +996,14 @@ register(
     similarity.doc_lexical_topk,
     oracles.DOC_LEXICAL_TOPK_SQL,
 )
+# inverted-index lexical retrieval (r9): token postings + broadcast query
+# postings — the 100 TB shape (no token-keyed shuffle, no stopword skew);
+# candidates provably restricted to positive-overlap pairs
+register(
+    "doc_lexical_topk_indexed",
+    similarity.doc_lexical_topk_indexed,
+    oracles.DOC_LEXICAL_TOPK_INDEXED_SQL,
+)
 # loader-facing churn report (r8): per-shard removed/moved/stable counts
 # + token loss between the stored manifest and its deletion-repaired
 # successor — the diff read before shipping a repaired manifest
