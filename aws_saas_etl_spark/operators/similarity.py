@@ -669,10 +669,11 @@ def ann_ladder_recall_report(spark, sf_dir: str) -> DataFrame:
     """The recall-vs-cost FRONTIER across the full quantization ladder —
     the driver-visible artifact VERDICT r8 #3 asked for: per query,
     exact-truth hit counts for every serving rung — IVF (float vectors,
-    ~nprobe/√n of the corpus scanned), PQ-ADC with exact refine (full
-    scan, 4-bit codes, 64× fewer bytes), composed IVF-PQ (both cuts
-    multiplied), and BQ Hamming with rescoring (full scan, 1-bit signs,
-    512×). Reading the report row-wise IS the capacity-planning
+    ~nprobe/√n of the corpus scanned), SQ8 with exact refine (full scan,
+    8-bit codes, 4×), PQ-ADC with exact refine (full scan, 4-bit codes,
+    64× fewer bytes), composed IVF-PQ (both cuts multiplied), and BQ
+    Hamming with rescoring (full scan, 1-bit signs, 512×). Reading the
+    report row-wise IS the capacity-planning
     decision a vector platform makes: which rung still clears the
     product's recall floor at the cheapest scan cost. Until now the
     frontier lived only in docstrings and pytest pins; this emits it as
@@ -689,6 +690,7 @@ def ann_ladder_recall_report(spark, sf_dir: str) -> DataFrame:
     truth = knn_bruteforce(spark, sf_dir).select(*key)
     rungs = [
         ("n_ivf_hits", ann_ivf_topk(spark, sf_dir)),
+        ("n_sq_hits", ann_sq8_topk(spark, sf_dir)),
         ("n_pq_hits", ann_pq_adc_topk(spark, sf_dir)),
         ("n_ivfpq_hits", ann_ivfpq_topk(spark, sf_dir)),
         ("n_bq_hits", ann_bq_hamming_topk(spark, sf_dir)),
@@ -1572,6 +1574,95 @@ def ann_pq_deletion_repair(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     cb = _pq_codebooks_cached(spark, sf_dir, emb)
     surviving = emb.where(F.col("vec_id") % VEC_DELETION_MOD != 0)
     return _pq_adc_refined(surviving, cb, k)
+
+
+#: SQ8 shortlist size (the scalar-quantization refine budget — the same
+#: 10·k convention as PQ_REFINE; 8-bit codes are fine enough that the
+#: integer-dot ordering is already near-exact and the refine mostly
+#: breaks quantization ties).
+SQ_REFINE = 10 * TOP_K
+
+
+def _sq8_codes(emb_col):
+    """int8 scalar quantization of the L2-NORMALIZED vector with a GLOBAL
+    scale: unit components lie in [−1, 1], so q_j = floor(û_j·127 + 0.5)
+    (round-half-up — sign-safe and identical in both engines) maps onto
+    [−127, 127] with no per-dimension scale table. A global scale is what
+    makes the approximate score a PURE INTEGER dot product — per-dim
+    scales (``embedding_int8_quantization``'s storage shape) would pull
+    doubles back into the hot loop."""
+    unit = F.transform(
+        F.col(emb_col),
+        lambda x: x.cast("double")
+        / F.sqrt(dot(F.col(emb_col), F.col(emb_col))),
+    )
+    return F.transform(unit, lambda x: F.floor(x * 127.0 + 0.5).cast("long"))
+
+
+def ann_sq8_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Scalar-quantized ANN (SQ8) — the FIRST rung of the quantization
+    ladder, completing it end to end: float(256 B) → SQ8(64 B, 4×) →
+    PQ(4 B, 64×) → BQ(16 B of sign words, 512× vs float64). SQ8 is the
+    industry default when memory pressure is moderate: each normalized
+    component quantizes to int8 with a global scale, the first-pass
+    score is an exact INTEGER dot product Σ q8_j·d8_j (monotone in the
+    quantized cosine), and the top SQ_REFINE re-rank against the true
+    floats.
+
+    Engine-neutral: normalization runs on bit-identical doubles,
+    floor(x·127 + 0.5) is deterministic round-half-up in both engines,
+    and the integer dot sum is order-independent — the fused score
+    hashes with no float anywhere before the refine's proven cosine.
+
+    Scale shape: the corpus scan reads 64 B/vector of codes; queries
+    broadcast; per-candidate cost is one JVM ``zip_with``/``aggregate``
+    integer fold; shortlist + refine bounded. Composes with IVF routing
+    exactly like PQ (``ann_ivfpq_topk``) — cells cut the scanned
+    fraction, SQ8 cuts the bytes per candidate.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _sq8_codes("embedding").alias("c8")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), _sq8_codes("embedding").alias("q8")
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("c8"), F.col("q8"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.desc("int_dot"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", idot.alias("int_dot"))
+        .withColumn("sq_rank", F.row_number().over(short_w))
+        .where(F.col("sq_rank") <= SQ_REFINE)
+    )
+    nbrs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    qv = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ref_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(nbrs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(ref_w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
 
 
 #: Binary-quantization shortlist size (the BQ refine budget — same

@@ -1308,6 +1308,79 @@ def _ann_bq_hamming_sql() -> str:
 
 
 ANN_BQ_HAMMING_SQL = _ann_bq_hamming_sql()
+
+
+def _ann_sq8_sql() -> str:
+    """Twin of the SQ8 search: identical normalization (bit-identical
+    doubles), floor(û·127 + 0.5) round-half-up int8 codes, EXACT BIGINT
+    dot product as the first-pass score, and the proven cosine refine."""
+    from aws_saas_etl_spark.operators.similarity import (
+        EMBED_DIM,
+        N_QUERY_VECS,
+        SQ_REFINE,
+        TOP_K,
+    )
+
+    def dotd(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"j -> CAST(({a})[j] AS DOUBLE) * CAST(({b})[j] AS DOUBLE)), 'sum')"
+        )
+
+    def cosd(a: str, b: str) -> str:
+        return f"{dotd(a, b)} / (sqrt({dotd(a, a)}) * sqrt({dotd(b, b)}))"
+
+    return f"""
+    WITH normed AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {EMBED_DIM}),
+                   j -> CAST(embedding[j] AS DOUBLE) /
+                        sqrt(list_aggregate(list_transform(
+                            generate_series(1, {EMBED_DIM}),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[i] AS DOUBLE)), 'sum')))
+                   AS u
+        FROM embeddings
+    ),
+    codes AS (
+        SELECT vec_id,
+               list_transform(u, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT))
+                   AS c8
+        FROM normed
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY CAST(list_aggregate(list_transform(
+                                    generate_series(1, {EMBED_DIM}),
+                                    j -> c.c8[j] * q.c8[j]), 'sum')
+                                AS BIGINT) DESC,
+                                c.vec_id ASC) AS sq_rank
+            FROM codes c CROSS JOIN codes q
+            WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+        ) WHERE sq_rank <= {SQ_REFINE}
+    ),
+    ref AS (
+        SELECT s.query_id, s.neighbor_id,
+               round({cosd("eq.embedding", "en.embedding")}, 6) AS cos_sim
+        FROM short s
+        JOIN embeddings eq ON eq.vec_id = s.query_id
+        JOIN embeddings en ON en.vec_id = s.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM ref
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+ANN_SQ8_SQL = _ann_sq8_sql()
 ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
 
 
@@ -1357,11 +1430,12 @@ ANN_STALENESS_SQL = _ann_staleness_sql()
 
 def _ann_ladder_recall_sql() -> str:
     """Twin of the ladder recall report: the brute-force truth and the
-    four rung twins (IVF / PQ-ADC / IVF-PQ / BQ) as CTEs — each already
-    hash-proven standalone — joined into per-query integer hit counts
-    with coalesce-0 (the staleness-report convention)."""
+    five rung twins (IVF / SQ8 / PQ-ADC / IVF-PQ / BQ) as CTEs — each
+    already hash-proven standalone — joined into per-query integer hit
+    counts with coalesce-0 (the staleness-report convention)."""
     rungs = {
         "ivf": ANN_IVF_TOPK_SQL,
+        "sq": ANN_SQ8_SQL,
         "pq": ANN_PQ_ADC_SQL,
         "ivfpq": ANN_IVFPQ_SQL,
         "bq": ANN_BQ_HAMMING_SQL,

@@ -1052,6 +1052,14 @@ register(
     similarity.ann_bq_hamming_topk,
     oracles.ANN_BQ_HAMMING_SQL,
 )
+# scalar quantization SQ8 (r9): int8 codes of the normalized vectors with
+# a global scale — first-pass score is an exact BIGINT dot product, then
+# the proven cosine refine; the 4x rung completing the ladder
+register(
+    "ann_sq8_topk",
+    similarity.ann_sq8_topk,
+    oracles.ANN_SQ8_SQL,
+)
 # persisted BQ signature table (r9): 16-byte/vector sign words written
 # through the exactly-once sink, read back, served via the identical
 # Hamming+refine plan — stored-artifact parity across the whole ladder

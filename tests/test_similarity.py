@@ -803,6 +803,30 @@ def test_pq_store_roundtrip_bit_exact(spark):
     assert [tuple(r) for r in out] == [tuple(r) for r in direct]
 
 
+def test_sq8_codes_and_near_exact_recall(spark):
+    """SQ8 invariants: every code component in [−127, 127]; and because
+    8-bit quantization of unit vectors barely perturbs the dot-product
+    ordering, the refined top-k must recall ≥ 0.9 of brute force even on
+    the isotropic fixture (the rung exists as the near-lossless 4× step
+    the coarser rungs are measured against in the ladder report)."""
+    from aws_saas_etl_spark.catalog import load_tables
+    from aws_saas_etl_spark.operators.similarity import _sq8_codes, ann_sq8_topk
+
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    codes = emb.select(_sq8_codes("embedding").alias("c8")).collect()
+    assert all(all(-127 <= c <= 127 for c in r.c8) for r in codes)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_sq8_topk(spark, SF_SMOKE).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.9
+
+
 def test_bq_signature_and_refined_recall(spark):
     """BQ invariants: two sign words per vector, each in [0, 2^32); the
     Hamming shortlist + exact refine recalls ≥ 0.55 of brute force on
