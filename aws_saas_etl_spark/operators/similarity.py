@@ -1204,17 +1204,25 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
         lambda x: x.cast("double") / F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
     )
     normed = emb.select("vec_id", unit.alias("u"))
+    return _subspace_slices(normed, "u")
+
+
+def _subspace_slices(df: DataFrame, col: str, extra: tuple = ()) -> DataFrame:
+    """Explode an array column into (vec_id[, *extra], m, sub) subspace
+    slices — shared by the normalized-vector path (:func:`_pq_subvectors`)
+    and the residual path (``ann_ivfpq_residual_topk``), which slices
+    û − ĉ_cell instead and must NOT re-normalize."""
     slices = F.array(
         *[
             F.struct(
                 F.lit(m).alias("m"),
-                F.slice(F.col("u"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+                F.slice(F.col(col), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
             )
             for m in range(PQ_M)
         ]
     )
-    return normed.select("vec_id", F.explode(slices).alias("s")).select(
-        "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    return df.select("vec_id", *extra, F.explode(slices).alias("s")).select(
+        "vec_id", *extra, F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
     )
 
 
@@ -1262,14 +1270,22 @@ def pq_fit_codebooks(emb: DataFrame) -> DataFrame:
     same hash-spread, sort-free seeding the IVF fit uses, shared across
     subspaces. Per round: one broadcast join + two shuffles, rows only
     ever n·M wide — never n×n."""
+    return _pq_fit_from_subs(_pq_subvectors(emb))
+
+
+def _pq_fit_from_subs(subs: DataFrame) -> DataFrame:
+    """The Lloyd body of :func:`pq_fit_codebooks` over an arbitrary
+    (vec_id, m, sub) frame — split out so residual PQ
+    (``ann_ivfpq_residual_topk``) fits codebooks on residual subvectors
+    through the identical, hash-proven machinery."""
     seed_w = Window.orderBy("h", "vec_id")
     seeds = (
-        emb.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        subs.select("vec_id").distinct()
+        .select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h", "vec_id")
         .limit(PQ_K)
         .select("vec_id", (F.row_number().over(seed_w) - 1).alias("code"))
     )
-    subs = _pq_subvectors(emb)
     cb = subs.join(F.broadcast(seeds), "vec_id").select(
         "m", "code", F.col("sub").alias("centroid")
     )
@@ -1451,6 +1467,148 @@ def ann_ivfpq_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     shortlist = (
         cand_pairs.join(codes, "neighbor_id")
         .join(F.broadcast(qtab), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dint").alias("adc_dist"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_rank", F.row_number().over(adc_w))
+        .where(F.col("adc_rank") <= PQ_REFINE)
+    )
+    nbrs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    qv = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ref_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(nbrs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(ref_w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+_PQ_RES_CACHE = MemoDict("pq_residual_codebook")
+
+
+def ann_ivfpq_residual_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """RESIDUAL IVF-PQ — the FAISS-default encoding the plain composition
+    (``ann_ivfpq_topk``) documents as its own limitation: codes quantize
+    the residual û − ĉ_cell (the normalized vector minus its normalized
+    coarse centroid) instead of û itself. Residuals concentrate near the
+    origin once the coarse index has captured the cluster structure, so
+    the same 4-bit budget spends its codewords on a much smaller ball —
+    more precision per bit exactly where the data is clustered.
+
+    Engine-neutral end to end: the coarse fit/assignment is the proven
+    IVF chain; centroid normalization and the residual subtraction run
+    on bit-identical doubles; the residual codebook fit is the same
+    quantized-integer Lloyd (residual components are bounded by 2, far
+    inside the BIGINT budget of the 1e9 grid); ADC stays an exact
+    integer sum. The twin composes the full IVF CTE chain with a
+    residual-PQ chain through the established ``tail=`` pattern.
+
+    Scale shape: identical to plain IVF-PQ — the residual join adds one
+    broadcast of the ≤ √n-row normalized-centroid table on each side;
+    the query distance table grows nprobe× (one M×K table per probed
+    cell, still broadcast-bounded); and the code join's cell-equality
+    against the probed table IS the candidate filter, so the joined rows
+    stay probed-candidates × M, never corpus × M.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    n_cells = ivf_cells_for(emb.count())
+    nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
+    coarse = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
+    ncent = coarse.select(
+        "cell",
+        F.transform(
+            "centroid",
+            lambda x: x / F.sqrt(dot(F.col("centroid"), F.col("centroid"))),
+        ).alias("nc"),
+    )
+    unit = F.transform(
+        F.col("embedding"),
+        lambda x: x.cast("double")
+        / F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
+    )
+    normed = emb.select("vec_id", unit.alias("u"))
+    assigned = _assign_cells(emb.select("vec_id", "embedding"), coarse).select(
+        "vec_id", "cell"
+    )
+    resid = (
+        normed.join(assigned, "vec_id")
+        .join(F.broadcast(ncent), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("u", "nc", lambda a, b: a - b).alias("r"),
+        )
+    )
+    rsubs = _subspace_slices(resid, "r", extra=("cell",))
+    key = (spark.sparkContext.applicationId, sf_dir, PQ_M, PQ_K, PQ_ITERS, "res")
+    cb = _PQ_RES_CACHE.get(key)
+    if cb is None:
+        cb = _pq_fit_from_subs(rsubs.select("vec_id", "m", "sub"))
+        _PQ_RES_CACHE[key] = cb
+    codes = (
+        _pq_argmin(rsubs.select("vec_id", "m", "sub"), cb)
+        .select("vec_id", "m", "code")
+        .join(assigned, "vec_id")
+        .select(F.col("vec_id").alias("neighbor_id"), "cell", "m", "code")
+    )
+    q_w = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    probe_cells = (
+        emb.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id",
+            "cell",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("cell_sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(q_w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "cell")
+    )
+    q_resid = (
+        normed.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "u")
+        .join(F.broadcast(probe_cells), "query_id")
+        .join(F.broadcast(ncent), "cell")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "cell",
+            F.zip_with("u", "nc", lambda a, b: a - b).alias("r"),
+        )
+    )
+    qrsubs = _subspace_slices(q_resid, "r", extra=("cell",)).select(
+        F.col("vec_id").alias("query_id"), "cell", "m", "sub"
+    )
+    qtab = qrsubs.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "cell",
+        "m",
+        "code",
+        F.floor(_l2sq(F.col("sub"), F.col("centroid")) * F.lit(float(PQ_QUANT)))
+        .cast("long")
+        .alias("dint"),
+    )
+    # the (cell, m, code) equality against the broadcast query table IS
+    # the probe filter: qtab only contains probed (query, cell) pairs,
+    # so the join emits probed-candidates × M rows, never corpus × M
+    adc_w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        codes.join(F.broadcast(qtab), ["cell", "m", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("dint").alias("adc_dist"))
         .where(F.col("neighbor_id") != F.col("query_id"))

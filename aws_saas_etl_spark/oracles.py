@@ -1224,6 +1224,176 @@ def _ann_ivfpq_sql() -> str:
 
 ANN_IVFPQ_SQL = _ann_ivfpq_sql()
 
+def _ann_ivfpq_residual_sql() -> str:
+    """Twin of RESIDUAL IVF-PQ: the proven IVF chain supplies the coarse
+    fit, corpus cell assignment, and probed cells; the tail normalizes
+    the final centroids, forms residuals û − ĉ_cell on bit-identical
+    doubles, runs the same quantized-integer Lloyd over residual
+    subvectors, and scores candidates by the exact BIGINT ADC sum whose
+    (cell, m, code) join against the probed-cell query table IS the
+    candidate filter — each fragment the literal arithmetic of its
+    hash-proven sibling."""
+    from aws_saas_etl_spark.operators.similarity import (
+        EMBED_DIM,
+        IVF_ITERS,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_QUANT,
+        PQ_REFINE,
+        PQ_SUBDIM,
+        TOP_K,
+    )
+
+    qlit = f"{float(PQ_QUANT)!r}"
+    cent = f"cent{IVF_ITERS}"
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {PQ_SUBDIM}), "
+            f"j -> (({a})[j] - ({b})[j]) * (({a})[j] - ({b})[j])), 'sum')"
+        )
+
+    def dotd(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"j -> CAST(({a})[j] AS DOUBLE) * CAST(({b})[j] AS DOUBLE)), 'sum')"
+        )
+
+    def cosd(a: str, b: str) -> str:
+        return f"{dotd(a, b)} / (sqrt({dotd(a, a)}) * sqrt({dotd(b, b)}))"
+
+    mean = ", ".join(
+        f"(CAST(sum(CAST(floor(sub[{i + 1}] * {qlit}) AS BIGINT)) AS DOUBLE)"
+        f" / CAST(count(*) AS DOUBLE)) / {qlit}"
+        for i in range(PQ_SUBDIM)
+    )
+    rounds = ""
+    prev = "rcb0"
+    for it in range(1, PQ_ITERS + 1):
+        rounds += f"""
+    rasg{it} AS (
+        SELECT vec_id, m, sub, code FROM (
+            SELECT s.vec_id, s.m, s.sub, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {l2("s.sub", "c.centroid")} ASC,
+                                c.code ASC) AS rn
+            FROM rsubs s JOIN {prev} c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    rcb{it} AS (
+        SELECT m, code, [{mean}] AS centroid
+        FROM rasg{it} GROUP BY m, code
+    ),"""
+        prev = f"rcb{it}"
+    tail = f"""rnorm AS (
+        SELECT vec_id,
+               list_transform(generate_series(1, {EMBED_DIM}),
+                   j -> CAST(embedding[j] AS DOUBLE) /
+                        sqrt(list_aggregate(list_transform(
+                            generate_series(1, {EMBED_DIM}),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[i] AS DOUBLE)), 'sum')))
+                   AS u
+        FROM embeddings
+    ),
+    rnc AS (
+        SELECT cell,
+               list_transform(generate_series(1, {EMBED_DIM}),
+                   j -> centroid[j] / sqrt({dotd("centroid", "centroid")}))
+                   AS nc
+        FROM {cent}
+    ),
+    rres AS (
+        SELECT n.vec_id, c.cell,
+               list_transform(generate_series(1, {EMBED_DIM}),
+                   j -> n.u[j] - k.nc[j]) AS r
+        FROM rnorm n
+        JOIN corpus c ON c.neighbor_id = n.vec_id
+        JOIN rnc k ON k.cell = c.cell
+    ),
+    rsubs AS (
+        SELECT e.vec_id, e.cell, mm.m,
+               list_transform(generate_series(1, {PQ_SUBDIM}),
+                   j -> e.r[mm.m * {PQ_SUBDIM} + j]) AS sub
+        FROM rres e CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) mm
+    ),
+    rseed AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+        FROM embeddings
+    ),
+    rcb0 AS (
+        SELECT s.m, d.code, s.sub AS centroid
+        FROM rsubs s JOIN rseed d USING (vec_id)
+        WHERE d.code < {PQ_K}
+    ),{rounds}
+    renc AS (
+        SELECT vec_id, cell, m, code FROM (
+            SELECT s.vec_id, s.cell, s.m, c.code,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {l2("s.sub", "c.centroid")} ASC,
+                                c.code ASC) AS rn
+            FROM rsubs s JOIN {prev} c ON c.m = s.m
+        ) WHERE rn = 1
+    ),
+    rqres AS (
+        SELECT p.query_id, p.cell,
+               list_transform(generate_series(1, {EMBED_DIM}),
+                   j -> n.u[j] - k.nc[j]) AS r
+        FROM probes p
+        JOIN rnorm n ON n.vec_id = p.query_id
+        JOIN rnc k ON k.cell = p.cell
+    ),
+    rqsubs AS (
+        SELECT e.query_id, e.cell, mm.m,
+               list_transform(generate_series(1, {PQ_SUBDIM}),
+                   j -> e.r[mm.m * {PQ_SUBDIM} + j]) AS sub
+        FROM rqres e CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) mm
+    ),
+    rqtab AS (
+        SELECT s.query_id, s.cell, s.m, c.code,
+               CAST(floor({l2("s.sub", "c.centroid")} * {qlit}) AS BIGINT)
+                   AS dint
+        FROM rqsubs s JOIN {prev} c ON c.m = s.m
+    ),
+    rcand AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id,
+               CAST(sum(t.dint) AS BIGINT) AS adc_dist
+        FROM renc e
+        JOIN rqtab t ON t.cell = e.cell AND t.m = e.m AND t.code = e.code
+        GROUP BY 1, 2
+    ),
+    rshort AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+        FROM rcand WHERE neighbor_id <> query_id
+    ),
+    rref AS (
+        SELECT s.query_id, s.neighbor_id,
+               round({cosd("eq.embedding", "en.embedding")}, 6) AS cos_sim
+        FROM rshort s
+        JOIN embeddings eq ON eq.vec_id = s.query_id
+        JOIN embeddings en ON en.vec_id = s.neighbor_id
+        WHERE s.adc_rank <= {PQ_REFINE}
+    ),
+    rranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM rref
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM rranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+    return _ann_ivf_topk_sql(tail=tail)
+
+
+ANN_IVFPQ_RESIDUAL_SQL = _ann_ivfpq_residual_sql()
+
 # Stale-codebook append serving: codebooks fitted on the historical base
 # slice, arrivals encoded + searched against them without a refit.
 ANN_PQ_INCREMENTAL_SQL = _ann_pq_adc_sql(fit_base=True)

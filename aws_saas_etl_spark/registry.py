@@ -1036,6 +1036,14 @@ register(
     similarity.ann_ivfpq_topk,
     oracles.ANN_IVFPQ_SQL,
 )
+# residual IVF-PQ (r9): codes quantize u - c_cell instead of u (the
+# FAISS default) — the 4-bit budget spends its codewords on the residual
+# ball, more precision per bit on clustered data; same cost envelope
+register(
+    "ann_ivfpq_residual_topk",
+    similarity.ann_ivfpq_residual_topk,
+    oracles.ANN_IVFPQ_RESIDUAL_SQL,
+)
 # persisted PQ codebook (r8): written through the exactly-once manifest
 # sink, read back, served via the identical ADC+refine plan — the same
 # hash gate proves storage lossless

@@ -748,6 +748,69 @@ def test_pq_refined_recall_high_on_clustered_embeddings(spark):
     assert recall >= 0.9, recall
 
 
+def test_residual_codes_cut_reconstruction_error_on_clustered(spark):
+    """The precision-per-bit claim of residual IVF-PQ, measured directly:
+    on clustered data the total squared reconstruction error of residual
+    codes (û ≈ ĉ_cell + codeword) must be WELL below plain PQ's
+    (û ≈ codeword) at the identical 4-bit budget — residuals concentrate
+    in the noise ball once the coarse index has captured the clusters,
+    so the same 16 codewords per subspace quantize a far smaller set."""
+    import numpy as np
+
+    from aws_saas_etl_spark.operators.similarity import (
+        _assign_cells,
+        _pq_argmin,
+        _pq_fit_from_subs,
+        _pq_subvectors,
+        _subspace_slices,
+        _l2sq,
+        dot,
+        ivf_cells_for,
+        ivf_fit_cells,
+        pq_fit_codebooks,
+    )
+
+    rng = np.random.default_rng(9)
+    emb = _mixture_emb(spark, rng, 16, 30, 64, noise=0.08)
+
+    def total_err(subs, cb):
+        return (
+            _pq_argmin(subs, cb)
+            .join(cb, ["m", "code"])
+            .agg(F.sum(_l2sq(F.col("sub"), F.col("centroid"))).alias("e"))
+            .first()["e"]
+        )
+
+    plain_err = total_err(_pq_subvectors(emb), pq_fit_codebooks(emb))
+
+    coarse = ivf_fit_cells(emb, ivf_cells_for(emb.count()))
+    ncent = coarse.select(
+        "cell",
+        F.transform(
+            "centroid",
+            lambda x: x / F.sqrt(dot(F.col("centroid"), F.col("centroid"))),
+        ).alias("nc"),
+    )
+    unit = F.transform(
+        F.col("embedding"),
+        lambda x: x.cast("double")
+        / F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
+    )
+    resid = (
+        emb.select("vec_id", unit.alias("u"))
+        .join(_assign_cells(emb, coarse).select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(ncent), "cell")
+        .select("vec_id", F.zip_with("u", "nc", lambda a, b: a - b).alias("r"))
+    )
+    rsubs = _subspace_slices(resid, "r")
+    resid_err = total_err(rsubs, _pq_fit_from_subs(rsubs))
+
+    # measured 91.4 vs 159.2 (0.57×) on this fixture — the 2-round Lloyd
+    # and coarse-centroid estimation error keep it above the asymptotic
+    # gap; pin the band, not the decimal
+    assert resid_err < 0.75 * plain_err, (resid_err, plain_err)
+
+
 def test_ivfpq_recall_matches_ivf_after_refine(spark):
     """IVF-PQ must not lose recall vs the plain IVF probe at equal
     nprobe: the probed cells bound both candidate sets, and the exact
