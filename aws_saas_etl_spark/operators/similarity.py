@@ -618,6 +618,87 @@ def ann_ivf_deletion_repair(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     return _ivf_probe(surviving, centroids, nprobe, k)
 
 
+def ann_ivf_filtered_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """FILTERED vector search — metadata-constrained top-k, the request
+    shape a production vector store actually serves ("nearest neighbors
+    WHERE category = X") and the classic hard case for ANN indexes:
+    each query retrieves its top-k among vectors sharing ITS OWN label
+    (same-category recommendation — a deterministic, data-derived
+    predicate, so the gate hashes).
+
+    Strategy: POST-FILTER (probe nprobe cells, then drop non-matching
+    candidates before ranking) — correct whenever the filter is broad
+    relative to nprobe·cell_size. The other production branch,
+    PRE-FILTER (scan the label's vectors exactly when the predicate is
+    highly selective), is the ``knn_bruteforce`` plan with a WHERE —
+    engines switch on estimated selectivity; the switch is a bounded
+    count, but the two branches return DIFFERENT row sets (probed∩match
+    vs exact-among-match), so this query pins the post-filter contract
+    rather than hiding a data-dependent branch under one name.
+
+    Scale shape: identical to ``ann_ivf_topk`` plus one narrow label
+    join on the bounded candidate set — the filter never touches
+    un-probed cells, and the label column would be stored inline in the
+    postings at 100 TB (filter pushdown into the index scan).
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    n_cells = ivf_cells_for(emb.count())
+    nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
+    centroids = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
+    corpus = _assign_cells(emb.select("vec_id", "embedding"), centroids).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "cell",
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+        ),
+        "neighbor_id",
+    )
+    q_w = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_label",
+            "cell",
+            cosine(F.col("q_emb"), F.col("centroid")).alias("cell_sim"),
+        )
+        .withColumn("probe_rank", F.row_number().over(q_w))
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "q_emb", "q_label", "cell")
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        corpus.join(F.broadcast(queries), "cell")
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("n_label") == F.col("q_label"))
+        )
+        .select("query_id", "neighbor_id", "n_label", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("n_label").alias("label"),
+            "cos_sim",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_index_staleness_report(spark, sf_dir: str) -> DataFrame:
     """Index-quality monitoring — the job a vector platform schedules to
     decide WHEN the nightly refit must run: per query, how many exact

@@ -1554,6 +1554,47 @@ ANN_SQ8_SQL = _ann_sq8_sql()
 ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
 
 
+def _ann_ivf_filtered_sql() -> str:
+    """Twin of the filtered (post-filter) vector search: the full IVF
+    chain, with the label-equality predicate applied to the probed
+    candidate pairs BEFORE ranking — the literal WHERE of the Spark
+    plan."""
+    from aws_saas_etl_spark.operators.similarity import EMBED_DIM, TOP_K
+
+    def dotd(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"j -> CAST(({a})[j] AS DOUBLE) * CAST(({b})[j] AS DOUBLE)), 'sum')"
+        )
+
+    def cosd(a: str, b: str) -> str:
+        return f"{dotd(a, b)} / (sqrt({dotd(a, a)}) * sqrt({dotd(b, b)}))"
+
+    tail = f"""fsims AS (
+        SELECT p.query_id, c.neighbor_id, el.label,
+               round({cosd("p.q_emb", "c.c_emb")}, 6) AS cos_sim
+        FROM corpus c
+        JOIN probes p ON c.cell = p.cell
+        JOIN embeddings el ON el.vec_id = c.neighbor_id
+        JOIN embeddings ql ON ql.vec_id = p.query_id
+        WHERE c.neighbor_id <> p.query_id AND el.label = ql.label
+    ),
+    franked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rank
+        FROM fsims
+    )
+    SELECT query_id, neighbor_id, label, cos_sim, rank FROM franked
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+    return _ann_ivf_topk_sql(tail=tail)
+
+
+ANN_IVF_FILTERED_SQL = _ann_ivf_filtered_sql()
+
+
 def _ann_ivf_deletion_sql() -> str:
     """Twin of the vector-side deletion repair: fit over ALL vectors
     (the stored index predates the deletion batch), postings and query

@@ -1060,6 +1060,14 @@ register(
     similarity.ann_bq_hamming_topk,
     oracles.ANN_BQ_HAMMING_SQL,
 )
+# filtered vector search (r9): metadata-constrained top-k ("neighbors
+# WHERE category = X") — the post-filter branch pinned as the contract;
+# one narrow label join on the bounded probed-candidate set
+register(
+    "ann_ivf_filtered_topk",
+    similarity.ann_ivf_filtered_topk,
+    oracles.ANN_IVF_FILTERED_SQL,
+)
 # scalar quantization SQ8 (r9): int8 codes of the normalized vectors with
 # a global scale — first-pass score is an exact BIGINT dot product, then
 # the proven cosine refine; the 4x rung completing the ladder

@@ -401,6 +401,28 @@ def test_ivf_deletion_repair_forgets_deleted_vectors(spark):
     )
 
 
+def test_filtered_search_respects_predicate_and_promotes(spark):
+    """Filtered vector search: every returned neighbor must carry the
+    query's own label, queries are still served, and at least one
+    returned neighbor is ABSENT from the unfiltered top-k at the same
+    settings — the filter promotes deeper same-label candidates rather
+    than merely post-filtering the unfiltered result list."""
+    from aws_saas_etl_spark.operators import similarity as S
+
+    emb = load_tables(spark, SF_SMOKE).embeddings
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = S.ann_ivf_filtered_topk(spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert r.label == labels[r.query_id], (r.query_id, r.neighbor_id)
+        assert labels[r.neighbor_id] == labels[r.query_id]
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    assert any((r.query_id, r.neighbor_id) not in plain for r in out)
+
+
 def test_pq_incremental_append_serves_arrivals(spark):
     """Stale-codebook semantics (the PQ analog of the IVF append test):
     codebooks fitted on the base slice only, yet arrivals encode against
