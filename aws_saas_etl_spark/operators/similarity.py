@@ -618,6 +618,51 @@ def ann_ivf_deletion_repair(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     return _ivf_probe(surviving, centroids, nprobe, k)
 
 
+def knn_filtered_bruteforce(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """The PRE-FILTER branch of filtered vector search — exact top-k
+    among the vectors matching the predicate (here: the query's own
+    label, the same deterministic predicate ``ann_ivf_filtered_topk``
+    serves). Production engines take this branch when the filter is
+    highly selective: scanning the matching slice exactly costs
+    |match| × queries and returns TRUE filtered neighbors, where the
+    post-filter probe would waste its nprobe budget on cells full of
+    non-matching vectors. Together the pair pins both sides of the
+    selectivity switch, and their overlap measures the post-filter
+    branch's filtered recall (pinned in pytest).
+
+    Scale shape: identical to ``knn_bruteforce`` with the label
+    predicate pushed into the candidate scan — at 100 TB the slice scan
+    reads only the label's partition when the corpus is label-
+    partitioned (the layout a filtered-heavy workload chooses).
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("label"),
+    )
+    sim = F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cands.crossJoin(F.broadcast(queries))
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("label") == F.col("q_label"))
+        )
+        .select("query_id", "neighbor_id", "label", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_ivf_filtered_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """FILTERED vector search — metadata-constrained top-k, the request
     shape a production vector store actually serves ("nearest neighbors

@@ -1554,6 +1554,38 @@ ANN_SQ8_SQL = _ann_sq8_sql()
 ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
 
 
+def _knn_filtered_sql() -> str:
+    """Twin of the pre-filter branch: the brute-force chain with the
+    label-equality predicate in the candidate scan."""
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        FROM embeddings
+        WHERE vec_id < {N_QUERY_VECS}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, label
+          FROM embeddings),
+    sims AS (
+        SELECT query_id, neighbor_id, label,
+               round({_DOT_QC} / ({_NORM_Q} * {_NORM_C}), 6) AS cos_sim
+        FROM c CROSS JOIN q
+        WHERE neighbor_id <> query_id AND label = q_label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+        ) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, label, cos_sim, rank FROM ranked
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+KNN_FILTERED_SQL = _knn_filtered_sql()
+
+
 def _ann_ivf_filtered_sql() -> str:
     """Twin of the filtered (post-filter) vector search: the full IVF
     chain, with the label-equality predicate applied to the probed

@@ -1068,6 +1068,14 @@ register(
     similarity.ann_ivf_filtered_topk,
     oracles.ANN_IVF_FILTERED_SQL,
 )
+# pre-filter branch (r9): exact top-k among the predicate's matching
+# slice — the branch engines take when the filter is highly selective;
+# the pair pins both sides of the selectivity switch
+register(
+    "knn_filtered_bruteforce",
+    similarity.knn_filtered_bruteforce,
+    oracles.KNN_FILTERED_SQL,
+)
 # scalar quantization SQ8 (r9): int8 codes of the normalized vectors with
 # a global scale — first-pass score is an exact BIGINT dot product, then
 # the proven cosine refine; the 4x rung completing the ladder
