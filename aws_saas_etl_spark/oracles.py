@@ -1480,6 +1480,36 @@ def _ann_bq_hamming_sql() -> str:
 ANN_BQ_HAMMING_SQL = _ann_bq_hamming_sql()
 
 
+def _stream_bq_signature_sql() -> str:
+    """Twin of the streaming signature ingest: the same literal-unrolled
+    sign sums as the BQ search twin, reduced to the per-label audit —
+    the stateless map makes emission batching-invariant, so the batch
+    aggregate IS the streamed result (CAST(sum(...) AS BIGINT): DuckDB
+    sums BIGINT into HUGEINT)."""
+
+    def half(lo: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN CAST(embedding[{lo + i + 1}] AS DOUBLE) > 0 "
+            f"THEN {2**i} ELSE 0 END)"
+            for i in range(32)
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    return f"""
+    WITH sigs AS (
+        SELECT label, {half(0)} AS sig_lo, {half(32)} AS sig_hi
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n_vectors,
+           CAST(sum(sig_lo) AS BIGINT) AS sum_sig_lo,
+           CAST(sum(sig_hi) AS BIGINT) AS sum_sig_hi
+    FROM sigs GROUP BY label ORDER BY label
+"""
+
+
+STREAM_BQ_SIGNATURE_SQL = _stream_bq_signature_sql()
+
+
 def _ann_sq8_sql() -> str:
     """Twin of the SQ8 search: identical normalization (bit-identical
     doubles), floor(û·127 + 0.5) round-half-up int8 codes, EXACT BIGINT

@@ -812,6 +812,14 @@ register(
     runners.stream_custom_sink_ingest,
     oracles.STREAM_CUSTOM_SINK_SQL,
 )
+# streaming ANN-index maintenance (r9): embedding files arrive as
+# micro-batches, each computes the BQ sign signatures; stateless map ->
+# batching-invariant emission, so this stream row carries a full oracle
+register(
+    "stream_bq_signature_ingest",
+    runners.stream_bq_signature_ingest,
+    oracles.STREAM_BQ_SIGNATURE_SQL,
+)
 # Spark 4 Python UDTF (@udtf, Arrow-batched) via LATERAL join: the
 # sliding-window chunking table function, closed-form span twin in DuckDB
 register("doc_chunk_spans", textops.doc_chunk_spans, oracles.DOC_CHUNK_SPANS_SQL)

@@ -447,3 +447,48 @@ def stream_custom_sink_ingest(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_band")
     )
+
+
+def stream_bq_signature_ingest(spark, sf_dir: str) -> DataFrame:
+    """STREAMING ANN-index maintenance — the ingest half of the binary-
+    quantization serving path: embedding vectors arrive as a file stream
+    (one parquet file per micro-batch, the nightly-drop / kafka-topic
+    shape), and each micro-batch computes the 2×32-bit sign signatures
+    ``ann_bq_hamming_topk`` serves from. The map is STATELESS, so append
+    mode emits every vector's signature exactly once regardless of how
+    files batch — which is why this streaming query can carry a full
+    value-hash oracle (unlike the watermark-dependent window drains):
+    the drained signature table reduces to a per-label audit (count +
+    exact BIGINT signature sums) that is order- and batching-invariant.
+
+    Production shape: the sink would be the manifest-parquet signature
+    store (``ann_bq_store_roundtrip`` proves that leg); per-batch cost is
+    |batch| sign tests — no state store, no shuffle until the bounded
+    audit aggregate.
+    """
+    from aws_saas_etl_spark.operators.similarity import _bq_sig_exprs
+
+    key = (spark.sparkContext.applicationId, sf_dir, "emb")
+    path = _stage_cache.get(key)
+    if not (path and os.path.isdir(path)):
+        path = tempfile.mkdtemp(prefix="etl_spark_stream_emb_")
+        load_table(spark, sf_dir, "embeddings").repartition(
+            _STAGE_FILES
+        ).write.mode("overwrite").parquet(path)
+        _stage_cache[key] = path
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    sig_lo, sig_hi = _bq_sig_exprs("embedding")
+    drained = _drain(stream.select("vec_id", "label", sig_lo, sig_hi), "append")
+    return (
+        drained.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("sig_lo").alias("sum_sig_lo"),
+            F.sum("sig_hi").alias("sum_sig_hi"),
+        )
+        .orderBy("label")
+    )
