@@ -401,6 +401,33 @@ def test_ivf_deletion_repair_forgets_deleted_vectors(spark):
     )
 
 
+def test_lexical_indexed_equals_bruteforce_on_positive_overlap(spark):
+    """The inverted-index retriever must agree EXACTLY with the
+    brute-force scan wherever both are defined: indexed rows all carry
+    positive jaccard (zero-overlap pairs are unreachable through an
+    index), and for every query whose brute-force top-k is all-positive
+    the two row sets are identical (same neighbors, scores, ranks)."""
+    from aws_saas_etl_spark.operators.similarity import (
+        doc_lexical_topk,
+        doc_lexical_topk_indexed,
+    )
+
+    brute = {}
+    for r in doc_lexical_topk(spark, SF_SMOKE).collect():
+        brute.setdefault(r.query_id, []).append((r.neighbor_id, r.jaccard, r.rank))
+    idx = {}
+    for r in doc_lexical_topk_indexed(spark, SF_SMOKE).collect():
+        assert r.jaccard > 0, (r.query_id, r.neighbor_id)
+        idx.setdefault(r.query_id, []).append((r.neighbor_id, r.jaccard, r.rank))
+    assert idx and set(idx) <= set(brute)
+    compared = 0
+    for q, rows in brute.items():
+        if all(j > 0 for _, j, _ in rows):
+            assert sorted(idx[q]) == sorted(rows), q
+            compared += 1
+    assert compared, "no all-positive query to compare"
+
+
 def test_filtered_search_respects_predicate_and_promotes(spark):
     """Filtered vector search: every returned neighbor must carry the
     query's own label, queries are still served, and at least one
