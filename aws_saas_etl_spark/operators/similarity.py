@@ -810,7 +810,10 @@ def ann_ladder_recall_report(spark, sf_dir: str) -> DataFrame:
     already-bounded top-k frames (≤ queries × k rows each) joined on
     bounded keys — the report costs nothing beyond the serving paths it
     audits, and every trained artifact (IVF centroids, PQ codebooks)
-    comes from its session memo / stored index.
+    comes from its session memo / stored index. Measured at sf0.1
+    (bench r9): cold 17.5 s (pays the IVF + PQ fits once per session),
+    warm 10.5 s ≈ the sum of the five serving scans it measures — the
+    expected profile for the fleet's widest composite audit.
     """
     key = ["query_id", "neighbor_id"]
     truth = knn_bruteforce(spark, sf_dir).select(*key)
@@ -1632,7 +1635,10 @@ def ann_ivfpq_residual_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     coarse centroid) instead of û itself. Residuals concentrate near the
     origin once the coarse index has captured the cluster structure, so
     the same 4-bit budget spends its codewords on a much smaller ball —
-    more precision per bit exactly where the data is clustered.
+    more precision per bit exactly where the data is clustered
+    (measured: total squared reconstruction error 0.57× plain PQ's on
+    the 16-Gaussian fixture; band pinned in
+    ``test_residual_codes_cut_reconstruction_error_on_clustered``).
 
     Engine-neutral end to end: the coarse fit/assignment is the proven
     IVF chain; centroid normalization and the residual subtraction run
@@ -1810,7 +1816,8 @@ def ann_pq_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     searchable. This is how a production vector store maintains codes —
     re-running the per-subspace Lloyd per batch would scan the corpus ×
     iters; encoding the delta costs one broadcast-codebook argmin pass
-    over |delta|·M narrow rows.
+    over |delta|·M narrow rows. (Measured at sf0.1: warm 2.9 s vs the
+    fresh PQ path's cold fit at 5.9 s — the avoided refit.)
 
     The hash gate proves fit-on-base + encode-all + serve-all is
     bit-reproducible end to end (``ANN_PQ_INCREMENTAL_SQL`` restricts
