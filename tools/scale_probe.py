@@ -98,6 +98,16 @@ PROBES = [
     ("ann_bq_hamming_topk", "similarity", "ann_bq_hamming_topk"),
     ("ann_hybrid_rrf (warm-stored)", "similarity",
      "ann_hybrid_rrf", "warm_stored"),
+    # r9b additions: the remaining new serving shapes. SQ8 is another
+    # full-scan rung (codes derive per-row, no artifact — cold);
+    # residual IVF-PQ should track plain IVF-PQ (same cost envelope +
+    # two broadcast centroid joins — warm-stored); the inverted-index
+    # lexical retriever is one map-side postings pass (cold, no
+    # token-keyed shuffle, so stopword skew cannot bend it).
+    ("ann_sq8_topk", "similarity", "ann_sq8_topk"),
+    ("ann_ivfpq_residual_topk (warm-stored)", "similarity",
+     "ann_ivfpq_residual_topk", "warm_stored"),
+    ("doc_lexical_topk_indexed", "similarity", "doc_lexical_topk_indexed"),
 ]
 
 # Per-copy character translation: remaps the 5 vowels, which rewrites
