@@ -1217,20 +1217,43 @@ def _overwrite_touched_partitions(re_ranked, touched, path: str) -> None:
     row-sized), so collecting it is a metadata-sized scalar collect — at
     100 TB this is the ``ALTER TABLE ... DROP PARTITION`` call a catalog-
     backed store issues after the same maintenance write.
-    """
-    import os
-    import shutil
 
+    Deletion goes through the JVM Hadoop ``FileSystem`` (ADVICE r9): an
+    ``os.path``/``shutil`` drop only works for local paths with
+    unescaped partition values — on an object-store URI it would
+    silently no-op and stale files would resurrect the deleted rows,
+    the exact bug this helper exists to prevent. The partition
+    directory names come from Spark's OWN escaping
+    (``ExternalCatalogUtils.getPartitionPathString``), so escaped
+    values resolve to the same path the writer produced.
+    ``re_ranked`` is localCheckpointed first so the overwrite and the
+    emptied-key anti-join see ONE evaluation of the merge plan.
+    """
+    re_ranked = re_ranked.localCheckpoint(eager=True)
     re_ranked.select(*MANIFEST_COLS).write.partitionBy("split", "shard").option(
         "partitionOverwriteMode", "dynamic"
     ).mode("overwrite").parquet(path)
     emptied = touched.join(
         re_ranked.select("split", "shard").distinct(), ["split", "shard"], "anti"
     ).collect()
+    if not emptied:
+        return
+    spark = re_ranked.sparkSession
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    catalog_utils = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
     for r in emptied:
-        part = os.path.join(path, f"split={r['split']}", f"shard={r['shard']}")
-        if os.path.isdir(part):
-            shutil.rmtree(part)
+        part = jvm.org.apache.hadoop.fs.Path(
+            jvm.org.apache.hadoop.fs.Path(
+                root,
+                catalog_utils.getPartitionPathString("split", str(r["split"])),
+            ),
+            catalog_utils.getPartitionPathString("shard", str(r["shard"])),
+        )
+        if fs.exists(part):
+            fs.delete(part, True)
 
 
 def manifest_partitioned_store_roundtrip(spark, sf_dir: str) -> DataFrame:

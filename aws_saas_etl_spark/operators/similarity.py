@@ -2080,6 +2080,8 @@ def ann_bq_store_roundtrip(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     the same ANN_BQ_HAMMING_SQL gate proves write → read → serve is
     lossless end to end.
     """
+    import os
+
     from aws_saas_etl_spark.sources.custom import (
         proc_dir,
         read_manifest_parquet,
@@ -2092,7 +2094,7 @@ def ann_bq_store_roundtrip(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), sig_lo, sig_hi
     )
-    path = proc_dir("bq_signatures", sf_dir)
+    path = proc_dir("bq_signatures", os.path.abspath(sf_dir))
     corpus.write.format("manifest_parquet").option("path", path).mode(
         "overwrite"
     ).save()

@@ -1146,8 +1146,9 @@ register(
     oracles.ANN_PQ_DELETION_SQL,
 )
 # quantization-ladder recall frontier (r9): per-query exact-truth hit
-# counts for IVF / PQ-ADC / IVF-PQ / BQ in one integer-only report — the
-# recall-vs-scan-cost decision artifact (VERDICT r8 #3)
+# counts for IVF / SQ8 / PQ-ADC / IVF-PQ / BQ (all five rungs, incl. the
+# n_sq_hits column) in one integer-only report — the recall-vs-scan-cost
+# decision artifact (VERDICT r8 #3)
 register(
     "ann_ladder_recall_report",
     similarity.ann_ladder_recall_report,

@@ -357,14 +357,28 @@ def register_sink(spark) -> None:
     spark.dataSource.register(ManifestParquetDataSource)
 
 
-def read_manifest_parquet(spark, path: str):
+def read_manifest_parquet(spark, path: str, empty_schema: str | None = None):
     """Read back ONLY manifest-committed files (staged/aborted files are
-    invisible — the reader half of the commit protocol)."""
+    invisible — the reader half of the commit protocol).
+
+    ``empty_schema`` is the DDL to use when the manifest commits ZERO
+    files; callers that can legitimately observe an empty store (the
+    rollback tests, a drained stream before its first commit) pass their
+    own schema. Callers that always write before reading get a loud
+    ``ValueError`` instead of a silently wrong-schema frame (ADVICE r9:
+    the old events-schema fallback was reachable from the BQ signature
+    roundtrip and would have surfaced as a confusing downstream join
+    failure)."""
     import os
 
     files = _read_manifest(path)["files"]
     if not files:
-        return spark.createDataFrame([], SCHEMA_DDL)
+        if empty_schema is None:
+            raise ValueError(
+                f"manifest at {path} commits no files and caller gave no "
+                "empty_schema — store was never written or was rolled back"
+            )
+        return spark.createDataFrame([], empty_schema)
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 

@@ -476,8 +476,11 @@ def stream_bq_signature_ingest(spark, sf_dir: str) -> DataFrame:
             _STAGE_FILES
         ).write.mode("overwrite").parquet(path)
         _stage_cache[key] = path
+    # Schema comes from the staged batch frame's parquet footers (ADVICE
+    # r9) — a hardcoded DDL would desync from a regenerated fixture (e.g.
+    # double embeddings) on the streaming rung alone.
     stream = (
-        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        spark.readStream.schema(spark.read.parquet(path).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )

@@ -201,7 +201,9 @@ def main() -> None:
                 # store-roundtrip queries execute a real storage write at
                 # DataFrame construction (the leg they exist to prove):
                 # BOTH their cold and warm figures include that rewrite
-                # (ADVICE r7)
+                # (ADVICE r7). Input-fixture STAGING writes (stream_*
+                # session-cached parquet staging) are exempt by
+                # convention — see tools/plan_audit.py (VERDICT r9 #7).
                 "side_effecting": sorted(
                     n for n in qs if getattr(qs[n], "side_effecting", False)
                 ),

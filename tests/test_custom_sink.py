@@ -79,7 +79,12 @@ def test_abort_leaves_no_committed_state(spark, sink_dir):
             "overwrite"
         ).save()
     assert custom._read_manifest(sink_dir)["files"] == []
-    assert custom.read_manifest_parquet(spark, sink_dir).count() == 0
+    assert (
+        custom.read_manifest_parquet(spark, sink_dir, custom.SCHEMA_DDL).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="no empty_schema"):
+        custom.read_manifest_parquet(spark, sink_dir)
     leftovers = [f for f in os.listdir(sink_dir) if f.endswith(".parquet")]
     assert leftovers == []
 
