@@ -840,6 +840,61 @@ def ann_ladder_recall_report(spark, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+def ann_ladder_staleness_report(spark, sf_dir: str) -> DataFrame:
+    """FRESH-vs-STALE hit counts across the quantization ladder — the
+    maintenance-decision table (VERDICT r9 #2b): for each rung, how many
+    exact top-k neighbors the freshly-fitted serving path recovers vs
+    the incrementally-maintained (stale-artifact) one. Read column-wise
+    it answers the operational question "when must WHAT refit":
+
+    - IVF and PQ carry TRAINED artifacts (centroids, codebooks) — their
+      stale columns decay as arrivals drift off the trained structure;
+      the gap is the measured refit trigger.
+    - SQ8 and BQ codes are PER-ROW with no trained state — their stale
+      columns equal their fresh columns IDENTICALLY (the append path is
+      the same stateless encoder plus a store roundtrip), which is the
+      hash-proven statement that these rungs never need a refit and can
+      be maintained by a streaming job.
+
+    Integer hit counts only, so the gate hashes with no float anywhere.
+    Scale shape: nine already-bounded top-k frames (≤ queries × k rows)
+    joined on bounded keys; every trained artifact comes from its
+    session memo / stored table, so the report costs nothing beyond the
+    serving paths it audits.
+    """
+    key = ["query_id", "neighbor_id"]
+    truth = knn_bruteforce(spark, sf_dir).select(*key)
+    arms = [
+        ("n_ivf_fresh_hits", ann_ivf_topk(spark, sf_dir)),
+        ("n_ivf_stale_hits", ann_ivf_incremental_append(spark, sf_dir)),
+        ("n_sq_fresh_hits", ann_sq8_topk(spark, sf_dir)),
+        ("n_sq_stale_hits", ann_sq8_incremental_append(spark, sf_dir)),
+        ("n_pq_fresh_hits", ann_pq_adc_topk(spark, sf_dir)),
+        ("n_pq_stale_hits", ann_pq_incremental_append(spark, sf_dir)),
+        ("n_bq_fresh_hits", ann_bq_hamming_topk(spark, sf_dir)),
+        ("n_bq_stale_hits", ann_bq_incremental_append(spark, sf_dir)),
+    ]
+    out = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    for name, cand in arms:
+        hits = (
+            cand.select(*key)
+            .join(truth, key)
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+        out = out.join(hits, "query_id", "left")
+    return out.select(
+        "query_id",
+        "n_truth",
+        *[F.coalesce(name, F.lit(0)).alias(name) for name, _ in arms],
+    ).orderBy("query_id")
+
+
+# The SQ8/BQ stale arms roundtrip their base code/signature stores —
+# constructing this DataFrame executes those manifest-sink writes.
+ann_ladder_staleness_report.side_effecting = True
+
+
 #: Reciprocal-rank-fusion constant (Cormack et al. SIGIR'09 convention)
 RRF_K = 60
 
@@ -1831,15 +1886,7 @@ def ann_pq_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     codes n·M narrow rows, broadcast query tables, bounded refine.
     """
     emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
-    n = emb.count()
-    n_base = n - n // 10
-    cut = (
-        emb.select("vec_id")
-        .orderBy("vec_id")
-        .limit(n_base)
-        .agg(F.max("vec_id"))
-        .first()[0]
-    )
+    cut = _append_cut(emb)
     base = emb.where(F.col("vec_id") <= F.lit(cut))
     cb = _pq_codebooks_cached(spark, f"{sf_dir}::base", base)
     return _pq_adc_refined(emb, cb, k)
@@ -1915,6 +1962,16 @@ def ann_sq8_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), _sq8_codes("embedding").alias("c8")
     )
+    return _sq8_serve(emb, corpus, k)
+
+
+def _sq8_serve(emb: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """The SQ8 serving path over an already-built code table
+    (neighbor_id, c8) — split from ``ann_sq8_topk`` so a stored /
+    incrementally-maintained code table serves through the IDENTICAL
+    plan the in-session derivation does (the ``_bq_serve`` convention).
+    Query codes always re-derive from the query vectors (queries arrive
+    at search time; only the corpus table is a maintained artifact)."""
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), _sq8_codes("embedding").alias("q8")
     )
@@ -1954,6 +2011,91 @@ def ann_sq8_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def _append_cut(emb: DataFrame) -> int:
+    """The historical/arrival boundary every ``*_incremental_append``
+    lifecycle query uses: the largest vec_id of the ``n − n//10``
+    smallest — an exact integer-rank cut (no float percentile), so both
+    engines agree on which vectors are 'arrivals'."""
+    n = emb.count()
+    n_base = n - n // 10
+    return (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(n_base)
+        .agg(F.max("vec_id"))
+        .first()[0]
+    )
+
+
+def ann_sq8_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """INCREMENTAL MAINTENANCE of the SQ8 code table — the per-row-code
+    end of the lifecycle × rung grid (VERDICT r9 #2): the historical 90%
+    of the corpus's int8 codes are the STORED artifact (written through
+    the exactly-once manifest sink and read back); arriving vectors are
+    encoded by the SAME stateless global-scale quantizer and UNIONed in;
+    the merged table serves through the IDENTICAL ``_sq8_serve`` plan.
+
+    The decision-table fact this proves: SQ8 has NO trained model (the
+    scale is the global constant 127), so incremental maintenance is
+    EXACT — the hash gate is the plain ``ANN_SQ8_SQL`` fresh-encode
+    twin, i.e. stale-artifact serving ≡ fresh serving, zero recall decay
+    by construction. Contrast IVF/PQ, whose append twins restrict the
+    fit CTEs to the base slice because their trained artifacts DO go
+    stale (``ann_ladder_staleness_report`` emits the comparison).
+
+    Scale shape: the maintenance write is |delta| × 64 B of codes — one
+    narrow encode pass, no corpus scan, no refit ever; serving reads the
+    code table from storage (64 B/vector) exactly as ``ann_sq8_topk``
+    documents.
+    """
+    import os
+
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    cut = _append_cut(emb)
+    base_codes = emb.where(F.col("vec_id") <= F.lit(cut)).select(
+        F.col("vec_id").alias("neighbor_id"), _sq8_codes("embedding").alias("c8")
+    )
+    path = proc_dir("sq8_codes_base", os.path.abspath(sf_dir), cut)
+    base_codes.write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    stored = read_manifest_parquet(spark, path)
+    delta_codes = emb.where(F.col("vec_id") > F.lit(cut)).select(
+        F.col("vec_id").alias("neighbor_id"), _sq8_codes("embedding").alias("c8")
+    )
+    return _sq8_serve(emb, stored.unionByName(delta_codes), k)
+
+
+# Constructing this query's DataFrame EXECUTES the base-code build and a
+# real manifest-sink write — the storage leg it exists to prove.
+ann_sq8_incremental_append.side_effecting = True
+
+
+def ann_sq8_deletion_repair(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """GDPR propagated through the SQ8 code table: the deletion list's
+    vectors (vec_id % VEC_DELETION_MOD == 0) drop out of the code table
+    and the query set. Codes are PER-VECTOR (one row each), so the
+    repair is a pure anti-join on the stored table — filtering stored
+    codes is IDENTICAL to re-encoding the surviving corpus (no shared
+    trained state to consider, unlike PQ where the codebook stays as
+    stored) — and the twin is the SQ8 chain with the survivor filter in
+    its serve CTEs (``ANN_SQ8_DELETION_SQL``).
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    surviving = emb.where(F.col("vec_id") % VEC_DELETION_MOD != 0)
+    codes = surviving.select(
+        F.col("vec_id").alias("neighbor_id"), _sq8_codes("embedding").alias("c8")
+    )
+    return _sq8_serve(surviving, codes, k)
 
 
 #: Binary-quantization shortlist size (the BQ refine budget — same
@@ -2105,3 +2247,70 @@ def ann_bq_store_roundtrip(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
 # Constructing this query's DataFrame EXECUTES the signature build and a
 # real manifest-sink write — the storage leg it exists to prove.
 ann_bq_store_roundtrip.side_effecting = True
+
+
+def ann_bq_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """INCREMENTAL MAINTENANCE of the BQ signature table — the 1-bit end
+    of the lifecycle × rung grid (VERDICT r9 #2): the historical 90% of
+    the corpus's sign signatures are the STORED artifact (manifest sink,
+    read back); arrivals are signed by the SAME stateless per-row test
+    and UNIONed in; the merged table serves through the IDENTICAL
+    ``_bq_serve`` plan. Like SQ8 (and unlike IVF/PQ), BQ has NO trained
+    model — signs are per-row — so incremental maintenance is EXACT and
+    the hash gate is the plain fresh-encode twin (``ANN_BQ_HAMMING_SQL``):
+    zero staleness by construction, the reason a streaming job can
+    maintain this rung (``stream_bq_signature_ingest``).
+
+    Scale shape: the maintenance write is |delta| × 16 B — one narrow
+    sign pass, no corpus scan, no refit ever.
+    """
+    import os
+
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    cut = _append_cut(emb)
+    sig_lo, sig_hi = _bq_sig_exprs("embedding")
+    base_sigs = emb.where(F.col("vec_id") <= F.lit(cut)).select(
+        F.col("vec_id").alias("neighbor_id"), sig_lo, sig_hi
+    )
+    path = proc_dir("bq_sigs_base", os.path.abspath(sf_dir), cut)
+    base_sigs.write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    stored = read_manifest_parquet(spark, path)
+    delta_sigs = emb.where(F.col("vec_id") > F.lit(cut)).select(
+        F.col("vec_id").alias("neighbor_id"), sig_lo, sig_hi
+    )
+    return _bq_serve(emb, stored.unionByName(delta_sigs), k)
+
+
+# Constructing this query's DataFrame EXECUTES the base-signature build
+# and a real manifest-sink write — the storage leg it exists to prove.
+ann_bq_incremental_append.side_effecting = True
+
+
+def ann_bq_deletion_repair(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """GDPR propagated through the BQ signature table: the deletion
+    list's vectors (vec_id % VEC_DELETION_MOD == 0) drop out of the
+    signature table and the query set. Signatures are PER-VECTOR, so the
+    repair is a pure anti-join on the stored table — filtering stored
+    signatures ≡ re-signing the surviving corpus — and the twin is the
+    BQ chain with the survivor filter in its serve CTEs
+    (``ANN_BQ_DELETION_SQL``). With this row every rung of the
+    quantization ladder (IVF / SQ8 / PQ / IVF-PQ via PQ codes / BQ) has
+    a hash-proven append AND deletion story — the complete
+    lifecycle × rung grid.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    surviving = emb.where(F.col("vec_id") % VEC_DELETION_MOD != 0)
+    sig_lo, sig_hi = _bq_sig_exprs("embedding")
+    sigs = surviving.select(
+        F.col("vec_id").alias("neighbor_id"), sig_lo, sig_hi
+    )
+    return _bq_serve(surviving, sigs, k)

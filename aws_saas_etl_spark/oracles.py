@@ -1413,11 +1413,16 @@ def _ann_pq_deletion_sql() -> str:
 ANN_PQ_DELETION_SQL = _ann_pq_deletion_sql()
 
 
-def _ann_bq_hamming_sql() -> str:
+def _ann_bq_hamming_sql(serve_where: str | None = None) -> str:
     """Twin of the binary-quantization search: literal-unrolled sign
     sums into two 32-bit words (the sign bit of a full 64-bit pack is
     where engine shift/overflow semantics diverge — avoided on both
-    sides), bit_count(xor) Hamming, and the proven cosine refine."""
+    sides), bit_count(xor) Hamming, and the proven cosine refine.
+
+    ``serve_where`` filters BOTH the candidate signatures and the query
+    set (the deletion-repair twin): signatures are per-row, so filtering
+    the stored table ≡ re-signing the surviving corpus — there is no fit
+    CTE to scope, unlike IVF/PQ."""
     from aws_saas_etl_spark.operators.similarity import (
         BQ_REFINE,
         EMBED_DIM,
@@ -1442,6 +1447,9 @@ def _ann_bq_hamming_sql() -> str:
         )
         return f"CAST({terms} AS BIGINT)"
 
+    srv = (
+        f" AND c.{serve_where} AND q.{serve_where}" if serve_where else ""
+    )
     return f"""
     WITH sigs AS (
         SELECT vec_id, {half(0)} AS sig_lo, {half(32)} AS sig_hi
@@ -1455,7 +1463,7 @@ def _ann_bq_hamming_sql() -> str:
                                 + bit_count(xor(c.sig_hi, q.sig_hi)) ASC,
                                 c.vec_id ASC) AS bq_rank
             FROM sigs c CROSS JOIN sigs q
-            WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id{srv}
         ) WHERE bq_rank <= {BQ_REFINE}
     ),
     ref AS (
@@ -1510,10 +1518,15 @@ def _stream_bq_signature_sql() -> str:
 STREAM_BQ_SIGNATURE_SQL = _stream_bq_signature_sql()
 
 
-def _ann_sq8_sql() -> str:
+def _ann_sq8_sql(serve_where: str | None = None) -> str:
     """Twin of the SQ8 search: identical normalization (bit-identical
     doubles), floor(û·127 + 0.5) round-half-up int8 codes, EXACT BIGINT
-    dot product as the first-pass score, and the proven cosine refine."""
+    dot product as the first-pass score, and the proven cosine refine.
+
+    ``serve_where`` filters BOTH the candidate codes and the query set
+    (the deletion-repair twin): codes are per-row, so filtering the
+    stored table ≡ re-encoding the surviving corpus — there is no fit
+    CTE to scope, unlike IVF/PQ."""
     from aws_saas_etl_spark.operators.similarity import (
         EMBED_DIM,
         N_QUERY_VECS,
@@ -1530,6 +1543,9 @@ def _ann_sq8_sql() -> str:
     def cosd(a: str, b: str) -> str:
         return f"{dotd(a, b)} / (sqrt({dotd(a, a)}) * sqrt({dotd(b, b)}))"
 
+    srv = (
+        f" AND c.{serve_where} AND q.{serve_where}" if serve_where else ""
+    )
     return f"""
     WITH normed AS (
         SELECT vec_id,
@@ -1558,7 +1574,7 @@ def _ann_sq8_sql() -> str:
                                 AS BIGINT) DESC,
                                 c.vec_id ASC) AS sq_rank
             FROM codes c CROSS JOIN codes q
-            WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id{srv}
         ) WHERE sq_rank <= {SQ_REFINE}
     ),
     ref AS (
@@ -1581,6 +1597,24 @@ def _ann_sq8_sql() -> str:
 
 
 ANN_SQ8_SQL = _ann_sq8_sql()
+
+
+def _ann_sq8_deletion_sql() -> str:
+    from aws_saas_etl_spark.operators.similarity import VEC_DELETION_MOD
+
+    return _ann_sq8_sql(serve_where=f"vec_id % {VEC_DELETION_MOD} <> 0")
+
+
+ANN_SQ8_DELETION_SQL = _ann_sq8_deletion_sql()
+
+
+def _ann_bq_deletion_sql() -> str:
+    from aws_saas_etl_spark.operators.similarity import VEC_DELETION_MOD
+
+    return _ann_bq_hamming_sql(serve_where=f"vec_id % {VEC_DELETION_MOD} <> 0")
+
+
+ANN_BQ_DELETION_SQL = _ann_bq_deletion_sql()
 ANN_IVF_INCREMENTAL_SQL = _ann_ivf_topk_sql(fit_src="base")
 
 
@@ -1740,6 +1774,53 @@ def _ann_ladder_recall_sql() -> str:
 
 
 ANN_LADDER_RECALL_SQL = _ann_ladder_recall_sql()
+
+
+def _ann_ladder_staleness_sql() -> str:
+    """Twin of the ladder staleness report: per rung, the fresh twin and
+    the stale (incremental-append) twin as CTEs joined into per-query
+    integer hit counts. SQ8 and BQ carry NO trained artifact — their
+    append paths are the same stateless encoder plus a store roundtrip —
+    so their stale CTEs alias the fresh ones (``SELECT * FROM ...``):
+    the twin STATES the exactness the report proves, rather than
+    re-running an identical chain."""
+    arms: dict[str, str] = {
+        "ivf_fresh": f"({ANN_IVF_TOPK_SQL})",
+        "ivf_stale": f"({ANN_IVF_INCREMENTAL_SQL})",
+        "sq_fresh": f"({ANN_SQ8_SQL})",
+        "sq_stale": "(SELECT * FROM sq_fresh)",
+        "pq_fresh": f"({ANN_PQ_ADC_SQL})",
+        "pq_stale": f"({ANN_PQ_INCREMENTAL_SQL})",
+        "bq_fresh": f"({ANN_BQ_HAMMING_SQL})",
+        "bq_stale": "(SELECT * FROM bq_fresh)",
+    }
+    ctes = ",\n    ".join(f"{n} AS {sql}" for n, sql in arms.items())
+    hits = ",\n    ".join(
+        f"""h_{n} AS (SELECT r.query_id, count(*) AS c FROM {n} r
+           JOIN truth t ON r.query_id = t.query_id
+                       AND r.neighbor_id = t.neighbor_id GROUP BY 1)"""
+        for n in arms
+    )
+    cols = ",\n           ".join(
+        f"coalesce(h_{n}.c, 0) AS n_{n}_hits" for n in arms
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN h_{n} ON base.query_id = h_{n}.query_id" for n in arms
+    )
+    return f"""
+    WITH truth AS ({KNN_BRUTEFORCE_SQL}),
+    {ctes},
+    base AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1),
+    {hits}
+    SELECT base.query_id, base.n_truth,
+           {cols}
+    FROM base
+    {joins}
+    ORDER BY base.query_id
+"""
+
+
+ANN_LADDER_STALENESS_SQL = _ann_ladder_staleness_sql()
 
 
 def _triplet_mining_sql() -> str:

@@ -1154,6 +1154,38 @@ register(
     similarity.ann_ladder_recall_report,
     oracles.ANN_LADDER_RECALL_SQL,
 )
+# lifecycle × rung grid, per-row-code half (r10): SQ8/BQ codes have no
+# trained state, so append = store base + encode delta (hash gate = the
+# plain fresh-encode twin: maintenance is EXACT) and deletion = anti-join
+# on the stored table (twin = chain with survivor filter in serve CTEs)
+register(
+    "ann_sq8_incremental_append",
+    similarity.ann_sq8_incremental_append,
+    oracles.ANN_SQ8_SQL,
+)
+register(
+    "ann_sq8_deletion_repair",
+    similarity.ann_sq8_deletion_repair,
+    oracles.ANN_SQ8_DELETION_SQL,
+)
+register(
+    "ann_bq_incremental_append",
+    similarity.ann_bq_incremental_append,
+    oracles.ANN_BQ_HAMMING_SQL,
+)
+register(
+    "ann_bq_deletion_repair",
+    similarity.ann_bq_deletion_repair,
+    oracles.ANN_BQ_DELETION_SQL,
+)
+# the maintenance-decision table (r10, VERDICT r9 #2b): fresh-vs-stale
+# hit counts per rung — trained rungs (IVF/PQ) decay, per-row-code rungs
+# (SQ8/BQ) are provably identical fresh and stale
+register(
+    "ann_ladder_staleness_report",
+    similarity.ann_ladder_staleness_report,
+    oracles.ANN_LADDER_STALENESS_SQL,
+)
 
 
 # --------------------------------------------------------------------------

@@ -979,3 +979,38 @@ def test_bq_signature_and_refined_recall(spark):
         for r in ann_bq_hamming_topk(spark, SF_SMOKE).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.55
+
+
+def test_ladder_staleness_grid_invariants(spark):
+    """The lifecycle × rung grid's load-bearing claims, pinned directly:
+    per-row-code rungs (SQ8, BQ) serve IDENTICAL results fresh and stale
+    (their append path is the same stateless encoder plus a store
+    roundtrip — zero staleness by construction), and every hit count is
+    bounded by the truth size. Full-result equality is additionally
+    pinned for SQ8 (row-for-row), not just hit counts."""
+    from aws_saas_etl_spark.operators.similarity import (
+        ann_ladder_staleness_report,
+        ann_sq8_incremental_append,
+        ann_sq8_topk,
+    )
+
+    rows = ann_ladder_staleness_report(spark, SF_SMOKE).collect()
+    assert rows
+    cols = [
+        "n_ivf_fresh_hits", "n_ivf_stale_hits",
+        "n_sq_fresh_hits", "n_sq_stale_hits",
+        "n_pq_fresh_hits", "n_pq_stale_hits",
+        "n_bq_fresh_hits", "n_bq_stale_hits",
+    ]
+    for r in rows:
+        assert r["n_sq_stale_hits"] == r["n_sq_fresh_hits"]
+        assert r["n_bq_stale_hits"] == r["n_bq_fresh_hits"]
+        for c in cols:
+            assert 0 <= r[c] <= r["n_truth"]
+
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    fresh = sorted(ann_sq8_topk(spark, SF_SMOKE).collect(), key=key)
+    stale = sorted(
+        ann_sq8_incremental_append(spark, SF_SMOKE).collect(), key=key
+    )
+    assert [tuple(r) for r in fresh] == [tuple(r) for r in stale]
