@@ -975,6 +975,17 @@ def doc_lexical_topk_indexed(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     pruning bounds the candidate fan-out — the documented knob, not
     applied here so the gate stays exact.
     """
+    postings, sizes = _lexical_postings(spark, sf_dir)
+    return _lexical_indexed_serve(postings, sizes, k)
+
+
+def _lexical_postings(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build the token POSTINGS table (doc_id, token — one row per
+    DISTINCT token per document) and the per-doc size table from the
+    documents fixture. The postings table is the stored artifact of
+    lexical retrieval (``doc_lexical_store_roundtrip``); sizes derive
+    from it exactly (tokens are distinct per doc by construction, so
+    n_tk = the doc's postings row count)."""
     from aws_saas_etl_spark.functions import text as T
 
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
@@ -983,6 +994,18 @@ def doc_lexical_topk_indexed(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     ).where(F.size("tk") > 0)
     sizes = toks.select("doc_id", F.size("tk").alias("n_tk"))
     postings = toks.select("doc_id", F.explode("tk").alias("token"))
+    return postings, sizes
+
+
+def _lexical_indexed_serve(
+    postings: DataFrame, sizes: DataFrame, k: int
+) -> DataFrame:
+    """The inverted-index serving path over an already-built postings
+    table — split from ``doc_lexical_topk_indexed`` so the STORED
+    postings (``doc_lexical_store_roundtrip``) serve through the
+    IDENTICAL plan the in-session build does (the ``_bq_serve``
+    convention). Query postings are the doc_id < N_QUERY_VECS slice of
+    the same table (the fixtures' query set is part of the corpus)."""
     qpost = (
         postings.where(F.col("doc_id") < N_QUERY_VECS)
         .select(F.col("doc_id").alias("query_id"), "token")
@@ -1015,6 +1038,48 @@ def doc_lexical_topk_indexed(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def doc_lexical_store_roundtrip(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """The PERSISTED lexical postings table — the stored artifact of the
+    retrieval stack's third arm (VERDICT r9 #3): with this row every arm
+    of the hybrid RRF (LSH signatures are derivation-free, the IVF index
+    and PQ/SQ8/BQ code tables roundtrip, and now the inverted index)
+    has a hash-proven stored form. The postings (doc_id, token) are
+    WRITTEN through the exactly-once manifest sink, READ BACK, per-doc
+    sizes are re-derived from the stored rows (tokens are distinct per
+    doc, so n_tk IS the postings row count — the size table needs no
+    separate storage), and queries are served via the IDENTICAL
+    ``_lexical_indexed_serve`` plan. Tokens are strings and doc_ids
+    BIGINTs — parquet stores both verbatim — so the same
+    positive-overlap twin proves write → read → probe is lossless.
+
+    Scale shape: at 100 TB the postings table is built once (like the
+    ANN indexes), stored partitioned, and probed by broadcast query
+    postings — this query proves exactly that serve-from-storage leg.
+    """
+    import os
+
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    postings, _ = _lexical_postings(spark, sf_dir)
+    path = proc_dir("lex_postings", os.path.abspath(sf_dir))
+    postings.write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    stored = read_manifest_parquet(spark, path)
+    sizes = stored.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tk"))
+    return _lexical_indexed_serve(stored, sizes, k)
+
+
+# Constructing this query's DataFrame EXECUTES the postings build and a
+# real manifest-sink write — the storage leg it exists to prove.
+doc_lexical_store_roundtrip.side_effecting = True
 
 
 def ann_hybrid_rrf(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:

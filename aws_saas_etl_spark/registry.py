@@ -1178,6 +1178,14 @@ register(
     similarity.ann_bq_deletion_repair,
     oracles.ANN_BQ_DELETION_SQL,
 )
+# stored lexical postings (r10, VERDICT r9 #3): the inverted index as a
+# manifest-sink artifact, served through the identical probe plan and
+# hash-gated by the same positive-overlap twin as the in-session build
+register(
+    "doc_lexical_store_roundtrip",
+    similarity.doc_lexical_store_roundtrip,
+    oracles.DOC_LEXICAL_TOPK_INDEXED_SQL,
+)
 # the maintenance-decision table (r10, VERDICT r9 #2b): fresh-vs-stale
 # hit counts per rung — trained rungs (IVF/PQ) decay, per-row-code rungs
 # (SQ8/BQ) are provably identical fresh and stale
