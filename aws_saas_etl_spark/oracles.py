@@ -1691,6 +1691,105 @@ def _ann_ivf_filtered_sql() -> str:
 ANN_IVF_FILTERED_SQL = _ann_ivf_filtered_sql()
 
 
+def _ann_ivfpq_filtered_sql() -> str:
+    """Twin of filtered IVF-PQ: the proven IVF-PQ CTE graph with the
+    label-equality predicate spliced into the candidate CTE (before the
+    ADC aggregation — the literal position of the Spark plan's filter)
+    and the label carried through the refine."""
+    from aws_saas_etl_spark.operators.similarity import (
+        EMBED_DIM,
+        PQ_REFINE,
+        TOP_K,
+    )
+
+    def dotd(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"j -> CAST(({a})[j] AS DOUBLE) * CAST(({b})[j] AS DOUBLE)), 'sum')"
+        )
+
+    def cosd(a: str, b: str) -> str:
+        return f"{dotd(a, b)} / (sqrt({dotd(a, a)}) * sqrt({dotd(b, b)}))"
+
+    pq_chain = _ann_pq_adc_sql(chain_only=True)
+    tail = f"""{pq_chain},
+    cand AS (
+        SELECT t.query_id, e.vec_id AS neighbor_id, el.label,
+               CAST(sum(t.dint) AS BIGINT) AS adc_dist
+        FROM enc e
+        JOIN qtab t ON t.m = e.m AND t.code = e.code
+        JOIN corpus c ON c.neighbor_id = e.vec_id
+        JOIN probes p ON p.cell = c.cell AND p.query_id = t.query_id
+        JOIN embeddings el ON el.vec_id = e.vec_id
+        JOIN embeddings ql ON ql.vec_id = t.query_id
+        WHERE el.label = ql.label
+        GROUP BY 1, 2, 3
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, label,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, neighbor_id ASC) AS adc_rank
+        FROM cand WHERE neighbor_id <> query_id
+    ),
+    ref AS (
+        SELECT s.query_id, s.neighbor_id, s.label,
+               round({cosd("eq.embedding", "en.embedding")}, 6) AS cos_sim
+        FROM short s
+        JOIN embeddings eq ON eq.vec_id = s.query_id
+        JOIN embeddings en ON en.vec_id = s.neighbor_id
+        WHERE s.adc_rank <= {PQ_REFINE}
+    ),
+    pq_ranked AS (
+        SELECT query_id, neighbor_id, label, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM ref
+    )
+    SELECT query_id, neighbor_id, label, cos_sim, rank
+    FROM pq_ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+    return _ann_ivf_topk_sql(tail=tail)
+
+
+ANN_IVFPQ_FILTERED_SQL = _ann_ivfpq_filtered_sql()
+
+
+def _ann_filtered_switch_sql() -> str:
+    """Twin of the selectivity switch: the branch decision replayed as
+    pure integer arithmetic (label_count × n_labels > n), each branch's
+    full hash-proven twin as a CTE, and the branch-assigned halves
+    UNIONed — composition only, no new arithmetic."""
+    from aws_saas_etl_spark.operators.similarity import N_QUERY_VECS
+
+    return f"""
+    WITH cnts AS (SELECT label, count(*) AS c FROM embeddings GROUP BY label),
+    tot AS (SELECT count(*) AS n, count(DISTINCT label) AS nl
+            FROM embeddings),
+    qb AS (
+        SELECT e.vec_id AS query_id,
+               CASE WHEN cn.c * t.nl > t.n THEN 'post' ELSE 'pre' END AS branch
+        FROM embeddings e
+        JOIN cnts cn ON cn.label = e.label
+        CROSS JOIN tot t
+        WHERE e.vec_id < {N_QUERY_VECS}
+    ),
+    pre_b AS ({KNN_FILTERED_SQL}),
+    post_b AS ({ANN_IVF_FILTERED_SQL})
+    SELECT p.query_id, p.neighbor_id, p.label, p.cos_sim, p.rank,
+           'pre' AS branch
+    FROM pre_b p JOIN qb ON qb.query_id = p.query_id AND qb.branch = 'pre'
+    UNION ALL
+    SELECT p.query_id, p.neighbor_id, p.label, p.cos_sim, p.rank,
+           'post' AS branch
+    FROM post_b p JOIN qb ON qb.query_id = p.query_id AND qb.branch = 'post'
+    ORDER BY query_id, rank
+"""
+
+
+ANN_FILTERED_SWITCH_SQL = _ann_filtered_switch_sql()
+
+
 def _ann_ivf_deletion_sql() -> str:
     """Twin of the vector-side deletion repair: fit over ALL vectors
     (the stored index predates the deletion batch), postings and query

@@ -1178,6 +1178,22 @@ register(
     similarity.ann_bq_deletion_repair,
     oracles.ANN_BQ_DELETION_SQL,
 )
+# filtered × quantized (r10, VERDICT r9 #6): the post-filter contract
+# served through the IVF-PQ chain — predicate on the probed candidates
+# BEFORE the ADC aggregate, so the refine budget goes to matches only
+register(
+    "ann_ivfpq_filtered_topk",
+    similarity.ann_ivfpq_filtered_topk,
+    oracles.ANN_IVFPQ_FILTERED_SQL,
+)
+# the selectivity switch as a real operator (r10): integer-arithmetic
+# branch decision per query label, each branch the hash-proven plan,
+# branch column driver-visible; threshold behavior pinned in pytest
+register(
+    "ann_filtered_switch_topk",
+    similarity.ann_filtered_switch_topk,
+    oracles.ANN_FILTERED_SWITCH_SQL,
+)
 # stored lexical postings (r10, VERDICT r9 #3): the inverted index as a
 # manifest-sink artifact, served through the identical probe plan and
 # hash-gated by the same positive-overlap twin as the in-session build

@@ -1014,3 +1014,40 @@ def test_ladder_staleness_grid_invariants(spark):
         ann_sq8_incremental_append(spark, SF_SMOKE).collect(), key=key
     )
     assert [tuple(r) for r in fresh] == [tuple(r) for r in stale]
+
+
+def test_filtered_switch_threshold_behavior(spark):
+    """The selectivity switch's contract, pinned at both extremes and at
+    the default: switch_scale=0 routes EVERY query to the post-filter
+    branch and reproduces ann_ivf_filtered_topk row-for-row;
+    switch_scale=1e9 routes everything pre and reproduces
+    knn_filtered_bruteforce; the default above-average rule assigns each
+    query to exactly one branch and exercises BOTH on the fixture."""
+    from aws_saas_etl_spark.operators.similarity import (
+        ann_filtered_switch_topk,
+        ann_ivf_filtered_topk,
+        knn_filtered_bruteforce,
+    )
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    def rows(df, drop_branch=False):
+        out = [r.asDict() for r in df.collect()]
+        for r in out:
+            r.pop("branch", None) if drop_branch else None
+        return sorted(out, key=key)
+
+    all_post = ann_filtered_switch_topk(spark, SF_SMOKE, switch_scale=0.0)
+    assert {r.branch for r in all_post.collect()} == {"post"}
+    assert rows(all_post, True) == rows(ann_ivf_filtered_topk(spark, SF_SMOKE))
+
+    all_pre = ann_filtered_switch_topk(spark, SF_SMOKE, switch_scale=1e9)
+    assert {r.branch for r in all_pre.collect()} == {"pre"}
+    assert rows(all_pre, True) == rows(knn_filtered_bruteforce(spark, SF_SMOKE))
+
+    default = ann_filtered_switch_topk(spark, SF_SMOKE).collect()
+    branches = {}
+    for r in default:
+        branches.setdefault(r.query_id, set()).add(r.branch)
+    assert all(len(b) == 1 for b in branches.values())
+    assert {b for s in branches.values() for b in s} == {"pre", "post"}
