@@ -1518,6 +1518,50 @@ def _stream_bq_signature_sql() -> str:
 STREAM_BQ_SIGNATURE_SQL = _stream_bq_signature_sql()
 
 
+def _stream_sq8_code_sql() -> str:
+    """Twin of the streaming SQ8-code ingest: the SQ8 twin's
+    normalize/encode CTEs reduced to the per-label audit — the stateless
+    encode makes emission batching-invariant, so the batch aggregate IS
+    the streamed result. All aggregates are exact integers (codes are
+    BIGINTs in [−127, 127]); outer sums cast back from DuckDB's
+    HUGEINT."""
+    from aws_saas_etl_spark.operators.similarity import EMBED_DIM
+
+    return f"""
+    WITH normed AS (
+        SELECT label,
+               list_transform(generate_series(1, {EMBED_DIM}),
+                   j -> CAST(embedding[j] AS DOUBLE) /
+                        sqrt(list_aggregate(list_transform(
+                            generate_series(1, {EMBED_DIM}),
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[i] AS DOUBLE)), 'sum')))
+                   AS u
+        FROM embeddings
+    ),
+    codes AS (
+        SELECT label,
+               list_transform(u, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT))
+                   AS c8
+        FROM normed
+    ),
+    sums AS (
+        SELECT label,
+               CAST(list_aggregate(c8, 'sum') AS BIGINT) AS code_sum,
+               CAST(list_aggregate(list_transform(c8, x -> x * x), 'sum')
+                    AS BIGINT) AS code_sq
+        FROM codes
+    )
+    SELECT label, count(*) AS n_vectors,
+           CAST(sum(code_sum) AS BIGINT) AS sum_code_sum,
+           CAST(sum(code_sq) AS BIGINT) AS sum_code_sq
+    FROM sums GROUP BY label ORDER BY label
+"""
+
+
+STREAM_SQ8_CODE_SQL = _stream_sq8_code_sql()
+
+
 def _ann_sq8_sql(serve_where: str | None = None) -> str:
     """Twin of the SQ8 search: identical normalization (bit-identical
     doubles), floor(û·127 + 0.5) round-half-up int8 codes, EXACT BIGINT

@@ -820,6 +820,14 @@ register(
     runners.stream_bq_signature_ingest,
     oracles.STREAM_BQ_SIGNATURE_SQL,
 )
+# second streaming rung (r10, VERDICT r9 #8): SQ8 codes are as stateless
+# as BQ signs — the streaming-maintenance pattern generalizes across the
+# ladder, same batching-invariant full value-hash oracle
+register(
+    "stream_sq8_code_ingest",
+    runners.stream_sq8_code_ingest,
+    oracles.STREAM_SQ8_CODE_SQL,
+)
 # Spark 4 Python UDTF (@udtf, Arrow-batched) via LATERAL join: the
 # sliding-window chunking table function, closed-form span twin in DuckDB
 register("doc_chunk_spans", textops.doc_chunk_spans, oracles.DOC_CHUNK_SPANS_SQL)

@@ -449,6 +449,69 @@ def stream_custom_sink_ingest(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_embeddings_dir(spark, sf_dir: str) -> str:
+    """Stage fixture embeddings as a multi-file parquet directory (one
+    file per micro-batch). Cached per (session, sf_dir) — shared by
+    every embedding-stream ingest rung."""
+    key = (spark.sparkContext.applicationId, sf_dir, "emb")
+    path = _stage_cache.get(key)
+    if path and os.path.isdir(path):
+        return path
+    path = tempfile.mkdtemp(prefix="etl_spark_stream_emb_")
+    load_table(spark, sf_dir, "embeddings").repartition(
+        _STAGE_FILES
+    ).write.mode("overwrite").parquet(path)
+    _stage_cache[key] = path
+    return path
+
+
+def stream_sq8_code_ingest(spark, sf_dir: str) -> DataFrame:
+    """STREAMING SQ8-code maintenance — the second rung proving the
+    streaming-maintenance pattern generalizes across the quantization
+    ladder (VERDICT r9 #8): embedding vectors arrive as a file stream
+    and each micro-batch computes the int8 codes ``ann_sq8_topk`` serves
+    from. Like the BQ signatures, the encode is STATELESS (global-scale
+    quantizer, no trained artifact — the fact the lifecycle grid proves
+    batch-side in ``ann_sq8_incremental_append``), so append mode emits
+    every vector's codes exactly once regardless of file batching and
+    the query carries a FULL value-hash oracle: the drained code table
+    reduces to a per-label audit over exact BIGINT aggregates (count,
+    Σ per-vector code sums, Σ per-vector code sums-of-squares) that is
+    order- and batching-invariant.
+
+    Production shape: the sink is the code-table store the append query
+    roundtrips; per-batch cost is |batch| encode passes — no state
+    store, no shuffle until the bounded audit aggregate.
+    """
+    from aws_saas_etl_spark.operators.similarity import _sq8_codes
+
+    path = _staged_embeddings_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    c8 = _sq8_codes("embedding")
+    code_sum = F.aggregate(
+        c8, F.lit(0).cast("long"), lambda acc, v: acc + v
+    ).alias("code_sum")
+    code_sq = F.aggregate(
+        c8, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    ).alias("code_sq")
+    drained = _drain(
+        stream.select("vec_id", "label", code_sum, code_sq), "append"
+    )
+    return (
+        drained.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("code_sum").alias("sum_code_sum"),
+            F.sum("code_sq").alias("sum_code_sq"),
+        )
+        .orderBy("label")
+    )
+
+
 def stream_bq_signature_ingest(spark, sf_dir: str) -> DataFrame:
     """STREAMING ANN-index maintenance — the ingest half of the binary-
     quantization serving path: embedding vectors arrive as a file stream
@@ -468,14 +531,7 @@ def stream_bq_signature_ingest(spark, sf_dir: str) -> DataFrame:
     """
     from aws_saas_etl_spark.operators.similarity import _bq_sig_exprs
 
-    key = (spark.sparkContext.applicationId, sf_dir, "emb")
-    path = _stage_cache.get(key)
-    if not (path and os.path.isdir(path)):
-        path = tempfile.mkdtemp(prefix="etl_spark_stream_emb_")
-        load_table(spark, sf_dir, "embeddings").repartition(
-            _STAGE_FILES
-        ).write.mode("overwrite").parquet(path)
-        _stage_cache[key] = path
+    path = _staged_embeddings_dir(spark, sf_dir)
     # Schema comes from the staged batch frame's parquet footers (ADVICE
     # r9) — a hardcoded DDL would desync from a regenerated fixture (e.g.
     # double embeddings) on the streaming rung alone.

@@ -581,3 +581,38 @@ def test_stream_custom_source_ingest_complete_and_deterministic(spark):
     assert sum(r.n_events for r in rows) == STREAM_TOTAL_ROWS
     again = stream_custom_source_ingest(spark, SF).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_stream_sq8_code_ingest_matches_batch(spark):
+    """The SQ8 ingest stream must equal the batch audit over the same
+    embeddings — the batching-invariance claim its full value-hash
+    oracle rests on (stateless encode ⇒ append emission is exactly the
+    batch row set, however files group into micro-batches)."""
+    from aws_saas_etl_spark.operators.similarity import _sq8_codes
+    from aws_saas_etl_spark.streaming.runners import stream_sq8_code_ingest
+
+    streamed = sorted(
+        tuple(r) for r in stream_sq8_code_ingest(spark, SF).collect()
+    )
+    emb = load_table(spark, SF, "embeddings")
+    c8 = _sq8_codes("embedding")
+    batch = sorted(
+        tuple(r)
+        for r in emb.select(
+            "label",
+            F.aggregate(c8, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+                "code_sum"
+            ),
+            F.aggregate(
+                c8, F.lit(0).cast("long"), lambda a, v: a + v * v
+            ).alias("code_sq"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("code_sum").alias("sum_code_sum"),
+            F.sum("code_sq").alias("sum_code_sq"),
+        )
+        .collect()
+    )
+    assert streamed == batch
