@@ -58,6 +58,22 @@ def main() -> None:
     # Warmup: run the flagship once to absorb JVM + codegen startup cost.
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
+    # SESSION CONTROL (VERDICT r9 #4): the same fixed reference query
+    # timed at session start / middle / end. The r8→r9 comparison showed
+    # a uniform ~10-40% cold drift on untouched queries — a long bench
+    # session ages (JVM heap, code cache, accumulated shuffle dirs), and
+    # without a control that aging is indistinguishable from real
+    # regressions in round-over-round tables. Normalize cross-round
+    # comparisons by the control ratio before believing a per-query delta.
+    def control_run() -> float:
+        t0 = time.perf_counter()
+        qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 4)
+
+    session_control = {"start": control_run()}
+
     # Best of 2 runs per query: the first execution of a plan shape pays
     # whole-stage-codegen compilation (measured ±3-7s run-to-run noise on
     # the wide-aggregate queries); the second run reflects steady-state
@@ -139,6 +155,8 @@ def main() -> None:
     # gets a cold/warm row automatically.
     from aws_saas_etl_spark.session import clear_session_memos
 
+    session_control["mid"] = control_run()
+
     cold_warm: dict[str, dict[str, float]] = {}
     for name in sorted(memo_backed):
         clear_session_memos()
@@ -176,6 +194,8 @@ def main() -> None:
             "input_rows_per_sec": round(n_in / secs, 1),
         }
 
+    session_control["end"] = control_run()
+
     print(
         json.dumps(
             {
@@ -193,6 +213,9 @@ def main() -> None:
                 # LAST keys on purpose: the driver preserves only the TAIL of
                 # this line, and `queries` is alphabetical — without this the
                 # slowest a–l queries would be invisible in BENCH_r{N}.json.
+                # fixed reference query at session start/mid/end — the
+                # drift normalizer for round-over-round tables (r10)
+                "session_control": session_control,
                 "canary_best3_spread": canary,
                 # two-regime costs of the stored-artifact queries: cold
                 # builds the artifact, warm serves from it — the honest
