@@ -922,7 +922,9 @@ def ann_ladder_staleness_report(spark, sf_dir: str) -> DataFrame:
 
     - IVF and PQ carry TRAINED artifacts (centroids, codebooks) — their
       stale columns decay as arrivals drift off the trained structure;
-      the gap is the measured refit trigger.
+      the gap is the measured refit trigger. The COMPOSED IVF-PQ rung
+      (``ann_ivfpq_incremental_append``) shows both stale at once —
+      staleness compounding through the production composition.
     - SQ8 and BQ codes are PER-ROW with no trained state — their stale
       columns equal their fresh columns IDENTICALLY (the append path is
       the same stateless encoder plus a store roundtrip), which is the
@@ -930,10 +932,11 @@ def ann_ladder_staleness_report(spark, sf_dir: str) -> DataFrame:
       be maintained by a streaming job.
 
     Integer hit counts only, so the gate hashes with no float anywhere.
-    Scale shape: nine already-bounded top-k frames (≤ queries × k rows)
-    joined on bounded keys; every trained artifact comes from its
-    session memo / stored table, so the report costs nothing beyond the
-    serving paths it audits.
+    Scale shape: eleven already-bounded top-k frames (≤ queries × k
+    rows) joined on bounded keys; every trained artifact comes from its
+    session memo / stored table (the stale IVF-PQ arm reuses the SAME
+    ``::base`` fits as the per-rung appends), so the report costs
+    nothing beyond the serving paths it audits.
     """
     key = ["query_id", "neighbor_id"]
     truth = knn_bruteforce(spark, sf_dir).select(*key)
@@ -944,6 +947,8 @@ def ann_ladder_staleness_report(spark, sf_dir: str) -> DataFrame:
         ("n_sq_stale_hits", ann_sq8_incremental_append(spark, sf_dir)),
         ("n_pq_fresh_hits", ann_pq_adc_topk(spark, sf_dir)),
         ("n_pq_stale_hits", ann_pq_incremental_append(spark, sf_dir)),
+        ("n_ivfpq_fresh_hits", ann_ivfpq_topk(spark, sf_dir)),
+        ("n_ivfpq_stale_hits", ann_ivfpq_incremental_append(spark, sf_dir)),
         ("n_bq_fresh_hits", ann_bq_hamming_topk(spark, sf_dir)),
         ("n_bq_stale_hits", ann_bq_incremental_append(spark, sf_dir)),
     ]
@@ -1153,6 +1158,71 @@ def doc_lexical_store_roundtrip(spark, sf_dir: str, k: int = TOP_K) -> DataFrame
 # Constructing this query's DataFrame EXECUTES the postings build and a
 # real manifest-sink write — the storage leg it exists to prove.
 doc_lexical_store_roundtrip.side_effecting = True
+
+
+def doc_lexical_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """INCREMENTAL MAINTENANCE of the lexical postings table — the
+    lifecycle × rung grid extended to the retrieval stack's text arm:
+    the historical 90% of documents' postings are the STORED artifact
+    (manifest sink, read back); arriving documents tokenize into delta
+    postings and UNION in; the merged index serves through the IDENTICAL
+    ``_lexical_indexed_serve`` plan. Postings are PER-ROW (no trained
+    state — like SQ8/BQ codes, unlike IVF/PQ), so maintenance is EXACT
+    and the hash gate is the plain positive-overlap twin: appending to
+    an inverted index never degrades it, which is why search engines
+    maintain postings incrementally and refit nothing.
+
+    Scale shape: the maintenance write is |delta docs| × tokens-per-doc
+    narrow rows — one tokenize pass over arrivals, never the corpus.
+    """
+    import os
+
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    postings, _ = _lexical_postings(spark, sf_dir)
+    ids = postings.select("doc_id").distinct()
+    n = ids.count()
+    n_base = n - n // 10
+    cut = (
+        ids.orderBy("doc_id").limit(n_base).agg(F.max("doc_id")).first()[0]
+    )
+    base = postings.where(F.col("doc_id") <= F.lit(cut))
+    path = proc_dir("lex_postings_base", os.path.abspath(sf_dir), cut)
+    base.write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    stored = read_manifest_parquet(spark, path)
+    merged = stored.unionByName(postings.where(F.col("doc_id") > F.lit(cut)))
+    sizes = merged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tk"))
+    return _lexical_indexed_serve(merged, sizes, k)
+
+
+# Constructing this query's DataFrame EXECUTES the base-postings build
+# and a real manifest-sink write — the storage leg it exists to prove.
+doc_lexical_incremental_append.side_effecting = True
+
+
+def doc_lexical_deletion_repair(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """GDPR propagated through the lexical postings table: the deletion
+    list's documents (doc_id % 7 == 0 — the manifest layer's
+    ``curation.DELETION_MOD`` convention, numerically equal to
+    ``VEC_DELETION_MOD``) drop out of the postings, the size table, and
+    the query set. Postings are per-row, so the repair is a pure
+    anti-join on the stored index — provably identical to re-tokenizing
+    the surviving corpus (``DOC_LEXICAL_DELETION_SQL``). With this pair
+    the full lifecycle (store / append / delete) is hash-proven for
+    every arm of the hybrid retrieval stack.
+    """
+    postings, sizes = _lexical_postings(spark, sf_dir)
+    alive = F.col("doc_id") % VEC_DELETION_MOD != 0
+    return _lexical_indexed_serve(
+        postings.where(alive), sizes.where(alive), k
+    )
 
 
 def ann_hybrid_rrf(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -1745,6 +1815,18 @@ def ann_ivfpq_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     n_cells = ivf_cells_for(emb.count())
     nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
     coarse = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
+    cb = _pq_codebooks_cached(spark, sf_dir, emb)
+    return _ivfpq_serve(emb, coarse, nprobe, cb, k)
+
+
+def _ivfpq_serve(
+    emb: DataFrame, coarse: DataFrame, nprobe: int, cb: DataFrame, k: int
+) -> DataFrame:
+    """The composed IVF-PQ serving path over already-fitted artifacts —
+    split from ``ann_ivfpq_topk`` so the STALE composition
+    (``ann_ivfpq_incremental_append`` — both artifacts fitted on the
+    historical base) serves through the IDENTICAL plan (the
+    ``_ivf_probe``/``_pq_adc_refined`` convention)."""
     corpus_cells = _assign_cells(emb.select("vec_id", "embedding"), coarse).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
@@ -1762,7 +1844,6 @@ def ann_ivfpq_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .where(F.col("probe_rank") <= nprobe)
         .select("query_id", "cell")
     )
-    cb = _pq_codebooks_cached(spark, sf_dir, emb)
     codes = _pq_argmin(_pq_subvectors(emb), cb).select(
         F.col("vec_id").alias("neighbor_id"), "m", "code"
     )
@@ -1816,6 +1897,45 @@ def ann_ivfpq_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivfpq_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """STALE serving through the COMPOSED production path — the grid
+    cell the per-rung appends leave open: ``ann_ivfpq_topk`` with BOTH
+    trained artifacts (coarse IVF centroids AND PQ codebooks) fitted on
+    the historical 90% slice, arrivals assigned + encoded against them
+    without any refit. This is the actual intra-day state of a
+    billion-vector store (FAISS IndexIVFPQ trained nightly): between
+    refits EVERY serving request runs exactly this composition, with
+    staleness compounding across both artifacts — arrivals land in
+    drifted cells AND quantize against drifted codewords. The recall gap
+    vs the fresh composition is the composed-staleness quantity the
+    ladder report bounds per-rung.
+
+    Both stale artifacts come from the SAME ``::base`` memo slots the
+    per-rung append queries use (one shared base fit, not a third), and
+    everything downstream is the shared ``_ivfpq_serve`` plan. The twin
+    composes the two proven stale chains: the IVF graph with
+    ``fit_src="base"`` and the PQ chain with ``fit_base="reuse"`` (fit
+    CTEs reading the same integer-rank cut), spliced by the byte-shared
+    IVF-PQ tail.
+    """
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    n = emb.count()
+    n_base = n - n // 10
+    cut = (
+        emb.select("vec_id")
+        .orderBy("vec_id")
+        .limit(n_base)
+        .agg(F.max("vec_id"))
+        .first()[0]
+    )
+    base = emb.where(F.col("vec_id") <= F.lit(cut))
+    n_cells = ivf_cells_for(n_base)
+    nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
+    coarse = _ivf_centroids_cached(spark, f"{sf_dir}::base", base, n_cells)
+    cb = _pq_codebooks_cached(spark, f"{sf_dir}::base", base)
+    return _ivfpq_serve(emb, coarse, nprobe, cb, k)
 
 
 def ann_ivfpq_filtered_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:

@@ -873,7 +873,9 @@ def _ann_ivf_topk_sql(
 ANN_IVF_TOPK_SQL = _ann_ivf_topk_sql()
 
 
-def _doc_lexical_topk_sql(positive_only: bool = False) -> str:
+def _doc_lexical_topk_sql(
+    positive_only: bool = False, serve_where: str | None = None
+) -> str:
     """Twin of the per-query lexical retriever: identical tokenization
     (the shared ``toks`` twin + list_distinct), exact integer
     intersection/union sizes (``list_intersect`` on distinct lists ≡
@@ -881,16 +883,20 @@ def _doc_lexical_topk_sql(positive_only: bool = False) -> str:
     rounded division, (jaccard DESC, neighbor ASC) ranking. With
     ``positive_only`` candidates restrict to pairs sharing ≥ 1 token —
     the inverted-index variant's reachable set (an index cannot retrieve
-    a document it shares no term with)."""
+    a document it shares no term with). ``serve_where`` filters the
+    document set (corpus AND queries — the postings deletion-repair
+    twin): postings are per-row, so filtering the stored table ≡
+    rebuilding the index over the surviving corpus."""
     from aws_saas_etl_spark.operators.similarity import N_QUERY_VECS, TOP_K
 
     pos = "\n        AND len(list_intersect(c.tk, q.q_tk)) > 0" if positive_only else ""
+    srv = f" AND {serve_where}" if serve_where else ""
     return f"""
     WITH tk AS (
         SELECT doc_id, list_distinct({toks("text")}) AS tk
         FROM documents WHERE {DOC_DROPNA}
     ),
-    tk2 AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0),
+    tk2 AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0{srv}),
     q AS (SELECT doc_id AS query_id, tk AS q_tk FROM tk2
           WHERE doc_id < {N_QUERY_VECS}),
     prs AS (
@@ -916,6 +922,17 @@ def _doc_lexical_topk_sql(positive_only: bool = False) -> str:
 
 DOC_LEXICAL_TOPK_SQL = _doc_lexical_topk_sql()
 DOC_LEXICAL_TOPK_INDEXED_SQL = _doc_lexical_topk_sql(positive_only=True)
+
+
+def _doc_lexical_deletion_sql() -> str:
+    from aws_saas_etl_spark.operators.curation import DELETION_MOD
+
+    return _doc_lexical_topk_sql(
+        positive_only=True, serve_where=f"doc_id % {DELETION_MOD} <> 0"
+    )
+
+
+DOC_LEXICAL_DELETION_SQL = _doc_lexical_deletion_sql()
 
 
 def _ann_hybrid_rrf_sql() -> str:
@@ -982,7 +999,7 @@ ANN_HYBRID_RRF_SQL = _ann_hybrid_rrf_sql()
 def _ann_pq_adc_sql(
     tail: str | None = None,
     chain_only: bool = False,
-    fit_base: bool = False,
+    fit_base: bool | str = False,
     serve_where: str | None = None,
 ) -> str:
     """Exact twin of PQ + ADC search: the per-subspace quantized-integer
@@ -1044,7 +1061,13 @@ def _ann_pq_adc_sql(
     fit_subs_cte = ""
     seed_filter = ""
     if fit_base:
-        base_ctes = """nall AS (SELECT count(*) AS n FROM embeddings),
+        # fit_base="reuse" composes inside _ann_ivf_topk_sql(fit_src=
+        # "base"), whose WITH graph already defines nall/cutv — emitting
+        # them again would be a duplicate-CTE error, so only the
+        # fit-slice CTEs are added and the cut is read from the outer
+        # definitions (the composed stale-IVF-PQ twin).
+        if fit_base is True:
+            base_ctes = """nall AS (SELECT count(*) AS n FROM embeddings),
     cutv AS (
         SELECT max(vec_id) AS cut FROM (
             SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
@@ -1169,6 +1192,16 @@ def _ann_ivfpq_sql() -> str:
     probed cells only; ADC shortlist → exact cosine refine — each
     fragment identical to its standalone hash-proven twin, so the
     composition is engine-neutral by construction."""
+    pq_chain = _ann_pq_adc_sql(chain_only=True)
+    return _ann_ivf_topk_sql(tail=_ivfpq_tail(pq_chain))
+
+
+def _ivfpq_tail(pq_chain: str) -> str:
+    """The shared IVF-PQ tail: probed-cell candidate ADC sum, shortlist,
+    exact refine, top-k — spliced after any variant of the IVF chain
+    (fresh or fit_src="base") with any variant of the PQ chain (fresh or
+    fit_base). Extracted verbatim from ``_ann_ivfpq_sql`` so the
+    composed stale twin reuses the byte-identical fragment."""
     from aws_saas_etl_spark.operators.similarity import (
         EMBED_DIM,
         PQ_REFINE,
@@ -1184,8 +1217,7 @@ def _ann_ivfpq_sql() -> str:
     def cosd(a: str, b: str) -> str:
         return f"{dotd(a, b)} / (sqrt({dotd(a, a)}) * sqrt({dotd(b, b)}))"
 
-    pq_chain = _ann_pq_adc_sql(chain_only=True)
-    tail = f"""{pq_chain},
+    return f"""{pq_chain},
     cand AS (
         SELECT t.query_id, e.vec_id AS neighbor_id,
                CAST(sum(t.dint) AS BIGINT) AS adc_dist
@@ -1219,10 +1251,22 @@ def _ann_ivfpq_sql() -> str:
     FROM pq_ranked WHERE rank <= {TOP_K}
     ORDER BY query_id, rank
 """
-    return _ann_ivf_topk_sql(tail=tail)
 
 
 ANN_IVFPQ_SQL = _ann_ivfpq_sql()
+
+
+def _ann_ivfpq_incremental_sql() -> str:
+    """Twin of the COMPOSED stale IVF-PQ serving path: BOTH trained
+    artifacts (coarse centroids AND codebooks) fitted on the historical
+    base slice — the IVF chain via ``fit_src="base"`` (which defines
+    nall/cutv/base once), the PQ chain via ``fit_base="reuse"`` (fit
+    CTEs read the outer cut), the shared IVF-PQ tail verbatim."""
+    pq_chain = _ann_pq_adc_sql(chain_only=True, fit_base="reuse")
+    return _ann_ivf_topk_sql(fit_src="base", tail=_ivfpq_tail(pq_chain))
+
+
+ANN_IVFPQ_INCREMENTAL_SQL = _ann_ivfpq_incremental_sql()
 
 def _ann_ivfpq_residual_sql() -> str:
     """Twin of RESIDUAL IVF-PQ: the proven IVF chain supplies the coarse
@@ -1934,6 +1978,8 @@ def _ann_ladder_staleness_sql() -> str:
         "sq_stale": "(SELECT * FROM sq_fresh)",
         "pq_fresh": f"({ANN_PQ_ADC_SQL})",
         "pq_stale": f"({ANN_PQ_INCREMENTAL_SQL})",
+        "ivfpq_fresh": f"({ANN_IVFPQ_SQL})",
+        "ivfpq_stale": f"({ANN_IVFPQ_INCREMENTAL_SQL})",
         "bq_fresh": f"({ANN_BQ_HAMMING_SQL})",
         "bq_stale": "(SELECT * FROM bq_fresh)",
     }

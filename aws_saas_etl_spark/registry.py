@@ -1210,9 +1210,31 @@ register(
     similarity.doc_lexical_store_roundtrip,
     oracles.DOC_LEXICAL_TOPK_INDEXED_SQL,
 )
+# the COMPOSED stale rung (r10): IVF-PQ with BOTH artifacts fitted on
+# the base slice — staleness compounding through the production
+# composition; twin = fit_src="base" IVF graph + fit_base="reuse" PQ
+# chain + the byte-shared IVF-PQ tail
+register(
+    "ann_ivfpq_incremental_append",
+    similarity.ann_ivfpq_incremental_append,
+    oracles.ANN_IVFPQ_INCREMENTAL_SQL,
+)
+# lexical lifecycle pair (r10): postings are per-row like SQ8/BQ codes —
+# append = store base + tokenize delta (gate = plain indexed twin);
+# deletion = anti-join on stored postings (gate = survivor-filter twin)
+register(
+    "doc_lexical_incremental_append",
+    similarity.doc_lexical_incremental_append,
+    oracles.DOC_LEXICAL_TOPK_INDEXED_SQL,
+)
+register(
+    "doc_lexical_deletion_repair",
+    similarity.doc_lexical_deletion_repair,
+    oracles.DOC_LEXICAL_DELETION_SQL,
+)
 # the maintenance-decision table (r10, VERDICT r9 #2b): fresh-vs-stale
-# hit counts per rung — trained rungs (IVF/PQ) decay, per-row-code rungs
-# (SQ8/BQ) are provably identical fresh and stale
+# hit counts per rung incl. the composed IVF-PQ — trained rungs (IVF/PQ/
+# IVF-PQ) decay, per-row-code rungs (SQ8/BQ) provably identical
 register(
     "ann_ladder_staleness_report",
     similarity.ann_ladder_staleness_report,

@@ -1000,6 +1000,7 @@ def test_ladder_staleness_grid_invariants(spark):
         "n_ivf_fresh_hits", "n_ivf_stale_hits",
         "n_sq_fresh_hits", "n_sq_stale_hits",
         "n_pq_fresh_hits", "n_pq_stale_hits",
+        "n_ivfpq_fresh_hits", "n_ivfpq_stale_hits",
         "n_bq_fresh_hits", "n_bq_stale_hits",
     ]
     for r in rows:
@@ -1051,3 +1052,30 @@ def test_filtered_switch_threshold_behavior(spark):
         branches.setdefault(r.query_id, set()).add(r.branch)
     assert all(len(b) == 1 for b in branches.values())
     assert {b for s in branches.values() for b in s} == {"pre", "post"}
+
+
+def test_lexical_lifecycle_exactness(spark):
+    """Lexical postings are a per-row artifact: the append path (stored
+    base + tokenized delta) must reproduce the fresh inverted index
+    row-for-row, and the deletion repair must both drop every deleted
+    doc from results and equal nothing less than the survivor rebuild
+    (no deleted id on either side of any returned pair)."""
+    from aws_saas_etl_spark.operators.similarity import (
+        VEC_DELETION_MOD,
+        doc_lexical_deletion_repair,
+        doc_lexical_incremental_append,
+        doc_lexical_topk_indexed,
+    )
+
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    fresh = sorted(doc_lexical_topk_indexed(spark, SF_SMOKE).collect(), key=key)
+    appended = sorted(
+        doc_lexical_incremental_append(spark, SF_SMOKE).collect(), key=key
+    )
+    assert [tuple(r) for r in fresh] == [tuple(r) for r in appended]
+
+    repaired = doc_lexical_deletion_repair(spark, SF_SMOKE).collect()
+    assert repaired
+    for r in repaired:
+        assert r.query_id % VEC_DELETION_MOD != 0
+        assert r.neighbor_id % VEC_DELETION_MOD != 0

@@ -108,6 +108,15 @@ PROBES = [
     ("ann_ivfpq_residual_topk (warm-stored)", "similarity",
      "ann_ivfpq_residual_topk", "warm_stored"),
     ("doc_lexical_topk_indexed", "similarity", "doc_lexical_topk_indexed"),
+    # r10 additions: the filtered serving shapes. Filtered IVF-PQ should
+    # track plain IVF-PQ (the label join is one narrow join on the
+    # probed candidate set — no corpus term); the selectivity switch is
+    # ≈ the mix of its two branches over the branch-assigned query
+    # subsets (the decision itself is one bounded label-count aggregate).
+    ("ann_ivfpq_filtered_topk (warm-stored)", "similarity",
+     "ann_ivfpq_filtered_topk", "warm_stored"),
+    ("ann_filtered_switch_topk (warm-stored)", "similarity",
+     "ann_filtered_switch_topk", "warm_stored"),
 ]
 
 # Per-copy character translation: remaps the 5 vowels, which rewrites
