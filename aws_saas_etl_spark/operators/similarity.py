@@ -1160,6 +1160,50 @@ def doc_lexical_store_roundtrip(spark, sf_dir: str, k: int = TOP_K) -> DataFrame
 doc_lexical_store_roundtrip.side_effecting = True
 
 
+#: df-pruning threshold: a token is HOT (pruned from the index) when it
+#: appears in more than 1/DF_PRUNE_DIV of the documents — the integer
+#: compare df · DF_PRUNE_DIV > n_docs is exact in both engines.
+DF_PRUNE_DIV = 10
+
+
+def doc_lexical_topk_pruned(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """DF-PRUNED inverted-index retrieval — the stopword knob the
+    indexed query documents but deliberately doesn't apply ("df-based
+    stopword pruning bounds the candidate fan-out — the documented knob,
+    not applied here so the gate stays exact"), now a real operator with
+    its own exact gate: tokens whose document frequency exceeds
+    1/DF_PRUNE_DIV of the corpus are dropped from EVERY token set
+    (corpus and queries alike), and Jaccard is computed over the pruned
+    sets. This is what production lexical indexes actually serve — the
+    hot terms ("the", boilerplate markup) contribute almost no ranking
+    signal but dominate candidate fan-out, because a token in f·n docs
+    generates f²·n² candidate pairs.
+
+    The gate stays EXACT because pruning is a deterministic function of
+    the corpus: both engines compute the same integer df table and the
+    same integer compare (df · DF_PRUNE_DIV > n_docs), so the pruned
+    sets — and every intersection/union size after them — are identical.
+
+    Scale shape: the df aggregate is one map-side-combinable groupBy;
+    the HOT-token table is tiny by construction (tokens in >10% of a
+    100 TB corpus number in the hundreds), so pruning is a BROADCAST
+    anti-join on the postings — no token-keyed shuffle anywhere, and the
+    candidate join inherits the indexed form's broadcast-query-postings
+    shape with its worst fan-out amputated.
+    """
+    postings, _ = _lexical_postings(spark, sf_dir)
+    n_docs = postings.select("doc_id").distinct().count()
+    hot = (
+        postings.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") * DF_PRUNE_DIV > F.lit(n_docs))
+        .select("token")
+    )
+    pruned = postings.join(F.broadcast(hot), "token", "anti")
+    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tk"))
+    return _lexical_indexed_serve(pruned, sizes, k)
+
+
 def doc_lexical_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """INCREMENTAL MAINTENANCE of the lexical postings table — the
     lifecycle × rung grid extended to the retrieval stack's text arm:
@@ -1259,6 +1303,16 @@ def ann_hybrid_rrf(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     lex = doc_lexical_topk(spark, sf_dir, k).select(
         "query_id", "neighbor_id", F.col("rank").alias("lex_rank")
     )
+    return _rrf_fuse(lsh, ivf, lex, k)
+
+
+def _rrf_fuse(
+    lsh: DataFrame, ivf: DataFrame, lex: DataFrame, k: int
+) -> DataFrame:
+    """The RRF fusion stage over three already-ranked arm frames
+    (query_id, neighbor_id, {lsh,ivf,lex}_rank) — split from
+    ``ann_hybrid_rrf`` so the stored-artifact stack
+    (``ann_hybrid_rrf_stored``) fuses through the IDENTICAL plan."""
     one = F.lit(1.0)
 
     def term(c: str):
@@ -1286,6 +1340,68 @@ def ann_hybrid_rrf(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .where(F.col("fused_rank") <= k)
         .orderBy("query_id", "fused_rank")
     )
+
+
+def ann_hybrid_rrf_stored(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """The hybrid stack served END-TO-END FROM STORAGE — the capstone of
+    the stored-artifact story: every arm that HAS a stored artifact
+    reads it back through the exactly-once manifest sink inside this one
+    query, and the fusion is the identical ``_rrf_fuse`` plan. This is
+    the production serving topology: indexes trained/built nightly and
+    persisted, queries served all day against the stored tables.
+
+    - IVF arm: the fitted centroids roundtrip the manifest store (the
+      ``ann_ivf_store_roundtrip`` plumbing, same per-pid store) and the
+      probe consumes ONLY what came back from storage.
+    - Lexical arm: the postings table roundtrips the store (the
+      ``doc_lexical_store_roundtrip`` plumbing) and serves through the
+      INDEXED probe plan — hence the twin's lexical CTE is the
+      positive-overlap variant (an index cannot reach a zero-overlap
+      candidate; the fused scores differ from ``ann_hybrid_rrf`` exactly
+      where brute-force lexical ranked zero-jaccard tail rows).
+    - LSH arm: derivation-free by design (signatures are a deterministic
+      per-row function — the 'index' IS the bucket expression), so there
+      is nothing to store; it recomputes, as it would at serving time.
+    """
+    import os
+
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
+    n_cells = ivf_cells_for(emb.count())
+    nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
+    fitted = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
+    ipath = proc_dir("ivf_index", sf_dir, n_cells)
+    fitted.write.format("manifest_parquet").option("path", ipath).mode(
+        "overwrite"
+    ).save()
+    ivf = _ivf_probe(emb, read_manifest_parquet(spark, ipath), nprobe, k=k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ivf_rank")
+    )
+    postings, _ = _lexical_postings(spark, sf_dir)
+    ppath = proc_dir("lex_postings", os.path.abspath(sf_dir))
+    postings.write.format("manifest_parquet").option("path", ppath).mode(
+        "overwrite"
+    ).save()
+    stored_p = read_manifest_parquet(spark, ppath)
+    sizes = stored_p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tk"))
+    lex = _lexical_indexed_serve(stored_p, sizes, k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lex_rank")
+    )
+    lsh = ann_lsh_topk(spark, sf_dir, k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("lsh_rank")
+    )
+    return _rrf_fuse(lsh, ivf, lex, k)
+
+
+# Constructing this query's DataFrame EXECUTES the IVF fit + two real
+# manifest-sink writes (index + postings) — the storage legs it fuses.
+ann_hybrid_rrf_stored.side_effecting = True
 
 
 K_CENTROIDS = 8  # fixed demo codebook: the K lowest vec_ids

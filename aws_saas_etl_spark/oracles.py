@@ -924,6 +924,72 @@ DOC_LEXICAL_TOPK_SQL = _doc_lexical_topk_sql()
 DOC_LEXICAL_TOPK_INDEXED_SQL = _doc_lexical_topk_sql(positive_only=True)
 
 
+def _doc_lexical_pruned_sql() -> str:
+    """Twin of the df-pruned inverted-index retriever, written in
+    POSTINGS space (the Spark plan's shape): the same tokenization CTEs,
+    one exact integer df table, hot tokens = df · DF_PRUNE_DIV > n_docs,
+    pruned postings via anti-membership, sizes/intersections as exact
+    integer counts over the pruned rows, the same rounded division and
+    tie rule. Pruning is a deterministic function of the corpus, so the
+    twin is equal by construction — no tolerance anywhere."""
+    from aws_saas_etl_spark.operators.similarity import (
+        DF_PRUNE_DIV,
+        N_QUERY_VECS,
+        TOP_K,
+    )
+
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, list_distinct({toks("text")}) AS tk
+        FROM documents WHERE {DOC_DROPNA}
+    ),
+    tk2 AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 0),
+    posts AS (SELECT doc_id, unnest(tk) AS token FROM tk2),
+    nd AS (SELECT count(*) AS n FROM tk2),
+    hot AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS df FROM posts GROUP BY token
+        ), nd WHERE df * {DF_PRUNE_DIV} > nd.n
+    ),
+    p2 AS (
+        SELECT doc_id, token FROM posts
+        WHERE token NOT IN (SELECT token FROM hot)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_tk FROM p2 GROUP BY doc_id),
+    qp AS (SELECT doc_id AS query_id, token FROM p2
+           WHERE doc_id < {N_QUERY_VECS}),
+    qs AS (SELECT doc_id AS query_id, n_tk AS n_q FROM sizes
+           WHERE doc_id < {N_QUERY_VECS}),
+    inter AS (
+        SELECT qp.query_id, p2.doc_id AS neighbor_id, count(*) AS n_inter
+        FROM p2 JOIN qp USING (token)
+        WHERE p2.doc_id <> qp.query_id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT i.query_id, i.neighbor_id,
+               round(CAST(i.n_inter AS DOUBLE)
+                     / CAST(s.n_tk + q.n_q - i.n_inter AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes s ON s.doc_id = i.neighbor_id
+        JOIN qs q ON q.query_id = i.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY jaccard DESC, neighbor_id ASC
+        ) AS rank
+        FROM prs
+    )
+    SELECT query_id, neighbor_id, jaccard, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+"""
+
+
+DOC_LEXICAL_PRUNED_SQL = _doc_lexical_pruned_sql()
+
+
 def _doc_lexical_deletion_sql() -> str:
     from aws_saas_etl_spark.operators.curation import DELETION_MOD
 
@@ -935,7 +1001,7 @@ def _doc_lexical_deletion_sql() -> str:
 DOC_LEXICAL_DELETION_SQL = _doc_lexical_deletion_sql()
 
 
-def _ann_hybrid_rrf_sql() -> str:
+def _ann_hybrid_rrf_sql(lex_sql: str | None = None) -> str:
     """Twin of the 3-arm RRF fusion: wraps the full LSH, IVF, and
     lexical oracle queries as CTE subqueries and replays the identical
     integer-rank arithmetic (CAST(1 AS DOUBLE) — a bare 1.0 literal is
@@ -945,13 +1011,16 @@ def _ann_hybrid_rrf_sql() -> str:
     interpolated from the query's own constants so the twin can never
     silently desynchronize (ADVICE r8). Membership pairs come from the
     UNION of the three arms' keys + per-arm LEFT JOINs — exactly the
-    chained full-outer joins of the Spark plan."""
+    chained full-outer joins of the Spark plan. ``lex_sql`` swaps the
+    lexical arm (the stored-stack variant serves it from the postings
+    store through the INDEXED plan, whose reachable set is the
+    positive-overlap twin)."""
     from aws_saas_etl_spark.operators.similarity import RRF_K
 
     return f"""
     WITH lsh AS (SELECT * FROM ({ANN_LSH_TOPK_SQL}) _l),
     ivf AS (SELECT * FROM ({ANN_IVF_TOPK_SQL}) _i),
-    lex AS (SELECT * FROM ({DOC_LEXICAL_TOPK_SQL}) _x),
+    lex AS (SELECT * FROM ({lex_sql or DOC_LEXICAL_TOPK_SQL}) _x),
     pairs AS (
         SELECT query_id, neighbor_id FROM lsh
         UNION SELECT query_id, neighbor_id FROM ivf
@@ -994,6 +1063,9 @@ def _ann_hybrid_rrf_sql() -> str:
 
 
 ANN_HYBRID_RRF_SQL = _ann_hybrid_rrf_sql()
+ANN_HYBRID_RRF_STORED_SQL = _ann_hybrid_rrf_sql(
+    lex_sql=DOC_LEXICAL_TOPK_INDEXED_SQL
+)
 
 
 def _ann_pq_adc_sql(

@@ -1232,6 +1232,24 @@ register(
     similarity.doc_lexical_deletion_repair,
     oracles.DOC_LEXICAL_DELETION_SQL,
 )
+# the stopword knob as a real operator (r10): df-pruned postings via a
+# broadcast anti-join on the bounded hot-token table — pruning is a
+# deterministic corpus function, so the gate stays exact
+register(
+    "doc_lexical_topk_pruned",
+    similarity.doc_lexical_topk_pruned,
+    oracles.DOC_LEXICAL_PRUNED_SQL,
+)
+# the stored-artifact capstone (r10): the 3-arm hybrid served end-to-end
+# from storage — IVF centroids + lexical postings read back through the
+# manifest sink inside one query, fused by the identical RRF plan; the
+# lexical arm serves the INDEXED plan, so the twin swaps in the
+# positive-overlap lexical CTE
+register(
+    "ann_hybrid_rrf_stored",
+    similarity.ann_hybrid_rrf_stored,
+    oracles.ANN_HYBRID_RRF_STORED_SQL,
+)
 # the maintenance-decision table (r10, VERDICT r9 #2b): fresh-vs-stale
 # hit counts per rung incl. the composed IVF-PQ — trained rungs (IVF/PQ/
 # IVF-PQ) decay, per-row-code rungs (SQ8/BQ) provably identical

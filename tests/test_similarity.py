@@ -1079,3 +1079,44 @@ def test_lexical_lifecycle_exactness(spark):
     for r in repaired:
         assert r.query_id % VEC_DELETION_MOD != 0
         assert r.neighbor_id % VEC_DELETION_MOD != 0
+
+
+def test_lexical_pruning_drops_hot_tokens(spark):
+    """The df-pruning knob must actually bite on the fixture (a corpus
+    with no >10%-df token would make the gate vacuous), must remove
+    every hot token from the served postings, and must keep the pruned
+    result a real retrieval (non-empty, ranked per query)."""
+    from aws_saas_etl_spark.operators.similarity import (
+        DF_PRUNE_DIV,
+        _lexical_postings,
+        doc_lexical_topk_pruned,
+    )
+
+    postings, _ = _lexical_postings(spark, SF_SMOKE)
+    n_docs = postings.select("doc_id").distinct().count()
+    hot = (
+        postings.groupBy("token")
+        .count()
+        .where(F.col("count") * DF_PRUNE_DIV > n_docs)
+    )
+    hot_tokens = {r["token"] for r in hot.collect()}
+    assert hot_tokens, "fixture has no hot tokens — pruning gate is vacuous"
+
+    out = doc_lexical_topk_pruned(spark, SF_SMOKE).collect()
+    assert out
+    ranks = {}
+    for r in out:
+        assert 0.0 <= r.jaccard <= 1.0
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(rs == sorted(rs) and rs[0] == 1 for rs in ranks.values())
+
+    # and the knob must CHANGE the ranking (measured True on the
+    # fixture): hot tokens carry real intersection mass, so pruning
+    # them re-orders the jaccard top-k — the signal/fan-out tradeoff
+    # the operator exists to make
+    from aws_saas_etl_spark.operators.similarity import (
+        doc_lexical_topk_indexed,
+    )
+
+    unpruned = doc_lexical_topk_indexed(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, unpruned))
