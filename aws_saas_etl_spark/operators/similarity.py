@@ -936,7 +936,10 @@ def ann_ladder_staleness_report(spark, sf_dir: str) -> DataFrame:
     rows) joined on bounded keys; every trained artifact comes from its
     session memo / stored table (the stale IVF-PQ arm reuses the SAME
     ``::base`` fits as the per-rung appends), so the report costs
-    nothing beyond the serving paths it audits.
+    nothing beyond the serving paths it audits. Measured at sf0.1
+    (bench r10): 19.4 s cold — the sum of eleven serving chains plus
+    the two per-row-code store roundtrips, the fleet's widest composite
+    audit, scheduled at index-maintenance cadence, not per-query.
     """
     key = ["query_id", "neighbor_id"]
     truth = knn_bruteforce(spark, sf_dir).select(*key)
@@ -1218,6 +1221,8 @@ def doc_lexical_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFr
 
     Scale shape: the maintenance write is |delta docs| × tokens-per-doc
     narrow rows — one tokenize pass over arrivals, never the corpus.
+    Measured at sf0.1 (bench r10): 3.7 s including the base-postings
+    store write; the serve leg matches ``doc_lexical_topk_indexed``.
     """
     import os
 
@@ -1362,6 +1367,10 @@ def ann_hybrid_rrf_stored(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     - LSH arm: derivation-free by design (signatures are a deterministic
       per-row function — the 'index' IS the bucket expression), so there
       is nothing to store; it recomputes, as it would at serving time.
+
+    Measured at sf0.1 (bench r10): 6.0 s including both store writes vs
+    the in-session hybrid's 4.7 s — the storage premium is the two
+    manifest roundtrips, not the serving plans.
     """
     import os
 
@@ -2533,7 +2542,9 @@ def ann_sq8_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     Scale shape: the maintenance write is |delta| × 64 B of codes — one
     narrow encode pass, no corpus scan, no refit ever; serving reads the
     code table from storage (64 B/vector) exactly as ``ann_sq8_topk``
-    documents.
+    documents. Measured at sf0.1 (bench r10): 2.0 s including the store
+    write, vs the fresh scan's 1.0–1.6 s — maintenance costs one store
+    roundtrip, never a refit.
     """
     import os
 
