@@ -1165,3 +1165,89 @@ def doc_crossdoc_duplication(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def doc_duplicate_span_removal(spark, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN REMOVAL — the rewrite half of exact
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22 §4.2): ``doc_crossdoc_duplication``
+    MEASURES shared-span coverage; this operator actually CUTS those
+    spans and emits the cleaned corpus, per doc: the rewritten text
+    (kept tokens re-joined), kept/removed token counts.
+
+    A token is removed iff it lies inside any ``SUBSTR_DUP_K``-gram that
+    also occurs in ANOTHER document. Covered positions are materialized
+    DISJOINTLY — each duplicated start ``i`` contributes exactly
+    ``least(k, next_dup_start − i)`` positions via the same LEAD trick
+    the coverage metric uses — so the explode is ≤ n_tokens rows per doc
+    (never n_starts × k), and no distinct is needed before the removal
+    anti-join.
+
+    Scale shape: identical to the coverage metric (gram-hash groupBy +
+    join-back, both corpus-linear; HAVING count ≥ 2 keeps the flag side
+    small → AQE broadcast) plus one anti-join and one rebuild aggregate,
+    BOTH partitioned by doc_id — at 100 TB the rewrite is two extra
+    narrow-key shuffles over the token stream, nothing doc×doc. The
+    rebuild keeps per-doc token arrays (the same memory envelope the
+    tokenizer already created); docs whose every token is removed
+    survive via the left join with an empty ``clean_text``.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    k = SUBSTR_DUP_K
+    base = docs.select("doc_id", T.tokens("text").alias("tk")).withColumn(
+        "n", F.size("tk")
+    )
+    starts = F.when(
+        F.col("n") >= k,
+        F.sequence(F.lit(1), (F.col("n") - k + 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select("doc_id", F.explode(starts).alias("i"), "tk").select(
+        "doc_id",
+        "i",
+        F.xxhash64(F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(k)))).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    cov = F.least(F.lit(k), F.coalesce(F.lead("i").over(w) - F.col("i"), F.lit(k)))
+    covered = (
+        grams.join(dup, "g")
+        .select("doc_id", "i", cov.alias("cov"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.col("cov") - 1)).alias("p"),
+        )
+    )
+    tokpos = base.select(
+        "doc_id", F.posexplode("tk").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = tokpos.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x.tok
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.col("n").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("bigint").alias("kept_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0)))
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -4248,6 +4248,64 @@ def _crossdoc_duplication_sql() -> str:
 CROSSDOC_DUPLICATION_SQL = _crossdoc_duplication_sql()
 
 
+def _duplicate_span_removal_sql() -> str:
+    """Twin of the duplicated-span REMOVAL rewrite: same duplicated-gram
+    definition and LEAD-disjoint coverage as the coverage twin, then an
+    anti-join on (doc_id, position) and an ordered string_agg rebuild."""
+    from aws_saas_etl_spark.operators.textops import SUBSTR_DUP_K as K
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {toks('text')} AS tk FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    b AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+    g AS (
+        SELECT doc_id, i, array_to_string(tk[i:i+{K - 1}], ' ') AS gram
+        FROM b, LATERAL (
+            SELECT unnest(generate_series(1, n - {K} + 1)) AS i
+        ) s
+        WHERE n >= {K}
+    ),
+    d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    f AS (
+        SELECT g.doc_id, g.i,
+               lead(g.i) OVER (PARTITION BY g.doc_id ORDER BY g.i) AS nx
+        FROM g JOIN d USING (gram)
+    ),
+    cov AS (
+        SELECT doc_id, unnest(generate_series(i, i + least({K}, coalesce(nx - i, {K})) - 1)) AS p
+        FROM f
+    ),
+    tokpos AS (
+        SELECT doc_id, unnest(tk) AS tok, unnest(generate_series(1, n)) AS p
+        FROM b WHERE n > 0
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.p, tp.tok
+        FROM tokpos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cov c WHERE c.doc_id = tp.doc_id AND c.p = tp.p
+        )
+    ),
+    r AS (
+        SELECT doc_id, count(*) AS kept_tokens,
+               string_agg(tok, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n AS n_tokens,
+           CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(b.n - coalesce(r.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM b LEFT JOIN r USING (doc_id)
+    ORDER BY b.doc_id
+"""
+
+
+DUPLICATE_SPAN_REMOVAL_SQL = _duplicate_span_removal_sql()
+
+
 BUCKETED_JOIN_SQL = f"""
     SELECT o_orderpriority,
            count(*) AS n_items,

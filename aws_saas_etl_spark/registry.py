@@ -884,6 +884,13 @@ register(
     textops.doc_crossdoc_duplication,
     oracles.CROSSDOC_DUPLICATION_SQL,
 )
+# ... and the rewrite half: cut every cross-doc duplicated k-gram span and
+# emit the cleaned corpus (kept-token rebuild, LEAD-disjoint coverage)
+register(
+    "doc_duplicate_span_removal",
+    textops.doc_duplicate_span_removal,
+    oracles.DUPLICATE_SPAN_REMOVAL_SQL,
+)
 # group-wise model fit as ALGEBRA: per-type daily-trend OLS from five
 # integer sufficient statistics — no Python, one groupBy
 register(

@@ -707,3 +707,41 @@ def test_manifest_deletion_churn_invariants(spark):
     n_stable = sum(1 for d, p in before.items() if after.get(d) == p)
     assert n_removed == sum(r.n_removed for r in rows)
     assert n_stable == sum(r.n_stable for r in rows)
+
+
+def test_duplicate_span_removal_agrees_with_coverage_metric(spark):
+    """Pins the rewrite against the measurement: (1) kept + removed =
+    n_tokens; (2) removed_tokens per doc equals doc_crossdoc_duplication's
+    dup_tokens EXACTLY (the two operators share the duplicated-gram
+    definition and the LEAD-disjoint coverage, so the rewrite must cut
+    precisely the tokens the metric counts); (3) the rebuilt text
+    re-tokenizes to kept_tokens tokens; (4) untouched docs round-trip
+    their token stream verbatim; (5) the fixture is non-vacuous."""
+    from aws_saas_etl_spark.operators.textops import (
+        doc_crossdoc_duplication,
+        doc_duplicate_span_removal,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rem = {r.doc_id: r for r in doc_duplicate_span_removal(spark, SF_SMOKE).collect()}
+    cov = {r.doc_id: r for r in doc_crossdoc_duplication(spark, SF_SMOKE).collect()}
+    assert set(rem) == set(cov)
+    assert any(r.removed_tokens > 0 for r in rem.values()), "vacuous fixture"
+    for d, r in rem.items():
+        assert r.kept_tokens + r.removed_tokens == r.n_tokens
+        assert r.removed_tokens == cov[d].dup_tokens, d
+        n_rebuilt = len([t for t in r.clean_text.split(" ") if t])
+        assert n_rebuilt == r.kept_tokens, d
+
+    # untouched docs keep their exact token stream
+    import re
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    text = {r.doc_id: r.text for r in docs if r.doc_id is not None and r.text is not None}
+    checked = 0
+    for d, r in rem.items():
+        if r.removed_tokens == 0:
+            toks = [t for t in re.split("[^a-z]+", text[d].lower()) if t]
+            assert " ".join(toks) == r.clean_text, d
+            checked += 1
+    assert checked > 0
