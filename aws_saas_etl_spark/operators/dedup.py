@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.memo import MemoDict
 from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
+from aws_saas_etl_spark.functions import num as N
 from aws_saas_etl_spark.functions import text as T
 
 # MinHash parameters: 16 bands × 4 rows = 64 hashes → candidate threshold
@@ -1073,3 +1074,120 @@ def customer_fuzzy_matches(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_a", "cust_b")
     )
+
+
+# S-curve capture probabilities for the recall report, per exact-Jaccard
+# decile band (midpoint m): P[any band matches] = 1 − (1 − m^r)^b with
+# r = MINHASH_ROWS_PER_BAND, b = MINHASH_BANDS. Computed ONCE in Python
+# and injected as literals into BOTH the Spark plan and the DuckDB twin —
+# engine-neutral by construction (no cross-engine pow() in the hot path).
+LSH_RECALL_BANDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+LSH_THEORY_CAPTURE = {
+    f"{lo:.1f}": round(
+        1.0 - (1.0 - (lo + 0.05) ** MINHASH_ROWS_PER_BAND) ** MINHASH_BANDS, 6
+    )
+    for lo in LSH_RECALL_BANDS
+}
+
+
+def dedup_lsh_recall_report(spark, sf_dir: str) -> DataFrame:
+    """Measured recall of the banded MinHash-LSH dedup path against EXACT
+    ground truth, stratified by true-Jaccard decile — the dedup analog of
+    ``ann_ladder_recall_report``: the S-curve 1 − (1 − s^r)^b is the
+    PROMISE (16 bands × 4 rows ⇒ ~50% capture at s = 0.5, >99.9% at
+    s ≥ 0.8); this report is the driver-visible MEASUREMENT of it.
+
+    Ground truth is exact Jaccard over the SAME md60-hashed shingle sets
+    the MinHash signatures minimize (one ``minhash_signatures`` aggregate
+    feeds both arms — truth and bands never see different tokenizations),
+    found via prefix filtering on the hash-sorted arrays (exact superset,
+    see ``_prefix_candidates``; no language/length blocking here, so the
+    truth arm is the unconstrained pair set). A true pair is CAUGHT iff
+    any of its 16 band-min 4-tuples collide — i.e. it appears in the
+    band candidate set that feeds ``minhash_lsh_pairs``.
+
+    Scale shape: the band arm is the production path (corpus-linear).
+    The truth arm is the audit cost — prefix postings bound it the same
+    way the pairs query bounds verification (rarest-shingle fan-out,
+    ``bounded_self_pairs`` hot-key split); at 100 TB the same report runs
+    over a deterministic corpus sample (pairs within the sample are an
+    unbiased recall estimate — band capture is i.i.d. per pair given its
+    Jaccard), exactly how the ANN ladder bounds its brute-force arm to a
+    fixed query set. The theory column is a per-band literal, so the
+    report costs two bounded aggregates beyond its arms.
+    """
+    from fractions import Fraction
+
+    from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
+
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    sig = minhash_signatures(docs).withColumn("sz", F.size("sh"))
+
+    # truth arm: exact-Jaccard pairs >= JACCARD_MIN via prefix filtering
+    frac = Fraction(str(JACCARD_MIN))
+    num, den = frac.numerator, frac.denominator
+    pfx_len = (
+        F.col("sz")
+        - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den))
+        + 1
+    ).cast("int")
+    pfx = sig.select("doc_id", F.explode(F.slice("sh", F.lit(1), pfx_len)).alias("h"))
+    cand = (
+        bounded_self_pairs(pfx, ["h"], "doc_id", [])
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    a = sig.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = (
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_MIN)
+    )
+
+    # band arm: the candidate set the production LSH path verifies
+    caught = _candidate_pairs_lsh(sig).withColumn("hit", F.lit(1))
+
+    flagged = truth.join(caught, ["doc_a", "doc_b"], "left").select(
+        F.format_string(
+            "%.1f", F.least(F.floor(F.col("jaccard") * 10), F.lit(9)) / 10
+        ).alias("jaccard_band"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    theory = F.lit(None).cast("double")
+    for band, p in LSH_THEORY_CAPTURE.items():
+        theory = F.when(F.col("jaccard_band") == band, F.lit(p)).otherwise(theory)
+    per_band = (
+        flagged.groupBy("jaccard_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum("hit").cast("bigint").alias("n_caught_pairs"),
+        )
+        .select(
+            "jaccard_band",
+            "n_true_pairs",
+            "n_caught_pairs",
+            N.dround(F.col("n_caught_pairs") / F.col("n_true_pairs"), 6).alias(
+                "recall"
+            ),
+            theory.alias("theory_capture"),
+        )
+    )
+    overall = flagged.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("hit").cast("bigint").alias("n_caught_pairs"),
+    ).select(
+        F.lit("all").alias("jaccard_band"),
+        "n_true_pairs",
+        "n_caught_pairs",
+        N.dround(F.col("n_caught_pairs") / F.col("n_true_pairs"), 6).alias("recall"),
+        F.lit(None).cast("double").alias("theory_capture"),
+    )
+    return per_band.unionByName(overall).orderBy("jaccard_band")

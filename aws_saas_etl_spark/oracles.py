@@ -535,6 +535,55 @@ MINHASH_LSH_PAIRS_SQL = _minhash_lsh_pairs_sql()
 DEDUP_DUPLICATE_CLUSTERS_SQL = _minhash_clusters_sql()
 
 
+def _lsh_recall_report_sql() -> str:
+    """Twin of the LSH recall report: the shared MinHash CTEs supply the
+    band candidate set; the truth arm re-derives exact-Jaccard pairs with
+    a plain quadratic self-join (the oracle's job is semantics, not
+    scale — the Spark side's prefix filter is the exact rewrite of this
+    join, pinned by tests/test_pairs.py). Theory literals come from the
+    SAME Python dict the Spark plan binds."""
+    from aws_saas_etl_spark.operators.dedup import JACCARD_MIN, LSH_THEORY_CAPTURE
+
+    theory_case = (
+        "CASE jaccard_band "
+        + " ".join(f"WHEN '{b}' THEN {p}" for b, p in LSH_THEORY_CAPTURE.items())
+        + " ELSE NULL END"
+    )
+    return f"""
+    WITH {_minhash_ctes()},
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                     6) AS jaccard
+        FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    ),
+    tr AS (SELECT doc_a, doc_b, jaccard FROM truth WHERE jaccard >= {JACCARD_MIN}),
+    fl AS (
+        SELECT printf('%.1f', least(floor(tr.jaccard * 10), 9) / 10) AS jaccard_band,
+               CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM tr LEFT JOIN cand c USING (doc_a, doc_b)
+    ),
+    pb AS (
+        SELECT jaccard_band,
+               count(*) AS n_true_pairs,
+               CAST(sum(hit) AS BIGINT) AS n_caught_pairs
+        FROM fl GROUP BY jaccard_band
+        UNION ALL
+        SELECT 'all', count(*), CAST(sum(hit) AS BIGINT) FROM fl
+    )
+    SELECT jaccard_band, n_true_pairs, n_caught_pairs,
+           {dround_sql('n_caught_pairs * 1.0 / n_true_pairs', 6)} AS recall,
+           {theory_case} AS theory_capture
+    FROM pb
+    ORDER BY jaccard_band
+"""
+
+
+LSH_RECALL_REPORT_SQL = _lsh_recall_report_sql()
+
+
 def _simhash_buckets_sql() -> str:
     """Full simhash twin (not just the banding layer): per-token md5
     halves → 64 majority votes → fingerprint assembled in HUGEINT with a

@@ -303,6 +303,14 @@ register("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs, oracles.NGRAM_JACCARD
 # hash-checked since r6: md60 base hash + 31-bit affine permutations give
 # the LSH path an exact DuckDB twin (band buckets joined on raw min-tuples)
 register("minhash_lsh_pairs", dedup.minhash_lsh_pairs, oracles.MINHASH_LSH_PAIRS_SQL)
+# the dedup analog of ann_ladder_recall_report: measured banded-LSH recall
+# vs exact ground truth, per true-Jaccard decile, with the S-curve promise
+# 1-(1-s^4)^16 alongside as an engine-neutral literal
+register(
+    "dedup_lsh_recall_report",
+    dedup.dedup_lsh_recall_report,
+    oracles.LSH_RECALL_REPORT_SQL,
+)
 register("simhash_buckets", dedup.simhash_buckets, oracles.SIMHASH_BUCKETS_SQL)
 # the banding layer of simhash_buckets, hash-checked via an md5-derived
 # fingerprint both engines compute identically

@@ -195,3 +195,60 @@ def test_prefix_candidates_complete_on_adversarial_sets(spark):
                     )
 
     check()
+
+
+def test_lsh_recall_report_scurve_on_midband_corpus(spark):
+    """Pins the recall report's two arms on a corpus engineered to sit at
+    the S-curve's steep middle: 40 doc pairs sharing a 42..49-token
+    prefix with unique suffixes (shingle Jaccard 0.53..0.68, where the
+    16×4 banding captures ~72-98% per pair), so the band arm must both
+    catch and miss.
+
+    (1) the naive quadratic truth finds exactly the 40 engineered pairs
+        at J >= JACCARD_MIN;
+    (2) the band arm catches SOME but not ALL of them (0 < recall < 1) —
+        deterministic given the fixed MINHASH_A/B permutation constants
+        (measured at authoring time: 37/40 caught).
+    """
+    from aws_saas_etl_spark.operators.dedup import (
+        JACCARD_MIN,
+        _candidate_pairs_lsh,
+        minhash_signatures,
+    )
+
+    def word(pair: int, kind: str, j: int) -> str:
+        # alphabetic-only tokens (the tokenizer drops digits)
+        return f"{kind}{'abcdefghij'[pair // 10]}{'abcdefghij'[pair % 10]}w" + (
+            "x" * (j // 10) + "abcdefghij"[j % 10]
+        )
+
+    rows = []
+    for p in range(40):
+        c = 42 + (p % 8)  # common prefix 42..49 of 60 tokens -> J 0.53..0.68
+        common = [word(p, "c", j) for j in range(c)]
+        ua = [word(p, "a", j) for j in range(60 - c)]
+        ub = [word(p, "b", j) for j in range(60 - c)]
+        rows.append((2 * p, " ".join(common + ua)))
+        rows.append((2 * p + 1, " ".join(common + ub)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sig = minhash_signatures(docs).withColumn("sz", F.size("sh"))
+    sh = {r.doc_id: set(r.sh) for r in sig.select("doc_id", "sh").collect()}
+
+    # naive quadratic truth over the same hashed shingle sets
+    truth = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if round(j, 6) >= JACCARD_MIN:
+                truth.add((a, b))
+    assert len(truth) == 40  # exactly the engineered pairs sit >= 0.5
+
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in _candidate_pairs_lsh(sig).collect()
+    }
+    caught = truth & cand
+    assert 0 < len(caught) < len(truth), (len(caught), len(truth))
