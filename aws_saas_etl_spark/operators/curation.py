@@ -1560,3 +1560,134 @@ def manifest_deletion_churn(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "shard")
     )
+
+
+# --- trained quality classifier: logistic regression by full-batch GD ----
+# The model-based quality filter LLM pipelines actually deploy (fasttext/
+# DCLM/FineWeb-edu shape) distilled to its Spark-native core: each GD
+# iteration is ONE aggregate over the corpus. Hyperparameters are chosen
+# for engine-exact reproducibility, not convergence speed:
+LOGREG_ITERS = 3
+LOGREG_LR = 4.0  # power of two — the update multiply is IEEE-exact
+LOGREG_X_SCALE = 10_000  # features quantized to exact bigints
+LOGREG_P_SCALE = 100_000  # sigmoid outputs quantized to exact bigints
+
+
+def doc_quality_logreg(spark, sf_dir: str) -> DataFrame:
+    """Train-and-score a logistic-regression document classifier with
+    full-batch gradient descent, entirely as DataFrame algebra — the
+    trained counterpart of the heuristic ``doc_quality_scores`` and the
+    discriminative sibling of ``nb_lang_scores`` (same in-sample
+    train→score plumbing; the pipeline artifact is the calibrated score a
+    filter thresholds on). Surface features (stopword ratio, alphabetic
+    ratio, scaled mean token length, intercept) predict the ``lang ==
+    'en'`` label; ``LOGREG_ITERS`` GD steps, then every doc is scored by
+    the final weights.
+
+    Scale shape: one feature pass (localCheckpoint barrier — four
+    consumers: three gradient aggregates + scoring), then per iteration
+    ONE map-side-combined aggregate producing a 1-row weight frame that
+    broadcast-joins (on a constant key — BroadcastHashJoin, never a
+    cartesian) back onto the features. Model size is corpus-independent
+    (4 doubles); iteration count is fixed; nothing is driver-side — the
+    weights live in the plan as a 1-row DataFrame, so the whole
+    train→score graph is ONE lazy plan at any corpus size.
+
+    Determinism (the ``nb_lang_scores`` recipe, applied to GD): features
+    are quantized to exact int64 (ratio × 10⁴ — each ratio is ONE IEEE
+    division of exact counts), the sigmoid to exact int64 (p × 10⁵), so
+    every gradient sufficient statistic is an ORDER-INDEPENDENT integer
+    sum (≤ 5·10¹² per 5k docs — int64-safe to ~10⁸ docs per fit, beyond
+    which production shards the batch and averages shard gradients); the
+    weight update divides two exact numbers in double (IEEE-determined).
+    The only cross-engine tolerance is exp() in the sigmoid (same
+    libm-ulp class the DSIR/NB/CCNet ln() twins accept; a 1-ulp p
+    difference flips an int64 quantization only within ~10⁻¹¹ of a
+    boundary). Iteration 1 starts at w = 0 ⇒ p = 0.5 exactly — no exp at
+    all on the first step.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    return logreg_scores(docs)
+
+
+def logreg_scores(docs: DataFrame) -> DataFrame:
+    """The GD core over any (doc_id, lang, text) frame — split out (the
+    ``nb_scores`` precedent) so tests can train on a CONSTRUCTED corpus
+    with genuinely separable classes: the synthetic fixture draws every
+    lang from one shared token pool, so in-sample accuracy there is the
+    majority-class floor by design; the oracle twin, not fixture
+    accuracy, is what proves the training arithmetic."""
+    docs = docs.where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+
+    def xq(col):
+        return F.round(col * F.lit(float(LOGREG_X_SCALE))).cast("bigint")
+
+    feats = docs.select(
+        "doc_id",
+        xq(T.stopword_ratio("text", "en")).alias("x1"),
+        xq(T.alpha_ratio("text")).alias("x2"),
+        xq(T.mean_token_length("text") / F.lit(10.0)).alias("x3"),
+        F.lit(LOGREG_X_SCALE).cast("bigint").alias("x4"),
+        (F.col("lang") == F.lit("en")).cast("bigint").alias("y"),
+    ).localCheckpoint()
+
+    def z_expr(w):
+        # fixed left-associated order — mirrored textually by the twin
+        terms = [
+            w[j] * (F.col(f"x{j}") / F.lit(float(LOGREG_X_SCALE)))
+            for j in (1, 2, 3, 4)
+        ]
+        return ((terms[0] + terms[1]) + terms[2]) + terms[3]
+
+    def pq_expr(w):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr(w)))
+        return F.round(p * F.lit(float(LOGREG_P_SCALE))).cast("bigint")
+
+    wdf = None
+    for _ in range(LOGREG_ITERS):
+        if wdf is None:
+            src = feats
+            w = {j: F.lit(0.0) for j in (1, 2, 3, 4)}
+        else:
+            src = feats.withColumn("_k", F.lit(1)).join(
+                F.broadcast(wdf.withColumn("_k", F.lit(1))), "_k"
+            )
+            w = {j: F.col(f"w{j}") for j in (1, 2, 3, 4)}
+        resid = pq_expr(w) - F.col("y") * F.lit(LOGREG_P_SCALE)
+        agg = src.agg(
+            *[F.sum(resid * F.col(f"x{j}")).alias(f"s{j}") for j in (1, 2, 3, 4)],
+            F.count(F.lit(1)).alias("n"),
+            *[F.min(w[j]).alias(f"wp{j}") for j in (1, 2, 3, 4)],
+        )
+        wdf = agg.select(
+            *[
+                (
+                    F.col(f"wp{j}")
+                    - F.lit(LOGREG_LR)
+                    * (
+                        F.col(f"s{j}").cast("double")
+                        / (
+                            F.col("n").cast("double")
+                            * F.lit(float(LOGREG_P_SCALE * LOGREG_X_SCALE))
+                        )
+                    )
+                ).alias(f"w{j}")
+                for j in (1, 2, 3, 4)
+            ]
+        )
+
+    w = {j: F.col(f"w{j}") for j in (1, 2, 3, 4)}
+    scored = feats.withColumn("_k", F.lit(1)).join(
+        F.broadcast(wdf.withColumn("_k", F.lit(1))), "_k"
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr(w)))
+    return scored.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        N.dround(p, 6).alias("score"),
+        (p >= F.lit(0.5)).cast("bigint").alias("pred"),
+    ).orderBy("doc_id")

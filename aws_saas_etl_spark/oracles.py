@@ -5969,3 +5969,77 @@ STREAM_UPSERT_STATE_SQL = """
     ) WHERE rn = 1
     ORDER BY user_id
 """
+
+
+def _quality_logreg_sql() -> str:
+    """Twin of the GD-trained logistic quality classifier: the three
+    unrolled iterations re-derive the weights from the raw parquet with
+    the SAME exact-integer sufficient statistics (features and sigmoid
+    quantized to bigint, so every gradient sum is order-independent) and
+    the SAME left-associated double arithmetic — the constants are read
+    from the module the Spark lambdas bind."""
+    from aws_saas_etl_spark.operators.curation import (
+        LOGREG_ITERS,
+        LOGREG_LR,
+        LOGREG_P_SCALE,
+        LOGREG_X_SCALE,
+    )
+
+    xs = float(LOGREG_X_SCALE)
+    ps = float(LOGREG_P_SCALE)
+    denom = float(LOGREG_P_SCALE * LOGREG_X_SCALE)
+    js = (1, 2, 3, 4)
+
+    z = " + ".join(f"w.w{j} * (x{j} / {xs})" for j in js)
+    # explicit left-association to mirror the Spark expression tree
+    z = f"((w.w1 * (x1 / {xs}) + w.w2 * (x2 / {xs})) + w.w3 * (x3 / {xs})) + w.w4 * (x4 / {xs})"
+    pq = f"CAST(round((1.0 / (1.0 + exp(-({z})))) * {ps}) AS BIGINT)"
+
+    iters = []
+    prev_w = "w0"
+    for i in range(1, LOGREG_ITERS + 1):
+        sums = ", ".join(f"sum((pq - y * {LOGREG_P_SCALE}) * x{j}) AS s{j}" for j in js)
+        carry = ", ".join(f"min(w{j}) AS wp{j}" for j in js)
+        upd = ", ".join(
+            f"wp{j} - {LOGREG_LR} * (CAST(s{j} AS DOUBLE) / (CAST(n AS DOUBLE) * {denom})) AS w{j}"
+            for j in js
+        )
+        iters.append(
+            f"""g{i} AS (
+        SELECT {sums}, count(*) AS n, {carry}
+        FROM (SELECT f.*, w.w1, w.w2, w.w3, w.w4, {pq} AS pq FROM f, {prev_w} w)
+    ),
+    w{i}t AS (SELECT {upd} FROM g{i})"""
+        )
+        prev_w = f"w{i}t"
+
+    iter_sql = ",\n    ".join(iters)
+    zero_w = ", ".join(f"0.0 AS w{j}" for j in js)
+    return f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(round((CASE WHEN len(tk) > 0
+                    THEN len(list_filter(tk, x -> list_contains({_EN_STOPS}, x))) / CAST(len(tk) AS DOUBLE)
+                    ELSE 0.0 END) * {xs}) AS BIGINT) AS x1,
+               CAST(round((CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END) * {xs}) AS BIGINT) AS x2,
+               CAST(round(((CASE WHEN len(tk) > 0
+                    THEN CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS DOUBLE) / len(tk)
+                    ELSE 0.0 END) / 10.0) * {xs}) AS BIGINT) AS x3,
+               CAST({LOGREG_X_SCALE} AS BIGINT) AS x4,
+               CAST(lang = 'en' AS BIGINT) AS y
+        FROM (SELECT doc_id, text, lang, {toks('text')} AS tk FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL)
+    ),
+    w0 AS (SELECT {zero_w}),
+    {iter_sql}
+    SELECT doc_id, y AS label,
+           {dround_sql('p', 6)} AS score,
+           CAST(p >= 0.5 AS BIGINT) AS pred
+    FROM (SELECT doc_id, y, 1.0 / (1.0 + exp(-({z}))) AS p FROM f, {prev_w} w)
+    ORDER BY doc_id
+"""
+
+
+QUALITY_LOGREG_SQL = _quality_logreg_sql()

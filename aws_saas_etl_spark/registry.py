@@ -939,6 +939,14 @@ register(
     curation.nb_lang_scores,
     oracles.NB_LANG_SCORES_SQL,
 )
+# ... and its discriminative sibling: logistic regression trained by
+# full-batch GD (3 unrolled one-aggregate iterations, exact-integer
+# gradient sufficient statistics, weights as a 1-row broadcast frame)
+register(
+    "doc_quality_logreg",
+    curation.doc_quality_logreg,
+    oracles.QUALITY_LOGREG_SQL,
+)
 # incremental manifest maintenance: stored rows + delta-sized repair,
 # proven equal to the full recompute by the SAME manifest oracle
 register(

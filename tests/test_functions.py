@@ -745,3 +745,83 @@ def test_duplicate_span_removal_agrees_with_coverage_metric(spark):
             assert " ".join(toks) == r.clean_text, d
             checked += 1
     assert checked > 0
+
+
+def test_quality_logreg_matches_python_reference_and_learns(spark):
+    """Trains the GD logistic classifier on a CONSTRUCTED separable
+    corpus (stopword-rich 'en' vs digit-laden 'xx' — the fixture's shared
+    token pool can't separate, see logreg_scores docstring) and pins:
+    (1) scores/preds equal an independent pure-Python replica of the
+        quantized-GD arithmetic to the emitted 6dp;
+    (2) the classifier actually learns: >= 90% in-sample accuracy;
+    (3) both classes are predicted (non-degenerate decision boundary).
+    """
+    import math
+    import re
+
+    from aws_saas_etl_spark.functions.text import LANG_STOPWORDS
+    from aws_saas_etl_spark.operators.curation import (
+        LOGREG_ITERS,
+        LOGREG_LR,
+        LOGREG_P_SCALE,
+        LOGREG_X_SCALE,
+        logreg_scores,
+    )
+
+    stops = list(LANG_STOPWORDS["en"])
+    rows = []
+    for i in range(30):
+        filler = " ".join(f"word{'abcde'[j % 5]}{'fghij'[i % 5]}" for j in range(6))
+        rows.append((i, "en", " ".join(stops[: 5 + (i % 5)]) + " " + filler))
+        rows.append(
+            (100 + i, "xx", ("zqv 12345 67!! " * (3 + i % 4)) + f"kqz{'vwxyz'[i % 5]}")
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in logreg_scores(docs).collect()}
+
+    # pure-Python replica of the quantized full-batch GD
+    def feats(text, lang):
+        tk = [t for t in re.split("[^a-z]+", text.lower()) if t]
+        sw = (sum(1 for t in tk if t in stops) / len(tk)) if tk else 0.0
+        alpha = (
+            sum(1 for c in text if c.isalpha() and c.isascii()) / len(text)
+            if text
+            else 0.0
+        )
+        mean_len = (sum(len(t) for t in tk) / len(tk)) if tk else 0.0
+        x = [
+            round(sw * LOGREG_X_SCALE),
+            round(alpha * LOGREG_X_SCALE),
+            round((mean_len / 10.0) * LOGREG_X_SCALE),
+            LOGREG_X_SCALE,
+        ]
+        return x, 1 if lang == "en" else 0
+
+    data = [feats(t, lg) for _, lg, t in rows]
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(LOGREG_ITERS):
+        s = [0, 0, 0, 0]
+        for x, y in data:
+            z = ((w[0] * (x[0] / 1e4) + w[1] * (x[1] / 1e4)) + w[2] * (x[2] / 1e4)) + w[3] * (x[3] / 1e4)
+            pq = round((1.0 / (1.0 + math.exp(-z))) * LOGREG_P_SCALE)
+            for j in range(4):
+                s[j] += (pq - y * LOGREG_P_SCALE) * x[j]
+        n = len(data)
+        w = [
+            w[j] - LOGREG_LR * (s[j] / (n * float(LOGREG_P_SCALE * LOGREG_X_SCALE)))
+            for j in range(4)
+        ]
+
+    correct = 0
+    preds = set()
+    for (doc_id, lang, text), (x, y) in zip(rows, data):
+        z = ((w[0] * (x[0] / 1e4) + w[1] * (x[1] / 1e4)) + w[2] * (x[2] / 1e4)) + w[3] * (x[3] / 1e4)
+        p = 1.0 / (1.0 + math.exp(-z))
+        r = got[doc_id]
+        assert r.label == y
+        assert abs(r.score - p) < 1.5e-6, (doc_id, r.score, p)
+        assert r.pred == (1 if p >= 0.5 else 0)
+        preds.add(r.pred)
+        correct += int(r.pred == y)
+    assert correct / len(rows) >= 0.9, correct
+    assert preds == {0, 1}
