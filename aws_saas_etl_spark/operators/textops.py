@@ -1251,3 +1251,110 @@ def doc_duplicate_span_removal(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BPE_MERGES = 3  # learned merge rules (unrolled on both engine sides)
+
+
+def corpus_bpe_merges(spark, sf_dir: str, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus —
+    tokenizer TRAINING, the step upstream of ``doc_bpe_token_counts``'s
+    pre-tokenizer and ``corpus_vocabulary``'s frequency table (Sennrich et
+    al., "Neural Machine Translation of Rare Words with Subword Units",
+    ACL'16). Classic word-frequency BPE: symbols start as characters,
+    each round counts adjacent symbol pairs weighted by word frequency
+    and merges the most frequent pair (ties broken lexicographically).
+
+    Merge application is defined as TWO left-to-right non-overlapping
+    literal replaces of `` a b `` in the space-padded symbol string (the
+    second pass catches occurrences whose boundary space the first pass
+    consumed). Both engines implement resume-after-replacement scanning
+    identically, so the procedure is engine-exact; on symbol runs it can
+    differ from strict greedy BPE in WHICH of equal-count overlapping
+    occurrences merge (e.g. ``l l l l l`` → ``ll l ll`` vs greedy
+    ``ll ll l``) — an accepted tie-variant: BPE implementations already
+    disagree on intra-run tie handling, and the learned RULES (the
+    artifact) are identical whenever pair counts are, which the output
+    hash proves.
+
+    Scale shape: the corpus is touched ONCE (the explode→groupBy that
+    ``corpus_vocabulary`` already uses); every iteration runs over the
+    VOCAB table (distinct tokens — sub-linear in corpus size, bounded by
+    the language), localCheckpoint'ed so the three rounds don't re-run
+    the corpus aggregate. Each round is one map-side-combined pair count
+    + a TakeOrdered(1) + a 1-row broadcast join — model-size work, like
+    the Lloyd iterations in ``ivf_fit_cells``. Output: ``n_merges`` rows.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    return bpe_merges(docs, n_merges)
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """The merge-learning core over any (text) frame — split out so tests
+    can pin the learned rules on a constructed corpus with hand-computable
+    pair counts (the hug/pug/pun/bun/hugs classic)."""
+    vocab = (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("token", "(.)", "$1 ")).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+
+    best_rows = []
+    v = vocab
+    for rank in range(1, n_merges + 1):
+        arr = F.split("s", " ")
+        prs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda k: F.concat(
+                    F.element_at(arr, k), F.lit(" "), F.element_at(arr, k + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        counts = (
+            v.select("freq", F.explode(prs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("freq"))
+        )
+        best = counts.orderBy(F.desc("freq"), F.asc("pair")).limit(1)
+        best_rows.append(
+            best.select(
+                F.lit(rank).alias("merge_rank"),
+                F.split("pair", " ")[0].alias("left_sym"),
+                F.split("pair", " ")[1].alias("right_sym"),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("freq").cast("bigint").alias("pair_freq"),
+            )
+        )
+        if rank < n_merges:
+            padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+            target = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+            repl = F.concat(
+                F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+            )
+            v = (
+                v.withColumn("_k", F.lit(1))
+                .join(
+                    F.broadcast(
+                        best.select("pair").withColumn("_k", F.lit(1))
+                    ),
+                    "_k",
+                )
+                .select(
+                    F.trim(F.replace(F.replace(padded, target, repl), target, repl)).alias(
+                        "s"
+                    ),
+                    "freq",
+                )
+            )
+
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_rank")

@@ -6043,3 +6043,63 @@ def _quality_logreg_sql() -> str:
 
 
 QUALITY_LOGREG_SQL = _quality_logreg_sql()
+
+
+def _bpe_merges_sql() -> str:
+    """Twin of BPE merge learning: the same vocab aggregate, and per
+    unrolled round the same pair count / (freq DESC, pair ASC) argmax /
+    double space-padded literal replace — both engines scan
+    resume-after-replacement, so the rewritten vocab is byte-identical."""
+    from aws_saas_etl_spark.operators.textops import BPE_MERGES
+
+    rounds = []
+    selects = []
+    prev = "v0"
+    for i in range(1, BPE_MERGES + 1):
+        rounds.append(
+            f"""p{i} AS (
+        SELECT pair, sum(freq) AS freq
+        FROM (SELECT freq,
+                     unnest(list_transform(generate_series(1, len(a) - 1),
+                                           k -> a[k] || ' ' || a[k + 1])) AS pair
+              FROM (SELECT string_split(s, ' ') AS a, freq FROM {prev}))
+        GROUP BY pair
+    ),
+    b{i} AS (SELECT pair, freq FROM p{i} ORDER BY freq DESC, pair ASC LIMIT 1)"""
+        )
+        selects.append(
+            f"SELECT {i} AS merge_rank, string_split(pair, ' ')[1] AS left_sym,"
+            f" string_split(pair, ' ')[2] AS right_sym,"
+            f" replace(pair, ' ', '') AS merged,"
+            f" CAST(freq AS BIGINT) AS pair_freq FROM b{i}"
+        )
+        if i < BPE_MERGES:
+            rounds.append(
+                f"""v{i} AS (
+        SELECT trim(replace(replace(' ' || v.s || ' ',
+                                    ' ' || b.pair || ' ',
+                                    ' ' || replace(b.pair, ' ', '') || ' '),
+                            ' ' || b.pair || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' ')) AS s,
+               v.freq
+        FROM {prev} v, b{i} b
+    )"""
+            )
+            prev = f"v{i}"
+
+    body = ",\n    ".join(rounds)
+    union = "\n    UNION ALL ".join(selects)
+    return f"""
+    WITH v0 AS (
+        SELECT trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS s, freq
+        FROM (SELECT token, CAST(count(*) AS BIGINT) AS freq
+              FROM (SELECT unnest({toks('text')}) AS token FROM documents)
+              GROUP BY token)
+    ),
+    {body}
+    {union}
+    ORDER BY merge_rank
+"""
+
+
+BPE_MERGES_SQL = _bpe_merges_sql()

@@ -899,6 +899,14 @@ register(
     textops.doc_duplicate_span_removal,
     oracles.DUPLICATE_SPAN_REMOVAL_SQL,
 )
+# tokenizer TRAINING: first k BPE merge rules learned by frequency-weighted
+# pair counting over the vocab table (corpus touched once; iterations are
+# model-size work)
+register(
+    "corpus_bpe_merges",
+    textops.corpus_bpe_merges,
+    oracles.BPE_MERGES_SQL,
+)
 # group-wise model fit as ALGEBRA: per-type daily-trend OLS from five
 # integer sufficient statistics — no Python, one groupBy
 register(

@@ -825,3 +825,24 @@ def test_quality_logreg_matches_python_reference_and_learns(spark):
         correct += int(r.pred == y)
     assert correct / len(rows) >= 0.9, correct
     assert preds == {0, 1}
+
+
+def test_bpe_merges_hand_computable_corpus(spark):
+    """Pins BPE merge learning on the classic hug/pug/pun/bun/hugs corpus
+    with hand-computed pair counts: (u,g)=20 then (u,n)=16 then, after
+    'ug' becomes a symbol, (h,ug)=15 — the multi-char second-round symbol
+    proves merges compose."""
+    from aws_saas_etl_spark.operators.textops import bpe_merges
+
+    words = [("hug", 10), ("pug", 5), ("pun", 12), ("bun", 4), ("hugs", 5)]
+    text = " ".join(w for w, n in words for _ in range(n))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_freq)
+        for r in bpe_merges(docs, 3).collect()
+    ]
+    assert got == [
+        (1, "u", "g", "ug", 20),
+        (2, "u", "n", "un", 16),
+        (3, "h", "ug", "hug", 15),
+    ], got
