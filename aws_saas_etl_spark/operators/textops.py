@@ -1358,3 +1358,92 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     for b in best_rows[1:]:
         out = out.unionByName(b)
     return out.orderBy("merge_rank")
+
+
+def corpus_bpe_tokenize(spark, sf_dir: str, n_merges: int = BPE_MERGES) -> DataFrame:
+    """APPLY the learned BPE merges back to the corpus — the tokenize half
+    of the train→apply pair (``corpus_bpe_merges`` learns the rules; this
+    measures what they buy): per document, the symbol count before any
+    merge (= character count of its alphabetic tokens) and after the
+    ``n_merges`` learned rules, plus the compression ratio a tokenizer
+    budget planner thresholds on.
+
+    Scale shape: merge application happens on the VOCAB table (the same
+    three 1-row broadcast joins the trainer chains — model-size work),
+    never per corpus token; documents then join token→final-symbol-count
+    on the bounded vocab (broadcast at any corpus size: distinct tokens
+    grow sub-linearly) and aggregate per doc. The corpus is touched
+    twice total (vocab build + scoring join) regardless of n_merges.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "token",
+            F.trim(F.regexp_replace("token", "(.)", "$1 ")).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+
+    v = vocab
+    for rank in range(1, n_merges + 1):
+        arr = F.split("s", " ")
+        prs = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda k: F.concat(
+                    F.element_at(arr, k), F.lit(" "), F.element_at(arr, k + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        counts = (
+            v.select("freq", F.explode(prs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("freq"))
+        )
+        best = counts.orderBy(F.desc("freq"), F.asc("pair")).limit(1)
+        padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        target = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        repl = F.concat(
+            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        v = (
+            v.withColumn("_k", F.lit(1))
+            .join(F.broadcast(best.select("pair").withColumn("_k", F.lit(1))), "_k")
+            .select(
+                "token",
+                F.trim(F.replace(F.replace(padded, target, repl), target, repl)).alias(
+                    "s"
+                ),
+                "freq",
+            )
+        )
+
+    per_token = v.select(
+        "token",
+        F.length("token").alias("n_chars"),
+        F.size(F.split("s", " ")).alias("n_syms"),
+    )
+    return (
+        tok.join(per_token, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("char_symbols"),
+            F.sum("n_syms").cast("bigint").alias("bpe_symbols"),
+        )
+        .select(
+            "doc_id",
+            "char_symbols",
+            "bpe_symbols",
+            N.dround(F.col("bpe_symbols") / F.col("char_symbols"), 6).alias(
+                "compression"
+            ),
+        )
+        .orderBy("doc_id")
+    )

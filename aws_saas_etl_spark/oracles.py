@@ -6103,3 +6103,64 @@ def _bpe_merges_sql() -> str:
 
 
 BPE_MERGES_SQL = _bpe_merges_sql()
+
+
+def _bpe_tokenize_sql() -> str:
+    """Twin of BPE application: the trainer's vocab/round CTEs (token
+    column carried through), then the per-doc symbol-count aggregate.
+    Docs with zero alphabetic tokens drop out on both sides (inner join
+    after the explode)."""
+    from aws_saas_etl_spark.operators.textops import BPE_MERGES
+
+    rounds = []
+    prev = "v0"
+    for i in range(1, BPE_MERGES + 1):
+        rounds.append(
+            f"""p{i} AS (
+        SELECT pair, sum(freq) AS freq
+        FROM (SELECT freq,
+                     unnest(list_transform(generate_series(1, len(a) - 1),
+                                           k -> a[k] || ' ' || a[k + 1])) AS pair
+              FROM (SELECT string_split(s, ' ') AS a, freq FROM {prev}))
+        GROUP BY pair
+    ),
+    b{i} AS (SELECT pair FROM p{i} ORDER BY freq DESC, pair ASC LIMIT 1),
+    v{i} AS (
+        SELECT v.token,
+               trim(replace(replace(' ' || v.s || ' ',
+                                    ' ' || b.pair || ' ',
+                                    ' ' || replace(b.pair, ' ', '') || ' '),
+                            ' ' || b.pair || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' ')) AS s,
+               v.freq
+        FROM {prev} v, b{i} b
+    )"""
+        )
+        prev = f"v{i}"
+
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({toks('text')}) AS token
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    v0 AS (
+        SELECT token, trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS s, freq
+        FROM (SELECT token, CAST(count(*) AS BIGINT) AS freq
+              FROM tok GROUP BY token)
+    ),
+    {body},
+    pt AS (SELECT token, length(token) AS n_chars,
+                  len(string_split(s, ' ')) AS n_syms
+           FROM {prev})
+    SELECT doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS char_symbols,
+           CAST(sum(n_syms) AS BIGINT) AS bpe_symbols,
+           {dround_sql('CAST(sum(n_syms) AS DOUBLE) / sum(n_chars)', 6)} AS compression
+    FROM tok JOIN pt USING (token)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+BPE_TOKENIZE_SQL = _bpe_tokenize_sql()

@@ -907,6 +907,13 @@ register(
     textops.corpus_bpe_merges,
     oracles.BPE_MERGES_SQL,
 )
+# ... and the apply half: per-doc symbol counts under the learned merges
+# (merge application stays on the vocab table; corpus joins once)
+register(
+    "corpus_bpe_tokenize",
+    textops.corpus_bpe_tokenize,
+    oracles.BPE_TOKENIZE_SQL,
+)
 # group-wise model fit as ALGEBRA: per-type daily-trend OLS from five
 # integer sufficient statistics — no Python, one groupBy
 register(

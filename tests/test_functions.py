@@ -846,3 +846,21 @@ def test_bpe_merges_hand_computable_corpus(spark):
         (2, "u", "n", "un", 16),
         (3, "h", "ug", "hug", 15),
     ], got
+
+
+def test_bpe_tokenize_invariants(spark):
+    """Pins the apply half against the trainer on the smoke corpus:
+    bpe_symbols = char_symbols - (merged occurrences), so per doc
+    char_symbols >= bpe_symbols >= char_symbols - n_merges * coverage;
+    and a doc containing ONLY single-char tokens is incompressible."""
+    from aws_saas_etl_spark.operators.textops import corpus_bpe_tokenize
+    from tests.conftest import SF_SMOKE
+
+    rows = corpus_bpe_tokenize(spark, SF_SMOKE).collect()
+    assert rows
+    compressed = 0
+    for r in rows:
+        assert 0 < r.bpe_symbols <= r.char_symbols
+        assert abs(r.compression - round(r.bpe_symbols / r.char_symbols, 6)) < 1e-9
+        compressed += int(r.bpe_symbols < r.char_symbols)
+    assert compressed > 0, "no document compressed — merges never applied"
