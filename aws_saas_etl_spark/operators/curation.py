@@ -1691,3 +1691,31 @@ def logreg_scores(docs: DataFrame) -> DataFrame:
         N.dround(p, 6).alias("score"),
         (p >= F.lit(0.5)).cast("bigint").alias("pred"),
     ).orderBy("doc_id")
+
+
+def logreg_calibration_report(spark, sf_dir: str) -> DataFrame:
+    """Reliability-diagram table for the GD logistic classifier: per
+    score decile, mean predicted probability vs empirical label rate —
+    the calibration artifact a score-thresholding filter is tuned
+    against (a well-calibrated bucket has mean_score ≈ label_rate; the
+    gap IS the trust budget for the chosen cutoff).
+
+    Scale shape: one bounded aggregate (≤ 10 buckets) over the scored
+    frame — the training plan's cost dominates; the report adds a
+    map-side-combined groupBy on a 10-value key. Decimal-path mean
+    (``davg_rounded``) keeps the per-bucket average order-independent.
+    """
+    scored = doc_quality_logreg(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int")
+    return (
+        scored.select(bucket.alias("bucket"), "label", "score")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            N.davg_rounded(F.col("score"), 6).alias("mean_score"),
+            N.dround(
+                F.sum("label").cast("double") / F.count(F.lit(1)), 6
+            ).alias("label_rate"),
+        )
+        .orderBy("bucket")
+    )

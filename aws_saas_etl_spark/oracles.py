@@ -5971,13 +5971,14 @@ STREAM_UPSERT_STATE_SQL = """
 """
 
 
-def _quality_logreg_sql() -> str:
-    """Twin of the GD-trained logistic quality classifier: the three
+def _logreg_chain() -> tuple[str, str]:
+    """Shared CTE chain of the GD logistic-regression twins: the three
     unrolled iterations re-derive the weights from the raw parquet with
     the SAME exact-integer sufficient statistics (features and sigmoid
     quantized to bigint, so every gradient sum is order-independent) and
     the SAME left-associated double arithmetic — the constants are read
-    from the module the Spark lambdas bind."""
+    from the module the Spark lambdas bind. Returns (with_body,
+    scored_subquery) where the subquery yields (doc_id, y, p)."""
     from aws_saas_etl_spark.operators.curation import (
         LOGREG_ITERS,
         LOGREG_LR,
@@ -6033,16 +6034,42 @@ def _quality_logreg_sql() -> str:
               WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL)
     ),
     w0 AS (SELECT {zero_w}),
-    {iter_sql}
+    {iter_sql}""", f"(SELECT doc_id, y, 1.0 / (1.0 + exp(-({z}))) AS p FROM f, {prev_w} w)"
+
+
+def _quality_logreg_sql() -> str:
+    body, scored = _logreg_chain()
+    return f"""{body}
     SELECT doc_id, y AS label,
            {dround_sql('p', 6)} AS score,
            CAST(p >= 0.5 AS BIGINT) AS pred
-    FROM (SELECT doc_id, y, 1.0 / (1.0 + exp(-({z}))) AS p FROM f, {prev_w} w)
+    FROM {scored}
     ORDER BY doc_id
 """
 
 
 QUALITY_LOGREG_SQL = _quality_logreg_sql()
+
+
+def _logreg_calibration_sql() -> str:
+    """Twin of the calibration report: the same scored chain bucketed by
+    score decile — mean predicted probability vs empirical label rate per
+    bucket (the reliability-diagram table)."""
+    body, scored = _logreg_chain()
+    return f"""{body},
+    sc AS (SELECT doc_id, y, {dround_sql('p', 6)} AS score FROM {scored}),
+    bk AS (SELECT CAST(least(floor(score * 10), 9) AS INT) AS bucket, y, score FROM sc)
+    SELECT bucket,
+           count(*) AS n_docs,
+           {davg_sql('score', 6)} AS mean_score,
+           {dround_sql('CAST(sum(y) AS DOUBLE) / count(*)', 6)} AS label_rate
+    FROM bk
+    GROUP BY bucket
+    ORDER BY bucket
+"""
+
+
+LOGREG_CALIBRATION_SQL = _logreg_calibration_sql()
 
 
 def _bpe_merges_sql() -> str:

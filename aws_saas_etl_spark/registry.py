@@ -962,6 +962,13 @@ register(
     curation.doc_quality_logreg,
     oracles.QUALITY_LOGREG_SQL,
 )
+# ... and its trust artifact: per-decile mean predicted probability vs
+# empirical label rate (the reliability diagram a cutoff is tuned on)
+register(
+    "logreg_calibration_report",
+    curation.logreg_calibration_report,
+    oracles.LOGREG_CALIBRATION_SQL,
+)
 # incremental manifest maintenance: stored rows + delta-sized repair,
 # proven equal to the full recompute by the SAME manifest oracle
 register(
