@@ -1617,6 +1617,13 @@ def logreg_scores(docs: DataFrame) -> DataFrame:
     lang from one shared token pool, so in-sample accuracy there is the
     majority-class floor by design; the oracle twin, not fixture
     accuracy, is what proves the training arithmetic."""
+    feats = _logreg_feats(docs)
+    return _logreg_serve(feats, logreg_fit(feats))
+
+
+def _logreg_feats(docs: DataFrame) -> DataFrame:
+    """(doc_id, x1..x4 exact-bigint features, y) — localCheckpoint'ed:
+    the three gradient aggregates and scoring all read it."""
     docs = docs.where(
         F.col("doc_id").isNotNull()
         & F.col("text").isNotNull()
@@ -1626,7 +1633,7 @@ def logreg_scores(docs: DataFrame) -> DataFrame:
     def xq(col):
         return F.round(col * F.lit(float(LOGREG_X_SCALE))).cast("bigint")
 
-    feats = docs.select(
+    return docs.select(
         "doc_id",
         xq(T.stopword_ratio("text", "en")).alias("x1"),
         xq(T.alpha_ratio("text")).alias("x2"),
@@ -1635,16 +1642,23 @@ def logreg_scores(docs: DataFrame) -> DataFrame:
         (F.col("lang") == F.lit("en")).cast("bigint").alias("y"),
     ).localCheckpoint()
 
-    def z_expr(w):
-        # fixed left-associated order — mirrored textually by the twin
-        terms = [
-            w[j] * (F.col(f"x{j}") / F.lit(float(LOGREG_X_SCALE)))
-            for j in (1, 2, 3, 4)
-        ]
-        return ((terms[0] + terms[1]) + terms[2]) + terms[3]
+
+def _logreg_z(w):
+    """w·x in a FIXED left-associated order — mirrored textually by the
+    oracle twin."""
+    terms = [
+        w[j] * (F.col(f"x{j}") / F.lit(float(LOGREG_X_SCALE))) for j in (1, 2, 3, 4)
+    ]
+    return ((terms[0] + terms[1]) + terms[2]) + terms[3]
+
+
+def logreg_fit(feats: DataFrame) -> DataFrame:
+    """``LOGREG_ITERS`` full-batch GD steps → the 1-row weight frame
+    (w1..w4). Each step is one map-side-combined aggregate; the weights
+    never leave the plan."""
 
     def pq_expr(w):
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr(w)))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
         return F.round(p * F.lit(float(LOGREG_P_SCALE))).cast("bigint")
 
     wdf = None
@@ -1679,18 +1693,61 @@ def logreg_scores(docs: DataFrame) -> DataFrame:
                 for j in (1, 2, 3, 4)
             ]
         )
+    return wdf
 
+
+def _logreg_serve(feats: DataFrame, wdf: DataFrame) -> DataFrame:
+    """Score every doc by a 1-row weight frame (broadcast join on a
+    constant key) — shared by the in-plan fit and the stored-weights
+    roundtrip."""
     w = {j: F.col(f"w{j}") for j in (1, 2, 3, 4)}
     scored = feats.withColumn("_k", F.lit(1)).join(
         F.broadcast(wdf.withColumn("_k", F.lit(1))), "_k"
     )
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z_expr(w)))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
     return scored.select(
         "doc_id",
         F.col("y").alias("label"),
         N.dround(p, 6).alias("score"),
         (p >= F.lit(0.5)).cast("bigint").alias("pred"),
     ).orderBy("doc_id")
+
+
+def logreg_store_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """The PERSISTED classifier: the fitted weight frame is WRITTEN
+    through the exactly-once manifest sink, READ BACK, and every doc is
+    scored by the STORED weights via the identical ``_logreg_serve``
+    plan — hashes against the SAME twin as ``doc_quality_logreg``, so
+    write → read → serve is proven lossless (the model artifact a 100 TB
+    scoring fleet loads without ever seeing the training aggregates —
+    the ``ann_pq_store_roundtrip`` argument applied to a 4-double
+    model).
+
+    Parquet stores the weight DOUBLES verbatim (no decimal rescale), so
+    the served scores are bit-identical to the in-plan fit's.
+    """
+    import os
+
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    feats = _logreg_feats(docs)
+    path = proc_dir("logreg_weights", os.path.abspath(sf_dir))
+    logreg_fit(feats).write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    stored = read_manifest_parquet(spark, path)
+    return _logreg_serve(feats, stored)
+
+
+# Constructing this query's DataFrame EXECUTES the GD fit and a real
+# manifest-sink write — the storage leg it exists to prove.
+logreg_store_roundtrip.side_effecting = True
 
 
 def logreg_calibration_report(spark, sf_dir: str) -> DataFrame:

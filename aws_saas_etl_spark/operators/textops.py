@@ -1293,36 +1293,10 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     """The merge-learning core over any (text) frame — split out so tests
     can pin the learned rules on a constructed corpus with hand-computable
     pair counts (the hug/pug/pun/bun/hugs classic)."""
-    vocab = (
-        docs.select(F.explode(T.tokens("text")).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .select(
-            F.trim(F.regexp_replace("token", "(.)", "$1 ")).alias("s"),
-            "freq",
-        )
-        .localCheckpoint()
-    )
-
+    v = _bpe_vocab(docs, with_token=False)
     best_rows = []
-    v = vocab
     for rank in range(1, n_merges + 1):
-        arr = F.split("s", " ")
-        prs = F.when(
-            F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda k: F.concat(
-                    F.element_at(arr, k), F.lit(" "), F.element_at(arr, k + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        counts = (
-            v.select("freq", F.explode(prs).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("freq"))
-        )
-        best = counts.orderBy(F.desc("freq"), F.asc("pair")).limit(1)
+        best = _best_pair(v)
         best_rows.append(
             best.select(
                 F.lit(rank).alias("merge_rank"),
@@ -1333,31 +1307,72 @@ def bpe_merges(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             )
         )
         if rank < n_merges:
-            padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
-            target = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
-            repl = F.concat(
-                F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
-            )
-            v = (
-                v.withColumn("_k", F.lit(1))
-                .join(
-                    F.broadcast(
-                        best.select("pair").withColumn("_k", F.lit(1))
-                    ),
-                    "_k",
-                )
-                .select(
-                    F.trim(F.replace(F.replace(padded, target, repl), target, repl)).alias(
-                        "s"
-                    ),
-                    "freq",
-                )
-            )
+            v = _apply_merge(v, best.select("pair"), keep=["freq"])
 
     out = best_rows[0]
     for b in best_rows[1:]:
         out = out.unionByName(b)
     return out.orderBy("merge_rank")
+
+
+def _bpe_vocab(docs: DataFrame, with_token: bool) -> DataFrame:
+    """(token?, s, freq): the word-frequency table with each token spread
+    to its space-separated character symbols — the frame every BPE round
+    iterates on. localCheckpoint'ed: the trainer re-reads it once per
+    round and the tokenizer joins the corpus back onto it."""
+    cols = (["token"] if with_token else []) + [
+        F.trim(F.regexp_replace("token", "(.)", "$1 ")).alias("s"),
+        "freq",
+    ]
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(*cols)
+        .localCheckpoint()
+    )
+
+
+def _best_pair(v: DataFrame) -> DataFrame:
+    """1-row (pair, freq): the most frequent adjacent symbol pair,
+    frequency-weighted, ties broken lexicographically."""
+    arr = F.split("s", " ")
+    prs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda k: F.concat(
+                F.element_at(arr, k), F.lit(" "), F.element_at(arr, k + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        v.select("freq", F.explode(prs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    return counts.orderBy(F.desc("freq"), F.asc("pair")).limit(1)
+
+
+def _apply_merge(v: DataFrame, pair_df: DataFrame, keep: list[str]) -> DataFrame:
+    """Rewrite every symbol string under ONE merge rule (1-row broadcast
+    join on a constant key; the double space-padded literal replace both
+    engines scan identically — see the corpus_bpe_merges docstring)."""
+    padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+    target = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+    repl = F.concat(
+        F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+    )
+    return (
+        v.withColumn("_k", F.lit(1))
+        .join(F.broadcast(pair_df.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            *keep,
+            F.trim(F.replace(F.replace(padded, target, repl), target, repl)).alias(
+                "s"
+            ),
+        )
+    )
 
 
 def corpus_bpe_tokenize(spark, sf_dir: str, n_merges: int = BPE_MERGES) -> DataFrame:
@@ -1379,52 +1394,14 @@ def corpus_bpe_tokenize(spark, sf_dir: str, n_merges: int = BPE_MERGES) -> DataF
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
-    vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .select(
-            "token",
-            F.trim(F.regexp_replace("token", "(.)", "$1 ")).alias("s"),
-            "freq",
-        )
-        .localCheckpoint()
-    )
-
-    v = vocab
+    v = _bpe_vocab(docs, with_token=True)
     for rank in range(1, n_merges + 1):
-        arr = F.split("s", " ")
-        prs = F.when(
-            F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda k: F.concat(
-                    F.element_at(arr, k), F.lit(" "), F.element_at(arr, k + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        counts = (
-            v.select("freq", F.explode(prs).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("freq").alias("freq"))
-        )
-        best = counts.orderBy(F.desc("freq"), F.asc("pair")).limit(1)
-        padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
-        target = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
-        repl = F.concat(
-            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
-        )
-        v = (
-            v.withColumn("_k", F.lit(1))
-            .join(F.broadcast(best.select("pair").withColumn("_k", F.lit(1))), "_k")
-            .select(
-                "token",
-                F.trim(F.replace(F.replace(padded, target, repl), target, repl)).alias(
-                    "s"
-                ),
-                "freq",
-            )
-        )
+        v = _apply_merge(v, _best_pair(v).select("pair"), keep=["token", "freq"])
+    return _bpe_doc_counts(tok, v)
 
+
+def _bpe_doc_counts(tok: DataFrame, v: DataFrame) -> DataFrame:
+    """Per-doc char vs BPE symbol counts from a fully-merged vocab."""
     per_token = v.select(
         "token",
         F.length("token").alias("n_chars"),
@@ -1447,3 +1424,48 @@ def corpus_bpe_tokenize(spark, sf_dir: str, n_merges: int = BPE_MERGES) -> DataF
         )
         .orderBy("doc_id")
     )
+
+
+def bpe_merges_store_roundtrip(
+    spark, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """The PERSISTED tokenizer artifact: the learned merge table is
+    WRITTEN through the exactly-once manifest sink, READ BACK, and the
+    corpus is tokenized by the STORED rules (rank-ordered 1-row broadcast
+    applications — the serve plan never re-learns anything). Hashes
+    against the SAME per-doc twin as ``corpus_bpe_tokenize``: a lossless
+    write → read → apply proves the stored rules are the model, the
+    property that lets a 100 TB corpus be tokenized by executors that
+    never saw the training aggregate (exactly the stored-codebook
+    argument of ``ann_pq_store_roundtrip``)."""
+    import os
+
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    path = proc_dir("bpe_merges", os.path.abspath(sf_dir))
+    bpe_merges(docs, n_merges).write.format("manifest_parquet").option(
+        "path", path
+    ).mode("overwrite").save()
+    stored = read_manifest_parquet(spark, path)
+
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    v = _bpe_vocab(docs, with_token=True)
+    for rank in range(1, n_merges + 1):
+        rule = stored.where(F.col("merge_rank") == rank).select(
+            F.concat("left_sym", F.lit(" "), "right_sym").alias("pair")
+        )
+        v = _apply_merge(v, rule, keep=["token", "freq"])
+    return _bpe_doc_counts(tok, v)
+
+
+# Constructing this query's DataFrame EXECUTES the merge learning and a
+# real manifest-sink write — the storage leg it exists to prove.
+bpe_merges_store_roundtrip.side_effecting = True

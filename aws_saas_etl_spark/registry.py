@@ -914,6 +914,14 @@ register(
     textops.corpus_bpe_tokenize,
     oracles.BPE_TOKENIZE_SQL,
 )
+# ... and the persisted tokenizer artifact: merges through the
+# exactly-once store, corpus tokenized by the STORED rules — the same
+# per-doc twin proves write -> read -> apply lossless
+register(
+    "bpe_merges_store_roundtrip",
+    textops.bpe_merges_store_roundtrip,
+    oracles.BPE_TOKENIZE_SQL,
+)
 # group-wise model fit as ALGEBRA: per-type daily-trend OLS from five
 # integer sufficient statistics — no Python, one groupBy
 register(
@@ -968,6 +976,14 @@ register(
     "logreg_calibration_report",
     curation.logreg_calibration_report,
     oracles.LOGREG_CALIBRATION_SQL,
+)
+# ... and the persisted classifier: fitted weights through the
+# exactly-once store, docs scored from the STORED weights — the same
+# per-doc twin proves write -> read -> serve lossless
+register(
+    "logreg_store_roundtrip",
+    curation.logreg_store_roundtrip,
+    oracles.QUALITY_LOGREG_SQL,
 )
 # incremental manifest maintenance: stored rows + delta-sized repair,
 # proven equal to the full recompute by the SAME manifest oracle
