@@ -1621,6 +1621,23 @@ def logreg_scores(docs: DataFrame) -> DataFrame:
     return _logreg_serve(feats, logreg_fit(feats))
 
 
+def _logreg_feat_exprs() -> list:
+    """The quantized feature/label column expressions (x1..x4, y) — pure
+    stateless built-ins, shared by the batch fit (below) and the
+    streaming scorer (streaming frames can't localCheckpoint)."""
+
+    def xq(col):
+        return F.round(col * F.lit(float(LOGREG_X_SCALE))).cast("bigint")
+
+    return [
+        xq(T.stopword_ratio("text", "en")).alias("x1"),
+        xq(T.alpha_ratio("text")).alias("x2"),
+        xq(T.mean_token_length("text") / F.lit(10.0)).alias("x3"),
+        F.lit(LOGREG_X_SCALE).cast("bigint").alias("x4"),
+        (F.col("lang") == F.lit("en")).cast("bigint").alias("y"),
+    ]
+
+
 def _logreg_feats(docs: DataFrame) -> DataFrame:
     """(doc_id, x1..x4 exact-bigint features, y) — localCheckpoint'ed:
     the three gradient aggregates and scoring all read it."""
@@ -1629,18 +1646,7 @@ def _logreg_feats(docs: DataFrame) -> DataFrame:
         & F.col("text").isNotNull()
         & F.col("lang").isNotNull()
     )
-
-    def xq(col):
-        return F.round(col * F.lit(float(LOGREG_X_SCALE))).cast("bigint")
-
-    return docs.select(
-        "doc_id",
-        xq(T.stopword_ratio("text", "en")).alias("x1"),
-        xq(T.alpha_ratio("text")).alias("x2"),
-        xq(T.mean_token_length("text") / F.lit(10.0)).alias("x3"),
-        F.lit(LOGREG_X_SCALE).cast("bigint").alias("x4"),
-        (F.col("lang") == F.lit("en")).cast("bigint").alias("y"),
-    ).localCheckpoint()
+    return docs.select("doc_id", *_logreg_feat_exprs()).localCheckpoint()
 
 
 def _logreg_z(w):

@@ -6191,3 +6191,25 @@ def _bpe_tokenize_sql() -> str:
 
 
 BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
+
+
+def _stream_logreg_score_sql() -> str:
+    """Twin of the streaming scorer: the same unrolled-GD chain, scores
+    quantized to exact BIGINT and reduced to the per-label audit the
+    drained stream emits (batching-invariant by statelessness)."""
+    body, scored = _logreg_chain()
+    return f"""{body},
+    sq AS (SELECT y, CAST(round(p * 1000000.0) AS BIGINT) AS score_q,
+                  CAST(p >= 0.5 AS BIGINT) AS pred
+           FROM {scored})
+    SELECT y AS label,
+           count(*) AS n_docs,
+           CAST(sum(score_q) AS BIGINT) AS sum_score_q,
+           CAST(sum(pred) AS BIGINT) AS n_pred_pos
+    FROM sq
+    GROUP BY y
+    ORDER BY label
+"""
+
+
+STREAM_LOGREG_SCORE_SQL = _stream_logreg_score_sql()

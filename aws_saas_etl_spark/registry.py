@@ -836,6 +836,14 @@ register(
     runners.stream_sq8_code_ingest,
     oracles.STREAM_SQ8_CODE_SQL,
 )
+# streaming model INFERENCE (beyond maintenance): docs scored per
+# micro-batch by the batch-fitted logreg weights embedded as plan
+# literals — stateless map, full batching-invariant value-hash oracle
+register(
+    "stream_logreg_score_ingest",
+    runners.stream_logreg_score_ingest,
+    oracles.STREAM_LOGREG_SCORE_SQL,
+)
 # Spark 4 Python UDTF (@udtf, Arrow-batched) via LATERAL join: the
 # sliding-window chunking table function, closed-form span twin in DuckDB
 register("doc_chunk_spans", textops.doc_chunk_spans, oracles.DOC_CHUNK_SPANS_SQL)

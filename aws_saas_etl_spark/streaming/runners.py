@@ -551,3 +551,76 @@ def stream_bq_signature_ingest(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _staged_documents_dir(spark, sf_dir: str) -> str:
+    """Stage fixture documents as a multi-file parquet directory (one
+    file per micro-batch). Cached per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "docs")
+    path = _stage_cache.get(key)
+    if path and os.path.isdir(path):
+        return path
+    path = tempfile.mkdtemp(prefix="etl_spark_stream_docs_")
+    load_table(spark, sf_dir, "documents").repartition(_STAGE_FILES).write.mode(
+        "overwrite"
+    ).parquet(path)
+    _stage_cache[key] = path
+    return path
+
+
+def stream_logreg_score_ingest(spark, sf_dir: str) -> DataFrame:
+    """STREAMING MODEL INFERENCE — the serving topology the batch-trained
+    classifier exists for: documents arrive as a file stream and each
+    micro-batch is scored by the ALREADY-FITTED logreg weights (fit once
+    batch-side at construction — 4 doubles, the documented bounded-scalar
+    collect class — and embedded as plan literals, so per-batch cost is a
+    pure stateless map: no state store, no stream-side join, no refit).
+    Extends the streaming family from artifact MAINTENANCE (BQ/SQ8 code
+    ingest) to artifact USE.
+
+    Stateless map ⇒ append emits every doc's score exactly once
+    regardless of file batching, so the query carries a FULL value-hash
+    oracle: the drained scores reduce to a per-label audit over exact
+    BIGINT aggregates (count, Σ quantized scores, positive predictions)
+    that is order- and batching-invariant, re-derived by the oracle from
+    the same unrolled-GD twin the batch queries hash against.
+    """
+    from aws_saas_etl_spark.operators.curation import (
+        _logreg_feat_exprs,
+        _logreg_feats,
+        _logreg_z,
+        logreg_fit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrow = logreg_fit(_logreg_feats(docs)).collect()[0]
+    w = {j: F.lit(float(wrow[f"w{j}"])) for j in (1, 2, 3, 4)}
+
+    path = _staged_documents_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    feats = stream.where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+    ).select("doc_id", *_logreg_feat_exprs())
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
+    scored = feats.select(
+        "doc_id",
+        "y",
+        F.round(p * F.lit(1.0e6)).cast("bigint").alias("score_q"),
+        (p >= F.lit(0.5)).cast("bigint").alias("pred"),
+    )
+    drained = _drain(scored, "append")
+    return (
+        drained.groupBy(F.col("y").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_q").alias("sum_score_q"),
+            F.sum("pred").alias("n_pred_pos"),
+        )
+        .orderBy("label")
+    )

@@ -616,3 +616,34 @@ def test_stream_sq8_code_ingest_matches_batch(spark):
         .collect()
     )
     assert streamed == batch
+
+
+def test_stream_logreg_score_ingest_matches_batch(spark):
+    """The streaming scorer must equal the batch scorer's audit over the
+    same documents — the batching-invariance claim its full value-hash
+    oracle rests on (stateless scoring with frozen literal weights ⇒
+    append emission is exactly the batch row set)."""
+    from aws_saas_etl_spark.operators.curation import logreg_scores
+    from aws_saas_etl_spark.streaming.runners import stream_logreg_score_ingest
+
+    streamed = sorted(
+        tuple(r) for r in stream_logreg_score_ingest(spark, SF).collect()
+    )
+    docs = load_table(spark, SF, "documents")
+    batch = sorted(
+        tuple(r)
+        for r in logreg_scores(docs)
+        .select(
+            F.col("label"),
+            F.round(F.col("score") * 1e6).cast("bigint").alias("score_q"),
+            "pred",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_q").alias("sum_score_q"),
+            F.sum("pred").alias("n_pred_pos"),
+        )
+        .collect()
+    )
+    assert streamed == batch
