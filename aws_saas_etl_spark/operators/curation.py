@@ -1782,3 +1782,39 @@ def logreg_calibration_report(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def training_manifest_quality_filtered(spark, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTERED training manifest — the trained classifier wired
+    into the artifact it exists to gate (the DCLM/FineWeb-edu topology:
+    heuristic gates build the pool, a learned scorer prunes it): every
+    TRAIN-split document scoring below the corpus MEAN logreg score is
+    removed and shard positions close ranks; val/test rows survive
+    verbatim (eval sets stay fixed — the ``training_manifest_
+    decontaminated`` convention). A relative cutoff (mean, not a fixed
+    0.5) is the production shape — "keep the best half" survives any
+    recalibration of the scorer — and is decimal-exact on both engines
+    (``davg_rounded``/``davg_sql``).
+
+    Scale shape: the scorer adds its fixed three-aggregate fit; the
+    cutoff is ONE more bounded aggregate broadcast back (1-row constant-
+    key join); removal + re-rank reuse the stored-pos window — at 100 TB
+    only shards that lost a row rewrite, the deletion-repair property.
+    """
+    man = _full_manifest(spark, sf_dir)
+    scored = doc_quality_logreg(spark, sf_dir).select("doc_id", "score")
+    cut = scored.agg(N.davg_rounded(F.col("score"), 6).alias("mean_score"))
+    low = (
+        scored.withColumn("_k", F.lit(1))
+        .join(F.broadcast(cut.withColumn("_k", F.lit(1))), "_k")
+        .where(F.col("score") < F.col("mean_score"))
+        .select("doc_id")
+    )
+    rm = man.where(F.col("split") == "train").join(low, "doc_id").select("doc_id")
+    w = Window.partitionBy("split", "shard").orderBy("pos")
+    return (
+        man.join(rm, "doc_id", "anti")
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .orderBy("split", "shard", "pos")
+    )

@@ -6213,3 +6213,34 @@ def _stream_logreg_score_sql() -> str:
 
 
 STREAM_LOGREG_SCORE_SQL = _stream_logreg_score_sql()
+
+
+def _quality_filtered_manifest_sql() -> str:
+    """Twin of the quality-filtered manifest: the full-manifest twin as a
+    CTE, the unrolled-GD scorer chain (its WITH keyword stripped so the
+    two bodies share one clause list), the decimal-exact mean cutoff,
+    and the same anti-join + stored-pos re-rank as the decontamination
+    twin."""
+    body, scored = _logreg_chain()
+    lr = body.replace("WITH f AS", "f AS", 1)
+    return f"""
+    WITH man AS ({TRAINING_MANIFEST_SQL}),
+    {lr.strip()},
+    sc AS (SELECT doc_id, {dround_sql('p', 6)} AS score FROM {scored}),
+    ms AS (SELECT {davg_sql('score', 6)} AS mean_score FROM sc),
+    rm AS (
+        SELECT m.doc_id
+        FROM man m JOIN sc ON m.doc_id = sc.doc_id, ms
+        WHERE m.split = 'train' AND sc.score < ms.mean_score
+    )
+    SELECT m.doc_id, m.split, m.shard,
+           row_number() OVER (PARTITION BY m.split, m.shard ORDER BY m.pos)
+               AS pos,
+           m.n_tokens
+    FROM man m LEFT JOIN rm ON m.doc_id = rm.doc_id
+    WHERE rm.doc_id IS NULL
+    ORDER BY m.split, m.shard, pos
+"""
+
+
+QUALITY_FILTERED_MANIFEST_SQL = _quality_filtered_manifest_sql()

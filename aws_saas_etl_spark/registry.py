@@ -993,6 +993,14 @@ register(
     curation.logreg_store_roundtrip,
     oracles.QUALITY_LOGREG_SQL,
 )
+# ... and the classifier wired into the pipeline artifact: train rows
+# below the corpus-mean score removed, positions close ranks (the
+# decontamination convention; relative cutoff = the production shape)
+register(
+    "training_manifest_quality_filtered",
+    curation.training_manifest_quality_filtered,
+    oracles.QUALITY_FILTERED_MANIFEST_SQL,
+)
 # incremental manifest maintenance: stored rows + delta-sized repair,
 # proven equal to the full recompute by the SAME manifest oracle
 register(

@@ -864,3 +864,48 @@ def test_bpe_tokenize_invariants(spark):
         assert abs(r.compression - round(r.bpe_symbols / r.char_symbols, 6)) < 1e-9
         compressed += int(r.bpe_symbols < r.char_symbols)
     assert compressed > 0, "no document compressed — merges never applied"
+
+
+def test_quality_filtered_manifest_semantics(spark):
+    """Pins the quality gate's contract on the smoke corpus: (1) the gate
+    is non-vacuous (some train rows removed); (2) ONLY train rows are
+    removed — val/test survive verbatim; (3) removed train docs are
+    exactly those scoring below the corpus-mean score; (4) survivors
+    keep their relative order (positions close ranks)."""
+    from aws_saas_etl_spark.operators.curation import (
+        doc_quality_logreg,
+        training_manifest,
+        training_manifest_quality_filtered,
+    )
+    from tests.conftest import SF_SMOKE
+
+    full = {r.doc_id: r for r in training_manifest(spark, SF_SMOKE).collect()}
+    filt = {
+        r.doc_id: r
+        for r in training_manifest_quality_filtered(spark, SF_SMOKE).collect()
+    }
+    removed = set(full) - set(filt)
+    assert removed, "no train rows removed — gate untested"
+    assert all(full[d].split == "train" for d in removed)
+
+    scores = {
+        r.doc_id: r.score for r in doc_quality_logreg(spark, SF_SMOKE).collect()
+    }
+    mean = round(sum(scores.values()) / len(scores), 6)
+    expect = {
+        d
+        for d, r in full.items()
+        if r.split == "train" and scores[d] < mean
+    }
+    assert removed == expect
+
+    # survivors close ranks within (split, shard), preserving stored order
+    by_shard = {}
+    for d, r in sorted(full.items(), key=lambda kv: (kv[1].split, kv[1].shard, kv[1].pos)):
+        if d in filt:
+            by_shard.setdefault((r.split, r.shard), []).append(d)
+    for (split, shard), docs_in in by_shard.items():
+        got = [d for d, r in sorted(filt.items(), key=lambda kv: kv[1].pos)
+               if r.split == split and r.shard == shard
+               for r in [filt[d]]]
+        assert got == docs_in, (split, shard)
