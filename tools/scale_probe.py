@@ -117,6 +117,25 @@ PROBES = [
      "ann_ivfpq_filtered_topk", "warm_stored"),
     ("ann_filtered_switch_topk (warm-stored)", "similarity",
      "ann_filtered_switch_topk", "warm_stored"),
+    # r10b additions: the session's new families. Span removal adds an
+    # anti-join + rebuild over the token stream to the coverage metric's
+    # gram shapes (expect ≈ the crossdoc α); the LSH recall report's
+    # truth arm is the audit cost (prefix-filtered exact pairs — the α
+    # to watch; the band arm is the production path); the GD classifier
+    # is three corpus aggregates + a broadcast score pass (linear, small
+    # constant); BPE learning touches the corpus once then iterates on
+    # the VOCAB — NOTE the probe's copies deliberately rewrite tokens
+    # (vowel translation), so vocab grows ~linearly HERE and the α reads
+    # as the vocab-table slope, an upper bound on the natural-language
+    # case where vocab growth is sub-linear (Heaps' law);
+    # the quality-filtered manifest composes the manifest chain with the
+    # classifier (≈ additive).
+    ("doc_duplicate_span_removal", "textops", "doc_duplicate_span_removal"),
+    ("dedup_lsh_recall_report", "dedup", "dedup_lsh_recall_report"),
+    ("doc_quality_logreg", "curation", "doc_quality_logreg"),
+    ("corpus_bpe_merges", "textops", "corpus_bpe_merges"),
+    ("training_manifest_quality_filtered", "curation",
+     "training_manifest_quality_filtered"),
 ]
 
 # Per-copy character translation: remaps the 5 vowels, which rewrites
