@@ -1605,6 +1605,9 @@ def doc_quality_logreg(spark, sf_dir: str) -> DataFrame:
     difference flips an int64 quantization only within ~10⁻¹¹ of a
     boundary). Iteration 1 starts at w = 0 ⇒ p = 0.5 exactly — no exp at
     all on the first step.
+    
+    Measured (r10): 2.56 s at sf0.1 (bench, cold — the three GD
+    aggregates + the scoring pass); α 0.19 at 8× (SCALE.md).
     """
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
     return logreg_scores(docs)
@@ -1800,6 +1803,9 @@ def training_manifest_quality_filtered(spark, sf_dir: str) -> DataFrame:
     cutoff is ONE more bounded aggregate broadcast back (1-row constant-
     key join); removal + re-rank reuse the stored-pos window — at 100 TB
     only shards that lost a row rewrite, the deletion-repair property.
+    
+    Measured (r10): 3.95 s at sf0.1 (bench, cold) ≈ additive over the
+    manifest chain + classifier; α 0.34 at 8× (SCALE.md).
     """
     man = _full_manifest(spark, sf_dir)
     scored = doc_quality_logreg(spark, sf_dir).select("doc_id", "score")
