@@ -369,7 +369,13 @@ def minhash_lsh_pairs(spark, sf_dir: str) -> DataFrame:
     affine permutation mins, band-tuple buckets, Jaccard verify) has an
     exact DuckDB twin (oracles.MINHASH_LSH_PAIRS_SQL)."""
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
-    sig = minhash_signatures(docs)
+    return _lsh_pairs_serve(minhash_signatures(docs))
+
+
+def _lsh_pairs_serve(sig: DataFrame) -> DataFrame:
+    """Band candidates + exact-Jaccard verify over any signature frame
+    (doc_id, sh, h0..h63) — shared by the in-plan path and the stored-
+    signature lifecycle queries."""
     cands = _candidate_pairs_lsh(sig)
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -388,6 +394,85 @@ def minhash_lsh_pairs(spark, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= JACCARD_MIN)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_signature_store_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """The PERSISTED MinHash signature table — the dedup arm's stored
+    artifact (the ANN rungs and the lexical postings each roundtrip
+    theirs; the banded-LSH path's 66-column signature table is exactly
+    as storable): signatures are WRITTEN through the exactly-once
+    manifest sink, READ BACK, and band candidates + Jaccard verify run
+    from the STORED rows via the identical ``_lsh_pairs_serve`` plan.
+    Hashing to the same pairs twin proves write → read → serve lossless
+    — the property that lets nightly dedup reuse yesterday's signatures
+    (one tokenize+hash pass per document EVER, not per run).
+    """
+    import os
+
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    path = proc_dir("minhash_signatures", os.path.abspath(sf_dir))
+    minhash_signatures(docs).write.format("manifest_parquet").option(
+        "path", path
+    ).mode("overwrite").save()
+    return _lsh_pairs_serve(read_manifest_parquet(spark, path))
+
+
+# Constructing this query's DataFrame EXECUTES the signature build and a
+# real manifest-sink write — the storage leg it exists to prove.
+minhash_signature_store_roundtrip.side_effecting = True
+
+
+def minhash_lsh_incremental_pairs(spark, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MAINTENANCE of the LSH dedup state — the nightly-crawl
+    shape for fuzzy dedup at 100 TB: the historical 90% of documents'
+    signatures are the STORED artifact (manifest sink, read back);
+    arriving documents hash into delta signatures (one pass over the
+    ARRIVALS, never the corpus) and UNION in; the merged table serves
+    band candidates + verify through the identical plan. Signatures are
+    PER-ROW (no trained state — the lexical-postings/SQ8/BQ argument),
+    so maintenance is EXACT and the hash gate is the plain pairs twin:
+    appending signatures never degrades the index.
+
+    At production scale the nightly pair DELTA (pairs touching an
+    arrival) is what feeds the cluster merge —
+    ``dedup_clusters_incremental_merge`` already proves that leg; this
+    query proves the signature-store leg above it.
+    """
+    import os
+
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    sig = minhash_signatures(docs)
+    ids = sig.select("doc_id").distinct()
+    n = ids.count()
+    n_base = n - n // 10
+    cut = ids.orderBy("doc_id").limit(n_base).agg(F.max("doc_id")).first()[0]
+    base = sig.where(F.col("doc_id") <= F.lit(cut))
+    path = proc_dir("minhash_sig_base", os.path.abspath(sf_dir), cut)
+    base.write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    stored = read_manifest_parquet(spark, path)
+    merged = stored.unionByName(sig.where(F.col("doc_id") > F.lit(cut)))
+    return _lsh_pairs_serve(merged)
+
+
+# Constructing this query's DataFrame EXECUTES the base-signature build
+# and a real manifest-sink write — the storage leg it exists to prove.
+minhash_lsh_incremental_pairs.side_effecting = True
 
 
 def _prefix_candidates(sh: DataFrame, min_jaccard: float) -> DataFrame:

@@ -311,6 +311,22 @@ register(
     dedup.dedup_lsh_recall_report,
     oracles.LSH_RECALL_REPORT_SQL,
 )
+# the dedup arm's stored artifact: the 66-column signature table through
+# the exactly-once sink, pairs served from STORED rows (same pairs twin
+# proves write -> read -> serve lossless)
+register(
+    "minhash_signature_store_roundtrip",
+    dedup.minhash_signature_store_roundtrip,
+    oracles.MINHASH_LSH_PAIRS_SQL,
+)
+# ... and its nightly-crawl maintenance: stored base signatures + delta
+# hashed from arrivals only, merged table serves the identical plan —
+# per-row artifact => maintenance EXACT, gate = the plain pairs twin
+register(
+    "minhash_lsh_incremental_pairs",
+    dedup.minhash_lsh_incremental_pairs,
+    oracles.MINHASH_LSH_PAIRS_SQL,
+)
 register("simhash_buckets", dedup.simhash_buckets, oracles.SIMHASH_BUCKETS_SQL)
 # the banding layer of simhash_buckets, hash-checked via an md5-derived
 # fingerprint both engines compute identically
