@@ -637,6 +637,63 @@ def _simhash_buckets_sql() -> str:
 SIMHASH_BUCKETS_SQL = _simhash_buckets_sql()
 
 
+def _simhash_hamming_pairs_sql() -> str:
+    """Twin of the banded Hamming-pair query — but EXHAUSTIVE: the same
+    md5-vote fingerprint CTEs, then a plain quadratic self-join filtered
+    at Hamming <= SIMHASH_MAX_HAMMING. The Spark side only examines
+    band-colliding candidates; hash equality against this unblocked twin
+    is the EMPIRICAL proof of the pigeonhole completeness claim (<= 3
+    flipped bits of 4 bands must leave one band intact)."""
+    from aws_saas_etl_spark.operators.dedup import SIMHASH_BITS, SIMHASH_MAX_HAMMING
+
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN (({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    u = "\n               + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH r AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest({toks('text')}) AS tok FROM documents)
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+        FROM r
+    ),
+    v AS (
+        SELECT doc_id,
+               {votes}
+        FROM h GROUP BY doc_id
+    ),
+    s AS (
+        SELECT doc_id,
+               {u} AS u
+        FROM v
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                         THEN u - 18446744073709551616::HUGEINT
+                         ELSE u END AS BIGINT) AS simhash
+        FROM s
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+"""
+
+
+SIMHASH_HAMMING_PAIRS_SQL = _simhash_hamming_pairs_sql()
+
+
 # Vector math twins: same fold order as Spark's F.aggregate (sequential
 # left fold over the array) and the same double-precision arithmetic.
 _DOT_QC = (

@@ -327,6 +327,14 @@ register(
     dedup.minhash_lsh_incremental_pairs,
     oracles.MINHASH_LSH_PAIRS_SQL,
 )
+# the simhash banding guarantee made driver-visible: banded candidates +
+# XOR popcount vs an EXHAUSTIVE quadratic twin — hash equality IS the
+# pigeonhole-completeness proof at Hamming <= 3
+register(
+    "simhash_hamming_pairs",
+    dedup.simhash_hamming_pairs,
+    oracles.SIMHASH_HAMMING_PAIRS_SQL,
+)
 register("simhash_buckets", dedup.simhash_buckets, oracles.SIMHASH_BUCKETS_SQL)
 # the banding layer of simhash_buckets, hash-checked via an md5-derived
 # fingerprint both engines compute identically
