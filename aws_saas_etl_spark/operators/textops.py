@@ -1212,6 +1212,14 @@ def doc_duplicate_span_removal(spark, sf_dir: str) -> DataFrame:
         "i",
         F.xxhash64(F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(k)))).alias("g"),
     )
+    return _span_removal_serve(base, grams)
+
+
+def _span_removal_serve(base: DataFrame, grams: DataFrame) -> DataFrame:
+    """The removal tail over any (doc_id, tk, n) token frame and
+    (doc_id, i, g) gram-position index — shared by the in-plan path and
+    the stored-index lifecycle query."""
+    k = SUBSTR_DUP_K
     dup = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1255,6 +1263,69 @@ def doc_duplicate_span_removal(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def span_gram_index_incremental(spark, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MAINTENANCE of the duplicated-span GRAM-POSITION INDEX
+    — exact substring dedup's stored artifact, maintained like an
+    inverted index (the Lee et al. suffix-array analog as a per-row
+    table): the historical 90% of documents' (doc_id, position,
+    gram-hash) rows are the STORED artifact (manifest sink, read back);
+    arriving documents tokenize into delta gram rows (one pass over the
+    ARRIVALS, never the corpus) and UNION in; the merged index drives
+    the IDENTICAL ``_span_removal_serve`` rewrite. Gram rows are PER-ROW
+    (no trained state — the postings/signature argument), so maintenance
+    is EXACT and the hash gate is the plain rewrite twin.
+
+    The semantic subtlety maintenance must preserve: "duplicated" means
+    ≥ 2 DISTINCT DOCS over the MERGED corpus — an arrival can turn a
+    historical singleton gram into a duplicate retroactively, which is
+    why the serve recomputes the nd ≥ 2 aggregate over the merged index
+    (a groupBy on the gram hash — narrow rows) instead of trusting a
+    stored dup-flag.
+    """
+    import os
+
+    from aws_saas_etl_spark.sources.custom import (
+        proc_dir,
+        read_manifest_parquet,
+        register_sink,
+    )
+
+    register_sink(spark)
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    k = SUBSTR_DUP_K
+    base = docs.select("doc_id", T.tokens("text").alias("tk")).withColumn(
+        "n", F.size("tk")
+    )
+    starts = F.when(
+        F.col("n") >= k,
+        F.sequence(F.lit(1), (F.col("n") - k + 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select("doc_id", F.explode(starts).alias("i"), "tk").select(
+        "doc_id",
+        "i",
+        F.xxhash64(F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(k)))).alias("g"),
+    )
+    ids = base.select("doc_id").distinct()
+    n_docs = ids.count()
+    n_base = n_docs - n_docs // 10
+    cut = ids.orderBy("doc_id").limit(n_base).agg(F.max("doc_id")).first()[0]
+    hist = grams.where(F.col("doc_id") <= F.lit(cut))
+    path = proc_dir("span_gram_index", os.path.abspath(sf_dir), cut)
+    hist.write.format("manifest_parquet").option("path", path).mode(
+        "overwrite"
+    ).save()
+    stored = read_manifest_parquet(spark, path)
+    merged = stored.unionByName(grams.where(F.col("doc_id") > F.lit(cut)))
+    return _span_removal_serve(base, merged)
+
+
+# Constructing this query's DataFrame EXECUTES the base gram-index build
+# and a real manifest-sink write — the storage leg it exists to prove.
+span_gram_index_incremental.side_effecting = True
 
 
 BPE_MERGES = 3  # learned merge rules (unrolled on both engine sides)

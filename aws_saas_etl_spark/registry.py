@@ -931,6 +931,15 @@ register(
     textops.doc_duplicate_span_removal,
     oracles.DUPLICATE_SPAN_REMOVAL_SQL,
 )
+# ... and the gram-position index as a maintained artifact: stored base
+# rows + delta from arrivals only, nd>=2 recomputed over the merge (an
+# arrival can make a historical gram duplicated retroactively); per-row
+# artifact => maintenance EXACT, gate = the plain rewrite twin
+register(
+    "span_gram_index_incremental",
+    textops.span_gram_index_incremental,
+    oracles.DUPLICATE_SPAN_REMOVAL_SQL,
+)
 # tokenizer TRAINING: first k BPE merge rules learned by frequency-weighted
 # pair counting over the vocab table (corpus touched once; iterations are
 # model-size work)
