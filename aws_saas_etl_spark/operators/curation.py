@@ -1824,3 +1824,61 @@ def training_manifest_quality_filtered(spark, sf_dir: str) -> DataFrame:
         .select("doc_id", "split", "shard", "pos", "n_tokens")
         .orderBy("split", "shard", "pos")
     )
+
+
+def logreg_staleness_report(spark, sf_dir: str) -> DataFrame:
+    """Classifier STALENESS report — the model rung's entry in the
+    when-to-refit story (``ann_ladder_staleness_report`` audits the ANN
+    rungs; a trained scorer decays the same way): weights fitted on the
+    historical 90% base slice (the STALE artifact a nightly pipeline
+    would keep serving) vs weights fitted on everything, both scoring
+    ALL documents. Per label: prediction flips and the drift in exact
+    quantized score mass — integer columns only, so the audit is
+    order-independent.
+
+    Unlike the per-row artifacts (postings, signatures, codes — whose
+    maintenance is exact by construction), GD weights are TRAINED state:
+    arrivals shift the gradient and the stored weights silently drift.
+    This report prices that drift; the cutoff for refitting is a read of
+    this table, not a guess.
+
+    Scale shape: two fixed GD fits (three aggregates each — the stale
+    fit aggregates only the base slice) + ONE joint scoring pass with
+    both 1-row weight frames broadcast, reduced to a two-row audit.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
+    feats = _logreg_feats(docs)
+    ids = feats.select("doc_id").distinct()
+    n = ids.count()
+    n_base = n - n // 10
+    cut = ids.orderBy("doc_id").limit(n_base).agg(F.max("doc_id")).first()[0]
+
+    fresh = logreg_fit(feats)
+    stale = logreg_fit(feats.where(F.col("doc_id") <= F.lit(cut))).select(
+        *[F.col(f"w{j}").alias(f"v{j}") for j in (1, 2, 3, 4)]
+    )
+    scored = (
+        feats.withColumn("_k", F.lit(1))
+        .join(F.broadcast(fresh.withColumn("_k", F.lit(1))), "_k")
+        .join(F.broadcast(stale.withColumn("_k", F.lit(1))), "_k")
+    )
+    wf = {j: F.col(f"w{j}") for j in (1, 2, 3, 4)}
+    ws = {j: F.col(f"v{j}") for j in (1, 2, 3, 4)}
+    pf = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(wf)))
+    ps = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(ws)))
+    return (
+        scored.select(
+            F.col("y").alias("label"),
+            ((pf >= F.lit(0.5)) != (ps >= F.lit(0.5))).cast("int").alias("flip"),
+            F.round(pf * F.lit(1.0e6)).cast("bigint").alias("qf"),
+            F.round(ps * F.lit(1.0e6)).cast("bigint").alias("qs"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("flip").cast("bigint").alias("n_pred_flips"),
+            F.sum("qf").cast("bigint").alias("sum_q_fresh"),
+            F.sum("qs").cast("bigint").alias("sum_q_stale"),
+        )
+        .orderBy("label")
+    )

@@ -6028,14 +6028,21 @@ STREAM_UPSERT_STATE_SQL = """
 """
 
 
-def _logreg_chain() -> tuple[str, str]:
+def _logreg_chain(prefix: str = "", fit_where: str = "") -> tuple[str, str]:
     """Shared CTE chain of the GD logistic-regression twins: the three
     unrolled iterations re-derive the weights from the raw parquet with
     the SAME exact-integer sufficient statistics (features and sigmoid
     quantized to bigint, so every gradient sum is order-independent) and
     the SAME left-associated double arithmetic — the constants are read
     from the module the Spark lambdas bind. Returns (with_body,
-    scored_subquery) where the subquery yields (doc_id, y, p)."""
+    scored_subquery) where the subquery yields (doc_id, y, p).
+
+    ``prefix`` renames the weight/gradient CTEs (so two chains compose in
+    one query — the staleness twin); a non-empty chain omits nothing else.
+    ``fit_where`` restricts the rows the GRADIENT aggregates see (the
+    stale fit) — scoring always reads all of ``f``. Defaults produce the
+    byte-identical original chain. The features CTE ``f`` is emitted only
+    by the unprefixed chain; prefixed chains reuse it."""
     from aws_saas_etl_spark.operators.curation import (
         LOGREG_ITERS,
         LOGREG_LR,
@@ -6054,7 +6061,8 @@ def _logreg_chain() -> tuple[str, str]:
     pq = f"CAST(round((1.0 / (1.0 + exp(-({z})))) * {ps}) AS BIGINT)"
 
     iters = []
-    prev_w = "w0"
+    prev_w = f"{prefix}w0"
+    where = f" WHERE {fit_where}" if fit_where else ""
     for i in range(1, LOGREG_ITERS + 1):
         sums = ", ".join(f"sum((pq - y * {LOGREG_P_SCALE}) * x{j}) AS s{j}" for j in js)
         carry = ", ".join(f"min(w{j}) AS wp{j}" for j in js)
@@ -6063,16 +6071,22 @@ def _logreg_chain() -> tuple[str, str]:
             for j in js
         )
         iters.append(
-            f"""g{i} AS (
+            f"""{prefix}g{i} AS (
         SELECT {sums}, count(*) AS n, {carry}
-        FROM (SELECT f.*, w.w1, w.w2, w.w3, w.w4, {pq} AS pq FROM f, {prev_w} w)
+        FROM (SELECT f.*, w.w1, w.w2, w.w3, w.w4, {pq} AS pq FROM f, {prev_w} w{where})
     ),
-    w{i}t AS (SELECT {upd} FROM g{i})"""
+    {prefix}w{i}t AS (SELECT {upd} FROM {prefix}g{i})"""
         )
-        prev_w = f"w{i}t"
+        prev_w = f"{prefix}w{i}t"
 
     iter_sql = ",\n    ".join(iters)
     zero_w = ", ".join(f"0.0 AS w{j}" for j in js)
+    if prefix:
+        return (
+            f"""{prefix}w0 AS (SELECT {zero_w}),
+    {iter_sql}""",
+            f"(SELECT doc_id, y, 1.0 / (1.0 + exp(-({z}))) AS p FROM f, {prev_w} w)",
+        )
     return f"""
     WITH f AS (
         SELECT doc_id,
@@ -6301,3 +6315,38 @@ def _quality_filtered_manifest_sql() -> str:
 
 
 QUALITY_FILTERED_MANIFEST_SQL = _quality_filtered_manifest_sql()
+
+
+def _logreg_staleness_sql() -> str:
+    """Twin of the classifier staleness report: the fresh chain (fit on
+    all docs) and a prefixed stale chain (gradients restricted to the
+    historical base slice via the integer-rank cut CTE every
+    *_incremental twin uses), both scoring ALL docs, reduced to the
+    per-label flip/drift audit over exact BIGINT quantized scores."""
+    body, scored_fresh = _logreg_chain()
+    stale_body, scored_stale = _logreg_chain(
+        prefix="st", fit_where="f.doc_id <= (SELECT cut FROM cutv)"
+    )
+    return f"""{body},
+    nall AS (SELECT count(*) AS n FROM f),
+    cutv AS (
+        SELECT max(doc_id) AS cut FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM f) r, nall
+        WHERE r.rn <= nall.n - nall.n // 10
+    ),
+    {stale_body}
+    SELECT y AS label,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN (pf >= 0.5) <> (ps >= 0.5) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pred_flips,
+           CAST(sum(CAST(round(pf * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q_fresh,
+           CAST(sum(CAST(round(ps * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q_stale
+    FROM (SELECT a.doc_id, a.y, a.p AS pf, b.p AS ps
+          FROM {scored_fresh} a JOIN {scored_stale} b USING (doc_id))
+    GROUP BY y
+    ORDER BY label
+"""
+
+
+LOGREG_STALENESS_SQL = _logreg_staleness_sql()

@@ -1026,6 +1026,14 @@ register(
     curation.logreg_store_roundtrip,
     oracles.QUALITY_LOGREG_SQL,
 )
+# ... and its staleness row in the when-to-refit story: base-slice
+# weights vs fresh weights scoring ALL docs — per-label flips + exact
+# quantized score drift (trained state decays; per-row artifacts don't)
+register(
+    "logreg_staleness_report",
+    curation.logreg_staleness_report,
+    oracles.LOGREG_STALENESS_SQL,
+)
 # ... and the classifier wired into the pipeline artifact: train rows
 # below the corpus-mean score removed, positions close ranks (the
 # decontamination convention; relative cutoff = the production shape)
