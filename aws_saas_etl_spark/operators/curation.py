@@ -1845,6 +1845,8 @@ def logreg_staleness_report(spark, sf_dir: str) -> DataFrame:
     Scale shape: two fixed GD fits (three aggregates each — the stale
     fit aggregates only the base slice) + ONE joint scoring pass with
     both 1-row weight frames broadcast, reduced to a two-row audit.
+    
+    Measured (r10): 4.8 s at sf0.1 (best-of-2, noop sink).
     """
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
     feats = _logreg_feats(docs)

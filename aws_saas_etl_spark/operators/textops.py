@@ -1283,6 +1283,9 @@ def span_gram_index_incremental(spark, sf_dir: str) -> DataFrame:
     why the serve recomputes the nd ≥ 2 aggregate over the merged index
     (a groupBy on the gram hash — narrow rows) instead of trusting a
     stored dup-flag.
+    
+    Measured (r10): 5.9 s at sf0.1 (best-of-2, noop sink) incl. the
+    base index write.
     """
     import os
 
