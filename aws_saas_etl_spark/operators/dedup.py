@@ -1344,3 +1344,62 @@ def simhash_hamming_pairs(spark, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_funnel_report(spark, sf_dir: str) -> DataFrame:
+    """The DEDUP FUNNEL — one row per rung of the dedup ladder, each
+    with the documents the corpus would keep if dedup stopped there:
+    exact (sha256), normalized (case/punct-insensitive), token-bag
+    (order-insensitive), and near-dup (MinHash-LSH pairs → connected
+    components, one keeper per cluster). The planning artifact a
+    curation run publishes FIRST: how much each successively fuzzier
+    (and successively costlier) rung actually buys on THIS corpus is
+    what justifies — or kills — running it at 100 TB.
+
+    ``n_groups`` is the post-dedup survivor count at that rung
+    (groups = distinct hashes for the hash rungs; clusters + singletons
+    for the near-dup rung), so ``n_removed = n_docs − n_groups`` is
+    comparable down the whole funnel.
+
+    Scale shape: the three hash rungs share ONE aggregate pass (three
+    count-distincts over the same scan); the near-dup rung reuses the
+    proven pairs → checkpointed-CC chain and reduces it to two counts.
+    Output: 4 rows.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    bag = F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(T.tokens("text")))), 256
+    )
+    hashes = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("g_exact"),
+        F.countDistinct(F.sha2(T.normalized_text("text"), 256)).alias("g_norm"),
+        F.countDistinct(bag).alias("g_bag"),
+    )
+    comp = connected_components(
+        minhash_lsh_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+    )
+    near = comp.agg(
+        (F.count(F.lit(1)) - F.countDistinct("comp")).alias("n_removed_near")
+    )
+    j = hashes.withColumn("_k", F.lit(1)).join(
+        F.broadcast(near.withColumn("_k", F.lit(1))), "_k"
+    )
+
+    def stage(name, groups_col):
+        return j.select(
+            F.lit(name).alias("stage"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            groups_col.cast("bigint").alias("n_groups"),
+            (F.col("n_docs") - groups_col).cast("bigint").alias("n_removed"),
+        )
+
+    out = (
+        stage("1_exact", F.col("g_exact"))
+        .unionByName(stage("2_normalized", F.col("g_norm")))
+        .unionByName(stage("3_token_bag", F.col("g_bag")))
+        .unionByName(stage("4_near_dup", F.col("n_docs") - F.col("n_removed_near")))
+    )
+    return out.orderBy("stage")

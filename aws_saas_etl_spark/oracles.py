@@ -6350,3 +6350,55 @@ def _logreg_staleness_sql() -> str:
 
 
 LOGREG_STALENESS_SQL = _logreg_staleness_sql()
+
+
+def _dedup_funnel_sql() -> str:
+    """Twin of the dedup funnel: the three hash rungs as one aggregate
+    over the filtered corpus, the near-dup rung via the SAME band-pair +
+    recursive-closure CTEs as the clusters twin, reduced to two counts."""
+    from aws_saas_etl_spark.operators.dedup import JACCARD_MIN
+
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    pe AS (SELECT doc_a, doc_b FROM prs WHERE jaccard >= {JACCARD_MIN}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pe
+        UNION ALL
+        SELECT doc_b, doc_a FROM pe
+    ),
+    reach(node, x) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.x
+    ),
+    comp AS (SELECT node, min(x) AS comp FROM reach GROUP BY node),
+    d AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    hh AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT sha256(text)) AS g_exact,
+               count(DISTINCT sha256({_NORM_TEXT})) AS g_norm,
+               count(DISTINCT sha256(array_to_string(list_sort(list_distinct({toks('text')})), ' '))) AS g_bag
+        FROM d
+    ),
+    nr AS (SELECT count(*) - count(DISTINCT comp) AS n_removed_near FROM comp)
+    SELECT stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(n_docs - n_groups AS BIGINT) AS n_removed
+    FROM (
+        SELECT '1_exact' AS stage, n_docs, g_exact AS n_groups FROM hh
+        UNION ALL
+        SELECT '2_normalized', n_docs, g_norm FROM hh
+        UNION ALL
+        SELECT '3_token_bag', n_docs, g_bag FROM hh
+        UNION ALL
+        SELECT '4_near_dup', n_docs, n_docs - nr.n_removed_near FROM hh, nr
+    )
+    ORDER BY stage
+"""
+
+
+DEDUP_FUNNEL_SQL = _dedup_funnel_sql()

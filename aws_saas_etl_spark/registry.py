@@ -327,6 +327,14 @@ register(
     dedup.minhash_lsh_incremental_pairs,
     oracles.MINHASH_LSH_PAIRS_SQL,
 )
+# the funnel over the whole ladder: survivors per dedup rung in one
+# 4-row planning artifact (three count-distincts share a scan; the
+# near-dup rung reduces the proven pairs->CC chain to two counts)
+register(
+    "dedup_funnel_report",
+    dedup.dedup_funnel_report,
+    oracles.DEDUP_FUNNEL_SQL,
+)
 # the simhash banding guarantee made driver-visible: banded candidates +
 # XOR popcount vs an EXHAUSTIVE quadratic twin — hash equality IS the
 # pigeonhole-completeness proof at Hamming <= 3
