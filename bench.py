@@ -213,14 +213,18 @@ def main() -> None:
                 # LAST keys on purpose: the driver preserves only the TAIL of
                 # this line, and `queries` is alphabetical — without this the
                 # slowest a–l queries would be invisible in BENCH_r{N}.json.
-                # fixed reference query at session start/mid/end — the
-                # drift normalizer for round-over-round tables (r10)
-                "session_control": session_control,
                 "canary_best3_spread": canary,
                 # two-regime costs of the stored-artifact queries: cold
                 # builds the artifact, warm serves from it — the honest
                 # split of what best-of-2 + canary spread conflate
                 "cold_warm": cold_warm,
+                # fixed reference query at session start/mid/end — the
+                # drift normalizer for round-over-round tables. Placed
+                # AFTER cold_warm (VERDICT r10 #2): cold_warm grew past
+                # the driver's preserved-tail length, so anything before
+                # it is cut from BENCH_r{N}.json — the control rows must
+                # sit in the surviving tail with top_12_slowest.
+                "session_control": session_control,
                 # store-roundtrip queries execute a real storage write at
                 # DataFrame construction (the leg they exist to prove):
                 # BOTH their cold and warm figures include that rewrite
