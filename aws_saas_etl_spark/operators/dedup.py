@@ -33,7 +33,7 @@ not a re-tokenization.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.memo import MemoDict
@@ -482,6 +482,26 @@ def minhash_lsh_incremental_pairs(spark, sf_dir: str) -> DataFrame:
 minhash_lsh_incremental_pairs.side_effecting = True
 
 
+def _prefix_len_expr(min_jaccard: float) -> Column:
+    """PPJoin prefix length ``sz − ⌈t·sz⌉ + 1`` over the ``sz`` column,
+    with the ceiling in exact rational arithmetic — float ``ceil(0.4*5)``
+    is 3, not 2, which would silently SHORTEN prefixes and drop true
+    pairs. Shared by ``_prefix_candidates``, the incremental-merge delta
+    posting builder, and the LSH recall report's truth arm (ADVICE r10:
+    one definition, so a threshold/formula fix cannot skew one arm)."""
+    from fractions import Fraction
+
+    frac = Fraction(str(min_jaccard))
+    num, den = frac.numerator, frac.denominator
+    # ceil as exact integer math (floor((num*sz + den - 1)/den)); double
+    # FP division is exact here (ints < 2^52)
+    return (
+        F.col("sz")
+        - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den))
+        + 1
+    ).cast("int")
+
+
 def _prefix_candidates(sh: DataFrame, min_jaccard: float) -> DataFrame:
     """EXACT candidate pairs via prefix filtering (Bayardo et al., WWW'07
     "Scaling Up All Pairs Similarity Search" / PPJoin): order each doc's
@@ -511,19 +531,9 @@ def _prefix_candidates(sh: DataFrame, min_jaccard: float) -> DataFrame:
     (lang, lb, shingle) — candidate generation stays bounded per key.
     Returns distinct (lang, doc_id_a, doc_id_b).
     """
-    from fractions import Fraction
-
     from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
 
-    frac = Fraction(str(min_jaccard))
-    num, den = frac.numerator, frac.denominator
-    # prefix_len = sz - ceil(t*sz) + 1, ceil as exact integer math
-    # (floor((num*sz + den - 1)/den)); double FP is exact here (ints < 2^52)
-    pfx_len = (
-        F.col("sz")
-        - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den))
-        + 1
-    ).cast("int")
+    pfx_len = _prefix_len_expr(min_jaccard)
     pfx = sh.select(
         "lang",
         "lb",
@@ -986,15 +996,7 @@ def _merge_delta_into_labels(
     over {star edges of the stored assignment} ∪ {delta pairs}. The
     historical side is already collapsed, so the loop converges in ≈ 2
     rounds regardless of historical diameter."""
-    from fractions import Fraction
-
-    frac = Fraction("0.4")
-    num, den = frac.numerator, frac.denominator
-    pfx_len = (
-        F.col("sz")
-        - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den))
-        + 1
-    ).cast("int")
+    pfx_len = _prefix_len_expr(0.4)
     posts = tagged.select(
         "lang",
         "lb",
@@ -1212,21 +1214,14 @@ def dedup_lsh_recall_report(spark, sf_dir: str) -> DataFrame:
     audit cost IS the claim, like ann_ladder_recall_report); α 0.39 at
     8× — the truth arm stays corpus-linear (SCALE.md).
     """
-    from fractions import Fraction
-
     from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
 
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents)
     sig = minhash_signatures(docs).withColumn("sz", F.size("sh"))
 
-    # truth arm: exact-Jaccard pairs >= JACCARD_MIN via prefix filtering
-    frac = Fraction(str(JACCARD_MIN))
-    num, den = frac.numerator, frac.denominator
-    pfx_len = (
-        F.col("sz")
-        - F.floor((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den))
-        + 1
-    ).cast("int")
+    # truth arm: exact-Jaccard pairs >= JACCARD_MIN via prefix filtering;
+    # prefix length shared with _prefix_candidates (ADVICE r10)
+    pfx_len = _prefix_len_expr(JACCARD_MIN)
     pfx = sig.select("doc_id", F.explode(F.slice("sh", F.lit(1), pfx_len)).alias("h"))
     cand = (
         bounded_self_pairs(pfx, ["h"], "doc_id", [])

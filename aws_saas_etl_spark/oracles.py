@@ -6055,7 +6055,6 @@ def _logreg_chain(prefix: str = "", fit_where: str = "") -> tuple[str, str]:
     denom = float(LOGREG_P_SCALE * LOGREG_X_SCALE)
     js = (1, 2, 3, 4)
 
-    z = " + ".join(f"w.w{j} * (x{j} / {xs})" for j in js)
     # explicit left-association to mirror the Spark expression tree
     z = f"((w.w1 * (x1 / {xs}) + w.w2 * (x2 / {xs})) + w.w3 * (x3 / {xs})) + w.w4 * (x4 / {xs})"
     pq = f"CAST(round((1.0 / (1.0 + exp(-({z})))) * {ps}) AS BIGINT)"
@@ -6328,11 +6327,15 @@ def _logreg_staleness_sql() -> str:
         prefix="st", fit_where="f.doc_id <= (SELECT cut FROM cutv)"
     )
     return f"""{body},
-    nall AS (SELECT count(*) AS n FROM f),
+    nall AS (SELECT count(DISTINCT doc_id) AS n FROM f),
     cutv AS (
+        -- rank over DISTINCT doc_id, matching the Spark side's
+        -- feats.select("doc_id").distinct() cut derivation (ADVICE r10):
+        -- the two definitions stay equal even if a fixture ever carries
+        -- a duplicate doc_id
         SELECT max(doc_id) AS cut FROM (
             SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
-            FROM f) r, nall
+            FROM (SELECT DISTINCT doc_id FROM f)) r, nall
         WHERE r.rn <= nall.n - nall.n // 10
     ),
     {stale_body}

@@ -35,7 +35,7 @@ from aws_saas_etl_spark.streaming import pipelines as P
 
 _STAGE_FILES = 3
 _run_seq = count()
-_stage_cache: dict[tuple[str, str], str] = {}
+_stage_cache: dict[tuple[str, ...], str] = {}
 
 
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
