@@ -13,7 +13,7 @@ JVM, no Python per row.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.memo import MemoDict
@@ -941,6 +941,53 @@ def ann_ladder_staleness_report(spark, sf_dir: str) -> DataFrame:
     the two per-row-code store roundtrips, the fleet's widest composite
     audit, scheduled at index-maintenance cadence, not per-query.
     """
+    return _ladder_staleness(spark, sf_dir)
+
+
+# The SQ8/BQ stale arms roundtrip their base code/signature stores —
+# constructing this DataFrame executes those manifest-sink writes.
+ann_ladder_staleness_report.side_effecting = True
+
+
+#: Keep-fraction (percent of hash buckets) for the sampled audit form —
+#: mirrors dedup.AUDIT_SAMPLE_PCT (VERDICT r10 #3).
+AUDIT_SAMPLE_PCT = 50
+
+
+def ann_ladder_staleness_report_sampled(spark, sf_dir: str) -> DataFrame:
+    """``ann_ladder_staleness_report`` over a SEEDED DETERMINISTIC query
+    sample — the production shape of the fleet's widest composite audit
+    (24 s cold at sf0.1; VERDICT r10 finding #3): per-query rows are
+    independent, so hit counts over a hash-stable query subset estimate
+    the full decision table at a fraction of the serving+truth cost,
+    exactly like the sampled LSH recall report bounds its truth arm.
+
+    The sample is ``hash_bucket(query_id) < AUDIT_SAMPLE_PCT`` — the
+    same md5-bucket assignment every sampling operator uses, a pure
+    function of the key. The predicate is applied to the truth arm and
+    to EVERY serving arm before the hit joins, so Catalyst pushes it
+    below each arm's top-k window (filter on the window's partition
+    key) into the query-side scan: the brute-force truth arm scores
+    only sampled queries × corpus, and each rung serves only sampled
+    queries. ``tests/test_similarity.py`` pins sampled ≡ full
+    restricted to sampled query_ids — the subset relation IS the
+    unbiasedness statement here (no estimation error within sampled
+    rows, the sample only chooses which rows exist).
+    """
+    from aws_saas_etl_spark.operators.sampling import hash_bucket
+
+    return _ladder_staleness(
+        spark, sf_dir, query_pred=hash_bucket("query_id") < AUDIT_SAMPLE_PCT
+    )
+
+
+ann_ladder_staleness_report_sampled.side_effecting = True
+
+
+def _ladder_staleness(spark, sf_dir: str, query_pred: Column | None = None) -> DataFrame:
+    """Shared builder for the full and query-sampled staleness reports;
+    ``query_pred`` (a predicate over ``query_id``) restricts truth and
+    every serving arm before the hit joins."""
     key = ["query_id", "neighbor_id"]
     truth = knn_bruteforce(spark, sf_dir).select(*key)
     arms = [
@@ -955,6 +1002,9 @@ def ann_ladder_staleness_report(spark, sf_dir: str) -> DataFrame:
         ("n_bq_fresh_hits", ann_bq_hamming_topk(spark, sf_dir)),
         ("n_bq_stale_hits", ann_bq_incremental_append(spark, sf_dir)),
     ]
+    if query_pred is not None:
+        truth = truth.where(query_pred)
+        arms = [(name, cand.where(query_pred)) for name, cand in arms]
     out = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
     for name, cand in arms:
         hits = (
@@ -969,11 +1019,6 @@ def ann_ladder_staleness_report(spark, sf_dir: str) -> DataFrame:
         "n_truth",
         *[F.coalesce(name, F.lit(0)).alias(name) for name, _ in arms],
     ).orderBy("query_id")
-
-
-# The SQ8/BQ stale arms roundtrip their base code/signature stores —
-# constructing this DataFrame executes those manifest-sink writes.
-ann_ladder_staleness_report.side_effecting = True
 
 
 #: Reciprocal-rank-fusion constant (Cormack et al. SIGIR'09 convention)

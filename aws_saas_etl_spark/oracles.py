@@ -432,7 +432,7 @@ NGRAM_JACCARD_SQL = f"""
 """
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(sample_where: str = "") -> str:
     """Shared CTE prefix reproducing the Spark MinHash-LSH path EXACTLY:
     md60 base hash (15 hex chars of md5 → bigint, identical to Spark's
     conv(substr(md5,1,15),16,10)), the same 64 affine permutations (the
@@ -462,7 +462,7 @@ def _minhash_ctes() -> str:
         for b in range(MINHASH_BANDS)
     )
     return f"""
-    t AS (SELECT doc_id, {toks('text')} AS tk FROM documents),
+    t AS (SELECT doc_id, {toks('text')} AS tk FROM documents{sample_where}),
     shl AS (
         SELECT doc_id,
                list_sort(list_transform({_SHINGLES},
@@ -535,13 +535,16 @@ MINHASH_LSH_PAIRS_SQL = _minhash_lsh_pairs_sql()
 DEDUP_DUPLICATE_CLUSTERS_SQL = _minhash_clusters_sql()
 
 
-def _lsh_recall_report_sql() -> str:
+def _lsh_recall_report_sql(sample_pct: int | None = None) -> str:
     """Twin of the LSH recall report: the shared MinHash CTEs supply the
     band candidate set; the truth arm re-derives exact-Jaccard pairs with
     a plain quadratic self-join (the oracle's job is semantics, not
     scale — the Spark side's prefix filter is the exact rewrite of this
     join, pinned by tests/test_pairs.py). Theory literals come from the
-    SAME Python dict the Spark plan binds."""
+    SAME Python dict the Spark plan binds. With ``sample_pct``, the base
+    ``t`` CTE — which feeds BOTH arms — is restricted by the identical
+    md5-bucket predicate the Spark sample uses, twinning the sampled
+    report form."""
     from aws_saas_etl_spark.operators.dedup import JACCARD_MIN, LSH_THEORY_CAPTURE
 
     theory_case = (
@@ -549,8 +552,13 @@ def _lsh_recall_report_sql() -> str:
         + " ".join(f"WHEN '{b}' THEN {p}" for b, p in LSH_THEORY_CAPTURE.items())
         + " ELSE NULL END"
     )
+    sample_where = (
+        f" WHERE {_hash_bucket_sql('doc_id')} < {sample_pct}"
+        if sample_pct is not None
+        else ""
+    )
     return f"""
-    WITH {_minhash_ctes()},
+    WITH {_minhash_ctes(sample_where)},
     truth AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -582,6 +590,15 @@ def _lsh_recall_report_sql() -> str:
 
 
 LSH_RECALL_REPORT_SQL = _lsh_recall_report_sql()
+
+
+def _lsh_recall_report_sampled_sql() -> str:
+    from aws_saas_etl_spark.operators.dedup import AUDIT_SAMPLE_PCT
+
+    return _lsh_recall_report_sql(sample_pct=AUDIT_SAMPLE_PCT)
+
+
+LSH_RECALL_REPORT_SAMPLED_SQL = _lsh_recall_report_sampled_sql()
 
 
 def _simhash_buckets_sql() -> str:
@@ -1784,6 +1801,55 @@ def _stream_sq8_code_sql() -> str:
 STREAM_SQ8_CODE_SQL = _stream_sq8_code_sql()
 
 
+def _stream_minhash_signature_sql() -> str:
+    """Twin of the streaming MinHash-signature ingest: per-document
+    signatures re-derived from the raw documents with the same md60 base
+    hash and MINHASH_A/MINHASH_B affine constants the batch twin reads,
+    reduced to the per-lang audit — signatures are a pure function of
+    each document's own text, so the batch aggregate IS the streamed
+    result (emission is batching-invariant). Sums run in DuckDB HUGEINT
+    and cast back to BIGINT (each min < 2³¹ ⇒ exact)."""
+    from aws_saas_etl_spark.operators.dedup import (
+        _M31,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_HASHES,
+    )
+
+    mins = ",\n               ".join(
+        f"list_aggregate(list_transform(sh, h -> "
+        f"({MINHASH_A[i]} * (h & {_M31}) + {MINHASH_B[i]}) % {_M31}), 'min')"
+        f" AS h{i}"
+        for i in range(MINHASH_HASHES)
+    )
+    sig_sum = " + ".join(f"h{i}" for i in range(MINHASH_HASHES))
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, {toks('text')} AS tk FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+    ),
+    shl AS (
+        SELECT doc_id, lang,
+               list_transform({_SHINGLES},
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS sh
+        FROM t
+    ),
+    sig AS (
+        SELECT doc_id, lang,
+               {mins}
+        FROM shl WHERE len(sh) > 0
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum({sig_sum}) AS BIGINT) AS sum_sig_sum,
+           CAST(sum(h0) AS BIGINT) AS sum_h_first,
+           CAST(sum(h{MINHASH_HASHES - 1}) AS BIGINT) AS sum_h_last
+    FROM sig GROUP BY lang ORDER BY lang
+"""
+
+
+STREAM_MINHASH_SIGNATURE_SQL = _stream_minhash_signature_sql()
+
+
 def _ann_sq8_sql(serve_where: str | None = None) -> str:
     """Twin of the SQ8 search: identical normalization (bit-identical
     doubles), floor(û·127 + 0.5) round-half-up int8 codes, EXACT BIGINT
@@ -2141,14 +2207,17 @@ def _ann_ladder_recall_sql() -> str:
 ANN_LADDER_RECALL_SQL = _ann_ladder_recall_sql()
 
 
-def _ann_ladder_staleness_sql() -> str:
+def _ann_ladder_staleness_sql(sample_pct: int | None = None) -> str:
     """Twin of the ladder staleness report: per rung, the fresh twin and
     the stale (incremental-append) twin as CTEs joined into per-query
     integer hit counts. SQ8 and BQ carry NO trained artifact — their
     append paths are the same stateless encoder plus a store roundtrip —
     so their stale CTEs alias the fresh ones (``SELECT * FROM ...``):
     the twin STATES the exactness the report proves, rather than
-    re-running an identical chain."""
+    re-running an identical chain. With ``sample_pct``, the truth CTE is
+    restricted by the same md5-bucket query-sample predicate the Spark
+    sampled form uses (per-query rows are independent, so restricting
+    truth restricts the report — every hit CTE left-joins from it)."""
     arms: dict[str, str] = {
         "ivf_fresh": f"({ANN_IVF_TOPK_SQL})",
         "ivf_stale": f"({ANN_IVF_INCREMENTAL_SQL})",
@@ -2174,8 +2243,14 @@ def _ann_ladder_staleness_sql() -> str:
     joins = "\n    ".join(
         f"LEFT JOIN h_{n} ON base.query_id = h_{n}.query_id" for n in arms
     )
+    sample_where = (
+        f" WHERE {_hash_bucket_sql('query_id')} < {sample_pct}"
+        if sample_pct is not None
+        else ""
+    )
     return f"""
-    WITH truth AS ({KNN_BRUTEFORCE_SQL}),
+    WITH truth_all AS ({KNN_BRUTEFORCE_SQL}),
+    truth AS (SELECT * FROM truth_all{sample_where}),
     {ctes},
     base AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1),
     {hits}
@@ -2188,6 +2263,15 @@ def _ann_ladder_staleness_sql() -> str:
 
 
 ANN_LADDER_STALENESS_SQL = _ann_ladder_staleness_sql()
+
+
+def _ann_ladder_staleness_sampled_sql() -> str:
+    from aws_saas_etl_spark.operators.similarity import AUDIT_SAMPLE_PCT
+
+    return _ann_ladder_staleness_sql(sample_pct=AUDIT_SAMPLE_PCT)
+
+
+ANN_LADDER_STALENESS_SAMPLED_SQL = _ann_ladder_staleness_sampled_sql()
 
 
 def _triplet_mining_sql() -> str:

@@ -311,6 +311,14 @@ register(
     dedup.dedup_lsh_recall_report,
     oracles.LSH_RECALL_REPORT_SQL,
 )
+# the 100 TB shape of the recall audit (VERDICT r10 #3): both arms over a
+# seeded md5-bucket corpus sample — truth-arm cost is sample-bounded;
+# within-sample pairs are an unbiased recall estimate
+register(
+    "dedup_lsh_recall_report_sampled",
+    dedup.dedup_lsh_recall_report_sampled,
+    oracles.LSH_RECALL_REPORT_SAMPLED_SQL,
+)
 # the dedup arm's stored artifact: the 66-column signature table through
 # the exactly-once sink, pairs served from STORED rows (same pairs twin
 # proves write -> read -> serve lossless)
@@ -876,6 +884,15 @@ register(
     runners.stream_logreg_score_ingest,
     oracles.STREAM_LOGREG_SCORE_SQL,
 )
+# third per-row streaming maintenance rung (r11, VERDICT r10 #4): MinHash
+# signatures are a pure function of each doc's own text — the ingest that
+# keeps LSH dedup state fresh between nightly merges, same
+# batching-invariant full value-hash oracle as the BQ/SQ8 rungs
+register(
+    "stream_minhash_signature_ingest",
+    runners.stream_minhash_signature_ingest,
+    oracles.STREAM_MINHASH_SIGNATURE_SQL,
+)
 # Spark 4 Python UDTF (@udtf, Arrow-batched) via LATERAL join: the
 # sliding-window chunking table function, closed-form span twin in DuckDB
 register("doc_chunk_spans", textops.doc_chunk_spans, oracles.DOC_CHUNK_SPANS_SQL)
@@ -1383,6 +1400,14 @@ register(
     "ann_ladder_staleness_report",
     similarity.ann_ladder_staleness_report,
     oracles.ANN_LADDER_STALENESS_SQL,
+)
+# the 100 TB shape of the widest composite audit (VERDICT r10 #3): the
+# same decision table over a seeded md5-bucket QUERY sample, the predicate
+# pushed below every arm's top-k window into the query-side scan
+register(
+    "ann_ladder_staleness_report_sampled",
+    similarity.ann_ladder_staleness_report_sampled,
+    oracles.ANN_LADDER_STALENESS_SAMPLED_SQL,
 )
 
 

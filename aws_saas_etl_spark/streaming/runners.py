@@ -624,3 +624,98 @@ def stream_logreg_score_ingest(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def stream_minhash_signature_ingest(spark, sf_dir: str) -> DataFrame:
+    """STREAMING MinHash-signature maintenance — the third per-row rung
+    (after BQ signs and SQ8 codes; VERDICT r10 #4), closing the dedup
+    arm's lifecycle: documents arrive as a file stream and each
+    micro-batch computes the 64-permutation MinHash signature that
+    ``minhash_signature_store_roundtrip`` persists and the LSH pair
+    queries serve from — the ingest that keeps LSH dedup state fresh
+    between nightly merges. Signatures are a PURE FUNCTION of each
+    document's own text (min over its hashed shingle set per affine
+    permutation — no trained artifact, no cross-document state), so
+    append mode emits every document's signature exactly once regardless
+    of file batching, and the query carries a FULL value-hash oracle:
+    the drained signature table reduces to a per-lang audit over exact
+    BIGINT aggregates (count, Σ per-doc signature sums, Σ of the first
+    and last permutation mins) that is order- and batching-invariant.
+
+    Shape note: the batch path (``dedup.minhash_signatures``) explodes
+    shingles and fuses 64 ``min`` aggregates into one groupBy because a
+    corpus-scale shuffle amortizes the codegen win; a streaming
+    micro-batch map must stay SHUFFLE-FREE, so here each row computes
+    its mins with ``array_min`` over higher-order transforms — the
+    hashed shingle array is materialized once in its own projection
+    (CollapseProject keeps non-cheap producers used >1× out of consumer
+    projections, so md5 runs once per shingle, not 64×) and the 64
+    three-integer-op affine passes walk the in-memory array. Identical
+    values by construction; the oracle re-derives them from the same
+    MINHASH_A/MINHASH_B constants the batch twin reads.
+
+    Production shape: the sink is the signature store the roundtrip
+    query proves; per-batch cost is |batch| signature maps — no state
+    store, no shuffle until the bounded audit aggregate. Int64 bounds:
+    each min < 2³¹, a per-doc sum of 64 of them < 2³⁷, so the audit sums
+    stay exact past 10⁸ docs per lang.
+    """
+    import functools
+    import operator
+
+    from aws_saas_etl_spark.operators.dedup import (
+        _M31,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_HASHES,
+        md60,
+        shingles,
+    )
+
+    path = _staged_documents_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    shh = F.transform(shingles(F.col("text")), md60)
+    rows = (
+        stream.where(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & F.col("lang").isNotNull()
+        )
+        .select("doc_id", "lang", shh.alias("shh"))
+        .where(F.size("shh") > 0)
+    )
+
+    def perm_min(i: int):
+        return F.array_min(
+            F.transform(
+                "shh",
+                lambda h: (
+                    h.bitwiseAND(F.lit(_M31)) * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])
+                )
+                % F.lit(_M31),
+            )
+        )
+
+    his = [perm_min(i) for i in range(MINHASH_HASHES)]
+    sig = rows.select(
+        "doc_id",
+        "lang",
+        functools.reduce(operator.add, his).cast("long").alias("sig_sum"),
+        his[0].cast("long").alias("h_first"),
+        his[-1].cast("long").alias("h_last"),
+    )
+    drained = _drain(sig, "append")
+    return (
+        drained.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sig_sum").alias("sum_sig_sum"),
+            F.sum("h_first").alias("sum_h_first"),
+            F.sum("h_last").alias("sum_h_last"),
+        )
+        .orderBy("lang")
+    )

@@ -1120,3 +1120,34 @@ def test_lexical_pruning_drops_hot_tokens(spark):
 
     unpruned = doc_lexical_topk_indexed(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, out)) != sorted(map(tuple, unpruned))
+
+
+def test_sampled_staleness_report_equals_full_restricted(spark):
+    """The sampled audit form (VERDICT r10 #3) must be EXACTLY the full
+    decision table restricted to sampled query_ids: per-query rows are
+    independent (truth, every arm, and the hit joins are all keyed by
+    query_id), so the hash-stable query sample chooses WHICH rows exist
+    and never changes a surviving row's counts."""
+    import hashlib
+
+    from aws_saas_etl_spark.operators.similarity import (
+        AUDIT_SAMPLE_PCT,
+        ann_ladder_staleness_report,
+        ann_ladder_staleness_report_sampled,
+    )
+
+    def bucket(qid: int) -> int:
+        return int(hashlib.md5(str(qid).encode()).hexdigest()[:15], 16) % 100
+
+    full = {
+        r.query_id: tuple(r)
+        for r in ann_ladder_staleness_report(spark, SF_SMOKE).collect()
+    }
+    sampled = {
+        r.query_id: tuple(r)
+        for r in ann_ladder_staleness_report_sampled(spark, SF_SMOKE).collect()
+    }
+    expected = {q: t for q, t in full.items() if bucket(q) < AUDIT_SAMPLE_PCT}
+    assert sampled == expected
+    # the fixture query set must exercise the sample both ways
+    assert 0 < len(sampled) < len(full)

@@ -647,3 +647,50 @@ def test_stream_logreg_score_ingest_matches_batch(spark):
         .collect()
     )
     assert streamed == batch
+
+
+def test_stream_minhash_signature_ingest_matches_batch(spark):
+    """The MinHash ingest stream must equal the audit over the BATCH
+    signature path (``dedup.minhash_signatures`` — explode + fused-min
+    groupBy) — pinning both the batching-invariance claim its full
+    value-hash oracle rests on AND the equivalence of the streaming
+    per-row array_min/transform encode to the batch shuffle encode."""
+    import functools
+    import operator
+
+    from aws_saas_etl_spark.operators.dedup import (
+        MINHASH_HASHES,
+        minhash_signatures,
+    )
+    from aws_saas_etl_spark.streaming.runners import (
+        stream_minhash_signature_ingest,
+    )
+
+    streamed = sorted(
+        tuple(r) for r in stream_minhash_signature_ingest(spark, SF).collect()
+    )
+    docs = load_table(spark, SF, "documents").where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    sig = minhash_signatures(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    his = [F.col(f"h{i}") for i in range(MINHASH_HASHES)]
+    batch = sorted(
+        tuple(r)
+        for r in sig.select(
+            "lang",
+            functools.reduce(operator.add, his).cast("long").alias("sig_sum"),
+            his[0].cast("long").alias("h_first"),
+            his[-1].cast("long").alias("h_last"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sig_sum").alias("sum_sig_sum"),
+            F.sum("h_first").alias("sum_h_first"),
+            F.sum("h_last").alias("sum_h_last"),
+        )
+        .collect()
+    )
+    assert streamed == batch
