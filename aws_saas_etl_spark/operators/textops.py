@@ -1550,3 +1550,108 @@ def bpe_merges_store_roundtrip(
 # Constructing this query's DataFrame EXECUTES the merge learning and a
 # real manifest-sink write — the storage leg it exists to prove.
 bpe_merges_store_roundtrip.side_effecting = True
+
+
+#: The BPE staleness base slice keeps the FIRST HALF of doc_ids (the
+#: "tokenizer trained last year" story). Half, not the incremental
+#: queries' 90%: measured at sf0.01, removing 10% of docs leaves the
+#: top-3 pair ranking identical (drift 0 — a vacuous audit), while the
+#: half-corpus fit flips ranks 2-3 ('i n'/'o w' → 's t'/'o r'), so the
+#: report exercises BOTH the agreeing and the diverging regime.
+BPE_STALE_DENOM = 2
+
+
+def bpe_staleness_report(
+    spark, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """STALE-vs-FRESH audit for the tokenizer artifact — the
+    ``logreg_staleness_report`` shape for the second trained non-ANN
+    artifact (VERDICT r10 #5), completing the when-to-refit story: merge
+    rules learned on the historical BASE SLICE (first half of doc_ids by
+    the integer-rank cut every ``*_incremental`` query uses) versus rules
+    learned FRESH, both applied to the GROWN (full) corpus, reduced to a
+    1-row pricing table:
+
+    - ``n_rules_same_rank`` / ``n_rules_shared``: the rule-set diff
+      (rank-exact matches, and matches anywhere in the set — a rule that
+      merely moved ranks still tokenizes identically on its own);
+    - ``n_docs_drifted`` + the symbol-count sums: what the stale rules
+      COST on today's corpus — per-doc BPE symbol counts under stale vs
+      fresh rules (the quantity a token-budget planner thresholds on).
+
+    All columns are exact integers, so the gate hashes float-free.
+
+    Scale shape: two merge-learning chains (each iterates on the bounded
+    VOCAB table — model-size work, the ``corpus_bpe_merges`` argument),
+    ONE shared full-corpus vocab that both rule sets rewrite via 1-row
+    broadcast joins, and the corpus touched twice (vocab build + the
+    scoring join against the ≤vocab-size per-token symbol counts). The
+    rule frames are localCheckpoint'ed (≤ ``n_merges`` rows) so rank
+    selection doesn't re-run the learning chain per rule.
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    ids = docs.select("doc_id").distinct()
+    n = ids.count()
+    cut = (
+        ids.orderBy("doc_id")
+        .limit(n - n // BPE_STALE_DENOM)
+        .agg(F.max("doc_id"))
+        .first()[0]
+    )
+
+    fresh_rules = bpe_merges(docs, n_merges).localCheckpoint()
+    stale_rules = bpe_merges(
+        docs.where(F.col("doc_id") <= F.lit(cut)), n_merges
+    ).localCheckpoint()
+
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    v_full = _bpe_vocab(docs, with_token=True)
+
+    def apply_rules(rules: DataFrame) -> DataFrame:
+        v = v_full
+        for rank in range(1, n_merges + 1):
+            rule = rules.where(F.col("merge_rank") == rank).select(
+                F.concat("left_sym", F.lit(" "), "right_sym").alias("pair")
+            )
+            v = _apply_merge(v, rule, keep=["token", "freq"])
+        return v
+
+    fresh = _bpe_doc_counts(tok, apply_rules(fresh_rules)).select(
+        "doc_id", F.col("bpe_symbols").alias("syms_fresh")
+    )
+    stale = _bpe_doc_counts(tok, apply_rules(stale_rules)).select(
+        "doc_id", F.col("bpe_symbols").alias("syms_stale")
+    )
+    drift = fresh.join(stale, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("syms_fresh") != F.col("syms_stale")).cast("bigint")).alias(
+            "n_docs_drifted"
+        ),
+        F.sum("syms_fresh").cast("bigint").alias("sum_syms_fresh"),
+        F.sum("syms_stale").cast("bigint").alias("sum_syms_stale"),
+    )
+
+    fr = fresh_rules.select(
+        F.col("merge_rank").alias("rank_f"), F.col("merged").alias("merged_f")
+    )
+    st = stale_rules.select(
+        F.col("merge_rank").alias("rank_s"), F.col("merged").alias("merged_s")
+    )
+    rules_diff = fr.join(F.broadcast(st), F.col("merged_f") == F.col("merged_s"), "left").agg(
+        F.count(F.lit(1)).alias("n_rules"),
+        F.sum(
+            (F.col("rank_f") == F.col("rank_s")).cast("bigint")
+        ).alias("n_rules_same_rank"),
+        F.sum(F.col("rank_s").isNotNull().cast("bigint")).alias("n_rules_shared"),
+    )
+    return rules_diff.crossJoin(drift).select(
+        "n_rules",
+        F.coalesce("n_rules_same_rank", F.lit(0)).alias("n_rules_same_rank"),
+        "n_rules_shared",
+        "n_docs",
+        "n_docs_drifted",
+        "sum_syms_fresh",
+        "sum_syms_stale",
+    )

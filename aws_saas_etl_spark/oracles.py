@@ -6347,6 +6347,149 @@ def _bpe_tokenize_sql() -> str:
 BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
 
 
+def _bpe_learn_rounds(tag: str, v0: str, n_merges: int, carry_token: bool) -> str:
+    """Unrolled BPE rounds under a CTE-name ``tag``: per round the pair
+    count over ``{tag}v{i-1}``, the (freq DESC, pair ASC) argmax
+    ``{tag}b{i}``, and the rewritten vocab ``{tag}v{i}`` (token column
+    carried through when ``carry_token``). Shared by the staleness twin's
+    fresh and stale chains."""
+    tok_col = "v.token,\n               " if carry_token else ""
+    rounds = []
+    prev = v0
+    for i in range(1, n_merges + 1):
+        rounds.append(
+            f"""{tag}p{i} AS (
+        SELECT pair, sum(freq) AS freq
+        FROM (SELECT freq,
+                     unnest(list_transform(generate_series(1, len(a) - 1),
+                                           k -> a[k] || ' ' || a[k + 1])) AS pair
+              FROM (SELECT string_split(s, ' ') AS a, freq FROM {prev}))
+        GROUP BY pair
+    ),
+    {tag}b{i} AS (SELECT pair FROM {tag}p{i} ORDER BY freq DESC, pair ASC LIMIT 1),
+    {tag}v{i} AS (
+        SELECT {tok_col}trim(replace(replace(' ' || v.s || ' ',
+                                    ' ' || b.pair || ' ',
+                                    ' ' || replace(b.pair, ' ', '') || ' '),
+                            ' ' || b.pair || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' ')) AS s,
+               v.freq
+        FROM {prev} v, {tag}b{i} b
+    )"""
+        )
+        prev = f"{tag}v{i}"
+    return ",\n    ".join(rounds)
+
+
+def _bpe_apply_rounds(tag: str, rule_tag: str, v0: str, n_merges: int) -> str:
+    """Rewrite a token-carrying vocab under ANOTHER chain's learned rules
+    (``{rule_tag}b{i}``) — the staleness twin's 'stale rules applied to
+    the grown corpus' arm."""
+    rounds = []
+    prev = v0
+    for i in range(1, n_merges + 1):
+        rounds.append(
+            f"""{tag}v{i} AS (
+        SELECT v.token,
+               trim(replace(replace(' ' || v.s || ' ',
+                                    ' ' || b.pair || ' ',
+                                    ' ' || replace(b.pair, ' ', '') || ' '),
+                            ' ' || b.pair || ' ',
+                            ' ' || replace(b.pair, ' ', '') || ' ')) AS s,
+               v.freq
+        FROM {prev} v, {rule_tag}b{i} b
+    )"""
+        )
+        prev = f"{tag}v{i}"
+    return ",\n    ".join(rounds)
+
+
+def _bpe_staleness_sql() -> str:
+    """Twin of the tokenizer staleness report: a FRESH chain (learn on
+    the full corpus, token carried — the tokenize twin's shape) and a
+    STALE chain (learn on the base half-slice via the integer-rank cut
+    over DISTINCT doc_id, then APPLY those rules to the full vocab),
+    reduced to the 1-row rule-diff + symbol-drift pricing table. All
+    outputs exact integers; DuckDB HUGEINT sums cast back to BIGINT."""
+    from aws_saas_etl_spark.operators.textops import BPE_MERGES, BPE_STALE_DENOM
+
+    fresh_rules = "\n        UNION ALL ".join(
+        f"SELECT {i} AS rank_f, replace(pair, ' ', '') AS merged_f FROM fb{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    stale_rules = "\n        UNION ALL ".join(
+        f"SELECT {i} AS rank_s, replace(pair, ' ', '') AS merged_s FROM sb{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    nall AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+    cutv AS (
+        SELECT max(doc_id) AS cut FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+            FROM (SELECT DISTINCT doc_id FROM d)) r, nall
+        WHERE r.rn <= nall.n - nall.n // {BPE_STALE_DENOM}
+    ),
+    tok AS (SELECT doc_id, unnest({toks('text')}) AS token FROM d),
+    fv0 AS (
+        SELECT token, trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS s, freq
+        FROM (SELECT token, CAST(count(*) AS BIGINT) AS freq
+              FROM tok GROUP BY token)
+    ),
+    sv0 AS (
+        SELECT trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS s, freq
+        FROM (SELECT token, CAST(count(*) AS BIGINT) AS freq
+              FROM tok WHERE doc_id <= (SELECT cut FROM cutv)
+              GROUP BY token)
+    ),
+    {_bpe_learn_rounds('f', 'fv0', BPE_MERGES, carry_token=True)},
+    {_bpe_learn_rounds('s', 'sv0', BPE_MERGES, carry_token=False)},
+    {_bpe_apply_rounds('a', 's', 'fv0', BPE_MERGES)},
+    ptf AS (SELECT token, len(string_split(s, ' ')) AS n_syms FROM fv{BPE_MERGES}),
+    pts AS (SELECT token, len(string_split(s, ' ')) AS n_syms FROM av{BPE_MERGES}),
+    fresh AS (
+        SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS syms_fresh
+        FROM tok JOIN ptf USING (token) GROUP BY doc_id
+    ),
+    stale AS (
+        SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS syms_stale
+        FROM tok JOIN pts USING (token) GROUP BY doc_id
+    ),
+    drift AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN syms_fresh <> syms_stale THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_drifted,
+               CAST(sum(syms_fresh) AS BIGINT) AS sum_syms_fresh,
+               CAST(sum(syms_stale) AS BIGINT) AS sum_syms_stale
+        FROM fresh JOIN stale USING (doc_id)
+    ),
+    frules AS (
+        {fresh_rules}
+    ),
+    srules AS (
+        {stale_rules}
+    ),
+    rd AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rules,
+               CAST(coalesce(sum(CASE WHEN rank_f = rank_s THEN 1 END), 0)
+                    AS BIGINT) AS n_rules_same_rank,
+               CAST(sum(CASE WHEN rank_s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rules_shared
+        FROM frules LEFT JOIN srules ON merged_f = merged_s
+    )
+    SELECT rd.n_rules, rd.n_rules_same_rank, rd.n_rules_shared,
+           drift.n_docs, drift.n_docs_drifted,
+           drift.sum_syms_fresh, drift.sum_syms_stale
+    FROM rd, drift
+"""
+
+
+BPE_STALENESS_SQL = _bpe_staleness_sql()
+
+
 def _stream_logreg_score_sql() -> str:
     """Twin of the streaming scorer: the same unrolled-GD chain, scores
     quantized to exact BIGINT and reduced to the per-label audit the

@@ -988,6 +988,14 @@ register(
     textops.bpe_merges_store_roundtrip,
     oracles.BPE_TOKENIZE_SQL,
 )
+# ... and the tokenizer's refit-pricing row (r11, VERDICT r10 #5): rules
+# learned on the base half-slice vs fresh rules, both applied to the
+# grown corpus — rule-set diff + per-doc symbol drift, all-integer
+register(
+    "bpe_staleness_report",
+    textops.bpe_staleness_report,
+    oracles.BPE_STALENESS_SQL,
+)
 # group-wise model fit as ALGEBRA: per-type daily-trend OLS from five
 # integer sufficient statistics — no Python, one groupBy
 register(

@@ -909,3 +909,44 @@ def test_quality_filtered_manifest_semantics(spark):
                if r.split == split and r.shard == shard
                for r in [filt[d]]]
         assert got == docs_in, (split, shard)
+
+
+def test_bpe_staleness_report_hand_computable(spark, tmp_path):
+    """Pins the tokenizer staleness report end-to-end on an engineered
+    4-doc corpus where every cell is hand-computable. Base slice =
+    first half (docs 0,1: hug×4 pug×2 each) learns [ug, hug, pug];
+    the grown corpus adds docs 2,3 (bed×20 each) so the fresh fit
+    learns [be, bed, ug] — one shared rule at a DIFFERENT rank. Applied
+    to the grown corpus: fresh syms 12+12+20+20=64, stale syms
+    6+6+60+60=132, every doc drifts."""
+    import os
+
+    from aws_saas_etl_spark.operators.textops import bpe_staleness_report
+    from aws_saas_etl_spark.catalog import TABLES, table_path
+    from tests.conftest import SF_SMOKE
+
+    sf_dir = str(tmp_path / "sf_bpe")
+    os.makedirs(sf_dir)
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(table_path(SF_SMOKE, name), table_path(sf_dir, name))
+    rows = [
+        (0, "en", "hug hug hug hug pug pug"),
+        (1, "en", "hug hug hug hug pug pug"),
+        (2, "en", " ".join(["bed"] * 20)),
+        (3, "en", " ".join(["bed"] * 20)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).coalesce(1).write.parquet(table_path(sf_dir, "documents"))
+
+    (r,) = bpe_staleness_report(spark, sf_dir).collect()
+    assert (
+        r.n_rules,
+        r.n_rules_same_rank,
+        r.n_rules_shared,
+        r.n_docs,
+        r.n_docs_drifted,
+        r.sum_syms_fresh,
+        r.sum_syms_stale,
+    ) == (3, 0, 1, 4, 4, 64, 132), tuple(r)
