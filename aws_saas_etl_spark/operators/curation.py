@@ -1826,6 +1826,50 @@ def training_manifest_quality_filtered(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def training_manifest_span_cleaned(spark, sf_dir: str) -> DataFrame:
+    """SPAN-CLEANED training manifest — the substring-dedup rewrite
+    (``doc_duplicate_span_removal``) composed into the pipeline artifact
+    (VERDICT r10 #6): the manifest's keep-best/split/shard structure is
+    computed as always, then each surviving row's token accounting flows
+    through the CLEANED text — ``kept_tokens``/``removed_tokens`` ride
+    alongside the original ``n_tokens`` (their sum, the conservation law
+    ``tests/test_functions.py`` pins), and documents whose every token
+    sat inside a cross-document duplicated span drop from the manifest
+    entirely (an all-boilerplate doc trains nothing), with shard
+    positions closing ranks. This is the Lee et al. ACL'22 ordering a
+    production pipeline runs: document-level dedup chooses WHICH docs
+    ship; substring-level dedup rewrites WHAT of each doc ships; the
+    manifest records both.
+
+    Scale shape: the manifest chain and the span rewrite are existing
+    corpus-linear intermediates; composing them adds ONE doc_id-keyed
+    join and the stored-pos re-rank window — at 100 TB only shards that
+    lost an emptied doc rewrite, the deletion-repair property.
+    """
+    from aws_saas_etl_spark.operators.textops import doc_duplicate_span_removal
+
+    man = _full_manifest(spark, sf_dir)
+    cleaned = doc_duplicate_span_removal(spark, sf_dir).select(
+        "doc_id", "kept_tokens", "removed_tokens"
+    )
+    w = Window.partitionBy("split", "shard").orderBy("pos")
+    return (
+        man.join(cleaned, "doc_id")
+        .where(F.col("kept_tokens") > 0)
+        .withColumn("pos", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "split",
+            "shard",
+            "pos",
+            "n_tokens",
+            "kept_tokens",
+            "removed_tokens",
+        )
+        .orderBy("split", "shard", "pos")
+    )
+
+
 def logreg_staleness_report(spark, sf_dir: str) -> DataFrame:
     """Classifier STALENESS report — the model rung's entry in the
     when-to-refit story (``ann_ladder_staleness_report`` audits the ANN

@@ -6543,6 +6543,27 @@ def _quality_filtered_manifest_sql() -> str:
 QUALITY_FILTERED_MANIFEST_SQL = _quality_filtered_manifest_sql()
 
 
+def _span_cleaned_manifest_sql() -> str:
+    """Twin of the span-cleaned manifest: the full-manifest twin and the
+    span-removal twin (each already proven standalone) composed by one
+    doc_id join, emptied docs dropped, and the same stored-pos re-rank
+    as every manifest maintenance twin."""
+    return f"""
+    WITH man AS ({TRAINING_MANIFEST_SQL}),
+    sr AS ({DUPLICATE_SPAN_REMOVAL_SQL})
+    SELECT m.doc_id, m.split, m.shard,
+           row_number() OVER (PARTITION BY m.split, m.shard ORDER BY m.pos)
+               AS pos,
+           m.n_tokens, sr.kept_tokens, sr.removed_tokens
+    FROM man m JOIN sr USING (doc_id)
+    WHERE sr.kept_tokens > 0
+    ORDER BY m.split, m.shard, pos
+"""
+
+
+SPAN_CLEANED_MANIFEST_SQL = _span_cleaned_manifest_sql()
+
+
 def _logreg_staleness_sql() -> str:
     """Twin of the classifier staleness report: the fresh chain (fit on
     all docs) and a prefixed stale chain (gradients restricted to the

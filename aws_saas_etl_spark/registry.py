@@ -1075,6 +1075,14 @@ register(
     curation.training_manifest_quality_filtered,
     oracles.QUALITY_FILTERED_MANIFEST_SQL,
 )
+# ... and the substring-dedup rewrite composed into the artifact (r11,
+# VERDICT r10 #6): token accounting flows through kept_tokens (sum
+# conservation pytest-pinned), fully-emptied docs drop with rank closing
+register(
+    "training_manifest_span_cleaned",
+    curation.training_manifest_span_cleaned,
+    oracles.SPAN_CLEANED_MANIFEST_SQL,
+)
 # incremental manifest maintenance: stored rows + delta-sized repair,
 # proven equal to the full recompute by the SAME manifest oracle
 register(

@@ -950,3 +950,49 @@ def test_bpe_staleness_report_hand_computable(spark, tmp_path):
         r.sum_syms_fresh,
         r.sum_syms_stale,
     ) == (3, 0, 1, 4, 4, 64, 132), tuple(r)
+
+
+def test_span_cleaned_manifest_token_conservation(spark):
+    """Pins the span-cleaned manifest composition on the smoke corpus:
+    (1) token conservation — every row's n_tokens == kept_tokens +
+    removed_tokens (the manifest's token_count and the rewrite's
+    tokenization are the same function); (2) membership — exactly the
+    base-manifest docs whose cleaned text is non-empty, in their
+    original relative order with positions closing ranks; (3) the
+    kept_tokens column agrees with the standalone rewrite."""
+    from aws_saas_etl_spark.operators.curation import (
+        training_manifest,
+        training_manifest_span_cleaned,
+    )
+    from aws_saas_etl_spark.operators.textops import doc_duplicate_span_removal
+    from tests.conftest import SF_SMOKE
+
+    rows = training_manifest_span_cleaned(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens == r.kept_tokens + r.removed_tokens, tuple(r)
+        assert r.kept_tokens > 0
+
+    base = {
+        r.doc_id: r for r in training_manifest(spark, SF_SMOKE).collect()
+    }
+    cleaned = {
+        r.doc_id: r for r in doc_duplicate_span_removal(spark, SF_SMOKE).collect()
+    }
+    expected_ids = {
+        d for d in base if d in cleaned and cleaned[d].kept_tokens > 0
+    }
+    assert {r.doc_id for r in rows} == expected_ids
+    for r in rows:
+        assert r.kept_tokens == cleaned[r.doc_id].kept_tokens
+
+    # positions close ranks: dense 1..n per (split, shard), original order
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.split, r.shard, r.pos)):
+        by_shard[(r.split, r.shard)].append(r)
+    for key, rs in by_shard.items():
+        assert [r.pos for r in rs] == list(range(1, len(rs) + 1)), key
+        base_pos = [base[r.doc_id].pos for r in rs]
+        assert base_pos == sorted(base_pos), key
