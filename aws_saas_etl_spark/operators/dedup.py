@@ -1411,11 +1411,22 @@ def dedup_funnel_report(spark, sf_dir: str) -> DataFrame:
     for the near-dup rung), so ``n_removed = n_docs − n_groups`` is
     comparable down the whole funnel.
 
+    The 5th rung (r11, VERDICT r10 #7) prices the REWRITE: substring
+    dedup removes TOKENS, not documents, so its row switches unit (the
+    ``unit`` column makes that explicit) — ``n_docs`` holds the corpus's
+    total token count, ``n_groups`` the tokens the span rewrite keeps,
+    ``n_removed`` the tokens inside cross-document duplicated spans.
+    With it the funnel prices ALL rungs of the ladder in one artifact:
+    how many docs each hash/near-dup rung drops, and how many tokens
+    the substring pass additionally cuts from the survivors' texts.
+
     Scale shape: the three hash rungs share ONE aggregate pass (three
     count-distincts over the same scan); the near-dup rung reuses the
-    proven pairs → checkpointed-CC chain and reduces it to two counts.
-    Output: 4 rows.
+    proven pairs → checkpointed-CC chain and reduces it to two counts;
+    the span rung reuses the coverage metric's gram aggregates
+    (``doc_crossdoc_duplication``) reduced to two sums. Output: 5 rows.
     """
+    from aws_saas_etl_spark.operators.textops import doc_crossdoc_duplication
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
@@ -1441,15 +1452,28 @@ def dedup_funnel_report(spark, sf_dir: str) -> DataFrame:
     def stage(name, groups_col):
         return j.select(
             F.lit(name).alias("stage"),
+            F.lit("docs").alias("unit"),
             F.col("n_docs").cast("bigint").alias("n_docs"),
             groups_col.cast("bigint").alias("n_groups"),
             (F.col("n_docs") - groups_col).cast("bigint").alias("n_removed"),
         )
+
+    span = doc_crossdoc_duplication(spark, sf_dir).agg(
+        F.sum("n_tokens").alias("tot"), F.sum("dup_tokens").alias("rem")
+    )
+    span_row = span.select(
+        F.lit("5_span_tokens").alias("stage"),
+        F.lit("tokens").alias("unit"),
+        F.col("tot").cast("bigint").alias("n_docs"),
+        (F.col("tot") - F.col("rem")).cast("bigint").alias("n_groups"),
+        F.col("rem").cast("bigint").alias("n_removed"),
+    )
 
     out = (
         stage("1_exact", F.col("g_exact"))
         .unionByName(stage("2_normalized", F.col("g_norm")))
         .unionByName(stage("3_token_bag", F.col("g_bag")))
         .unionByName(stage("4_near_dup", F.col("n_docs") - F.col("n_removed_near")))
+        .unionByName(span_row)
     )
     return out.orderBy("stage")

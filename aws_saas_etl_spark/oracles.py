@@ -6606,8 +6606,11 @@ LOGREG_STALENESS_SQL = _logreg_staleness_sql()
 def _dedup_funnel_sql() -> str:
     """Twin of the dedup funnel: the three hash rungs as one aggregate
     over the filtered corpus, the near-dup rung via the SAME band-pair +
-    recursive-closure CTEs as the clusters twin, reduced to two counts."""
+    recursive-closure CTEs as the clusters twin, reduced to two counts,
+    and (r11) the span rung via the coverage twin's duplicated-gram +
+    LEAD-disjoint CTEs reduced to two token sums."""
     from aws_saas_etl_spark.operators.dedup import JACCARD_MIN
+    from aws_saas_etl_spark.operators.textops import SUBSTR_DUP_K as K
 
     return f"""
     WITH RECURSIVE {_minhash_ctes()},
@@ -6634,19 +6637,41 @@ def _dedup_funnel_sql() -> str:
                count(DISTINCT sha256(array_to_string(list_sort(list_distinct({toks('text')})), ' '))) AS g_bag
         FROM d
     ),
-    nr AS (SELECT count(*) - count(DISTINCT comp) AS n_removed_near FROM comp)
-    SELECT stage,
+    nr AS (SELECT count(*) - count(DISTINCT comp) AS n_removed_near FROM comp),
+    b2 AS (SELECT doc_id, {toks('text')} AS tk FROM d),
+    b3 AS (SELECT doc_id, tk, len(tk) AS n FROM b2),
+    gg AS (
+        SELECT doc_id, i, array_to_string(tk[i:i+{K - 1}], ' ') AS gram
+        FROM b3, LATERAL (
+            SELECT unnest(generate_series(1, n - {K} + 1)) AS i
+        ) s
+        WHERE n >= {K}
+    ),
+    dd AS (SELECT gram FROM gg GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    ff AS (
+        SELECT g.doc_id, g.i,
+               lead(g.i) OVER (PARTITION BY g.doc_id ORDER BY g.i) AS nx
+        FROM gg g JOIN dd USING (gram)
+    ),
+    sp AS (
+        SELECT (SELECT sum(n) FROM b3) AS tot,
+               coalesce(sum(least({K}, coalesce(nx - i, {K}))), 0) AS rem
+        FROM ff
+    )
+    SELECT stage, unit,
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_groups AS BIGINT) AS n_groups,
            CAST(n_docs - n_groups AS BIGINT) AS n_removed
     FROM (
-        SELECT '1_exact' AS stage, n_docs, g_exact AS n_groups FROM hh
+        SELECT '1_exact' AS stage, 'docs' AS unit, n_docs, g_exact AS n_groups FROM hh
         UNION ALL
-        SELECT '2_normalized', n_docs, g_norm FROM hh
+        SELECT '2_normalized', 'docs', n_docs, g_norm FROM hh
         UNION ALL
-        SELECT '3_token_bag', n_docs, g_bag FROM hh
+        SELECT '3_token_bag', 'docs', n_docs, g_bag FROM hh
         UNION ALL
-        SELECT '4_near_dup', n_docs, n_docs - nr.n_removed_near FROM hh, nr
+        SELECT '4_near_dup', 'docs', n_docs, n_docs - nr.n_removed_near FROM hh, nr
+        UNION ALL
+        SELECT '5_span_tokens', 'tokens', tot, tot - rem FROM sp
     )
     ORDER BY stage
 """

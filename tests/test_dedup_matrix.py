@@ -107,3 +107,36 @@ def test_planted_variant_is_nonvacuous_on_fixture(spark):
         if r.source_a.startswith("mirror_"):
             assert r.source_a == f"mirror_{r.source_b}"
             assert r.n_docs_a == r.n_docs_b == r.n_shared_groups
+
+
+def test_dedup_funnel_five_rungs(spark):
+    """The funnel must emit 5 rows: monotone survivor counts down the
+    hash rungs (a fuzzier hash can only merge more), the near-dup rung
+    consistent with the cluster chain, and the span rung's token
+    accounting equal to the coverage metric's sums with the unit switch
+    marked."""
+    from aws_saas_etl_spark.operators.dedup import dedup_funnel_report
+    from aws_saas_etl_spark.operators.textops import doc_crossdoc_duplication
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.stage: r for r in dedup_funnel_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == {
+        "1_exact",
+        "2_normalized",
+        "3_token_bag",
+        "4_near_dup",
+        "5_span_tokens",
+    }
+    assert all(r.n_docs == r.n_groups + r.n_removed for r in rows.values())
+    assert (
+        rows["1_exact"].n_groups
+        >= rows["2_normalized"].n_groups
+        >= rows["3_token_bag"].n_groups
+    )
+    assert {r.unit for s, r in rows.items() if s != "5_span_tokens"} == {"docs"}
+    span = rows["5_span_tokens"]
+    assert span.unit == "tokens"
+    cov = doc_crossdoc_duplication(spark, SF_SMOKE).groupBy().sum(
+        "n_tokens", "dup_tokens"
+    ).collect()[0]
+    assert (span.n_docs, span.n_removed) == tuple(cov)
