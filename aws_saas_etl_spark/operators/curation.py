@@ -1787,33 +1787,78 @@ def logreg_calibration_report(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: A kept score-decile must calibrate at ≥ this empirical label rate —
+#: the bar the reliability table is read against (VERDICT r10 #8).
+QUALITY_GATE_MIN_RATE = 0.5
+
+
 def training_manifest_quality_filtered(spark, sf_dir: str) -> DataFrame:
     """QUALITY-FILTERED training manifest — the trained classifier wired
     into the artifact it exists to gate (the DCLM/FineWeb-edu topology:
-    heuristic gates build the pool, a learned scorer prunes it): every
-    TRAIN-split document scoring below the corpus MEAN logreg score is
-    removed and shard positions close ranks; val/test rows survive
+    heuristic gates build the pool, a learned scorer prunes it), with
+    the cutoff READ FROM THE CALIBRATION TABLE (r11, VERDICT r10 #8 —
+    the production loop closed: fit → calibrate → the calibration
+    chooses the threshold → gate): score-rank deciles get their
+    empirical label rate (the ``logreg_calibration_report`` reliability
+    measurement over rank deciles — absolute-score bands collapse to
+    one bucket on a weakly-separated scorer, rank deciles always
+    stratify), the LOWEST decile whose label rate clears
+    ``QUALITY_GATE_MIN_RATE`` sets the threshold at its lower score
+    edge, and every TRAIN-split document at or below that edge is
+    removed with shard positions closing ranks; val/test rows survive
     verbatim (eval sets stay fixed — the ``training_manifest_
-    decontaminated`` convention). A relative cutoff (mean, not a fixed
-    0.5) is the production shape — "keep the best half" survives any
-    recalibration of the scorer — and is decimal-exact on both engines
-    (``davg_rounded``/``davg_sql``).
+    decontaminated`` convention). If NO decile clears the bar the gate
+    keeps everything — an uncalibrated scorer must not silently gut the
+    corpus.
+
+    Engine-exactness: decile edges come from one exact-percentile
+    aggregate (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` — the
+    proven ``customer_balance_deciles`` machinery: NOT ntile(), which
+    would sort the corpus in one partition); membership is the strict
+    ``score > edge`` count against the broadcast 9-value cut array;
+    label rates round via the shared decimal path before the ≥ compare.
 
     Scale shape: the scorer adds its fixed three-aggregate fit; the
-    cutoff is ONE more bounded aggregate broadcast back (1-row constant-
-    key join); removal + re-rank reuse the stored-pos window — at 100 TB
-    only shards that lost a row rewrite, the deletion-repair property.
-    
-    Measured (r10): 3.95 s at sf0.1 (bench, cold) ≈ additive over the
-    manifest chain + classifier; α 0.34 at 8× (SCALE.md).
+    calibration adds ONE percentile aggregate + ONE ≤10-group rate
+    aggregate, each broadcast back as a 1-row frame; removal + re-rank
+    reuse the stored-pos window — at 100 TB only shards that lost a row
+    rewrite, the deletion-repair property.
     """
     man = _full_manifest(spark, sf_dir)
-    scored = doc_quality_logreg(spark, sf_dir).select("doc_id", "score")
-    cut = scored.agg(N.davg_rounded(F.col("score"), 6).alias("mean_score"))
+    scored = doc_quality_logreg(spark, sf_dir).select("doc_id", "label", "score")
+    cuts = scored.agg(
+        F.percentile(
+            "score", F.array(*[F.lit(i / 10) for i in range(1, 10)])
+        ).alias("cuts")
+    )
+    dec = F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("score") > c, 1).otherwise(0),
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "label", "score", dec.alias("dec")
+    )
+    rates = bucketed.groupBy("dec").agg(
+        N.dround(F.sum("label").cast("double") / F.count(F.lit(1)), 6).alias(
+            "label_rate"
+        )
+    )
+    cutd = rates.where(
+        F.col("label_rate") >= F.lit(QUALITY_GATE_MIN_RATE)
+    ).agg(F.min("dec").alias("cut_dec"))
+    # lower edge of the chosen decile: dec(score) < cut_dec ⟺ score <=
+    # cuts[cut_dec] (cuts sorted ascending, strict-> membership), so one
+    # <= against the edge removes exactly the deciles below it; cut_dec
+    # NULL (no decile clears) or 0 (lowest already clears) gates nothing
+    thr = cutd.crossJoin(F.broadcast(cuts)).select(
+        F.when(
+            F.col("cut_dec") >= 1, F.element_at("cuts", F.col("cut_dec"))
+        ).alias("thr")
+    )
     low = (
-        scored.withColumn("_k", F.lit(1))
-        .join(F.broadcast(cut.withColumn("_k", F.lit(1))), "_k")
-        .where(F.col("score") < F.col("mean_score"))
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("score") <= F.col("thr"))
         .select("doc_id")
     )
     rm = man.where(F.col("split") == "train").join(low, "doc_id").select("doc_id")

@@ -6515,20 +6515,41 @@ STREAM_LOGREG_SCORE_SQL = _stream_logreg_score_sql()
 def _quality_filtered_manifest_sql() -> str:
     """Twin of the quality-filtered manifest: the full-manifest twin as a
     CTE, the unrolled-GD scorer chain (its WITH keyword stripped so the
-    two bodies share one clause list), the decimal-exact mean cutoff,
-    and the same anti-join + stored-pos re-rank as the decontamination
-    twin."""
+    two bodies share one clause list), the CALIBRATION-DRIVEN cutoff —
+    exact-percentile rank-decile edges (``quantile_cont`` ≡ Spark
+    ``percentile``), per-decile label rates via the shared decimal
+    round, lowest decile clearing the bar sets the threshold at its
+    lower edge — and the same anti-join + stored-pos re-rank as the
+    decontamination twin."""
+    from aws_saas_etl_spark.operators.curation import QUALITY_GATE_MIN_RATE
+
     body, scored = _logreg_chain()
     lr = body.replace("WITH f AS", "f AS", 1)
+    fracs = ", ".join(str(i / 10) for i in range(1, 10))
     return f"""
     WITH man AS ({TRAINING_MANIFEST_SQL}),
     {lr.strip()},
-    sc AS (SELECT doc_id, {dround_sql('p', 6)} AS score FROM {scored}),
-    ms AS (SELECT {davg_sql('score', 6)} AS mean_score FROM sc),
+    sc AS (SELECT doc_id, y AS label, {dround_sql('p', 6)} AS score FROM {scored}),
+    ct AS (SELECT quantile_cont(score, [{fracs}]) AS cuts FROM sc),
+    bk AS (
+        SELECT sc.doc_id, sc.label, sc.score,
+               len(list_filter(ct.cuts, c -> sc.score > c)) AS dec
+        FROM sc, ct
+    ),
+    rt AS (
+        SELECT dec,
+               {dround_sql('CAST(sum(label) AS DOUBLE) / count(*)', 6)}
+                   AS label_rate
+        FROM bk GROUP BY dec
+    ),
+    qd AS (SELECT min(dec) AS cut_dec FROM rt
+           WHERE label_rate >= {QUALITY_GATE_MIN_RATE}),
+    th AS (SELECT CASE WHEN qd.cut_dec >= 1 THEN ct.cuts[qd.cut_dec] END AS thr
+           FROM qd, ct),
     rm AS (
         SELECT m.doc_id
-        FROM man m JOIN sc ON m.doc_id = sc.doc_id, ms
-        WHERE m.split = 'train' AND sc.score < ms.mean_score
+        FROM man m JOIN sc ON m.doc_id = sc.doc_id, th
+        WHERE m.split = 'train' AND sc.score <= th.thr
     )
     SELECT m.doc_id, m.split, m.shard,
            row_number() OVER (PARTITION BY m.split, m.shard ORDER BY m.pos)

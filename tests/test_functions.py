@@ -867,12 +867,20 @@ def test_bpe_tokenize_invariants(spark):
 
 
 def test_quality_filtered_manifest_semantics(spark):
-    """Pins the quality gate's contract on the smoke corpus: (1) the gate
-    is non-vacuous (some train rows removed); (2) ONLY train rows are
-    removed — val/test survive verbatim; (3) removed train docs are
-    exactly those scoring below the corpus-mean score; (4) survivors
-    keep their relative order (positions close ranks)."""
+    """Pins the calibration-driven quality gate's contract on the smoke
+    corpus: (1) the gate is non-vacuous (some train rows removed);
+    (2) ONLY train rows are removed — val/test survive verbatim;
+    (3) the cutoff is READ FROM THE CALIBRATION TABLE — removed train
+    docs are exactly those at or below the lower edge of the lowest
+    score-rank decile whose empirical label rate clears
+    QUALITY_GATE_MIN_RATE, recomputed here from first principles
+    (numpy linear-interpolation percentiles = Spark percentile =
+    DuckDB quantile_cont), and the chosen decile is pinned;
+    (4) survivors keep their relative order (positions close ranks)."""
+    import numpy as np
+
     from aws_saas_etl_spark.operators.curation import (
+        QUALITY_GATE_MIN_RATE,
         doc_quality_logreg,
         training_manifest,
         training_manifest_quality_filtered,
@@ -888,14 +896,30 @@ def test_quality_filtered_manifest_semantics(spark):
     assert removed, "no train rows removed — gate untested"
     assert all(full[d].split == "train" for d in removed)
 
-    scores = {
-        r.doc_id: r.score for r in doc_quality_logreg(spark, SF_SMOKE).collect()
+    scored = {
+        r.doc_id: (r.label, r.score)
+        for r in doc_quality_logreg(spark, SF_SMOKE).collect()
     }
-    mean = round(sum(scores.values()) / len(scores), 6)
+    vals = np.array([s for _, s in scored.values()])
+    cuts = np.percentile(vals, [10 * i for i in range(1, 10)])
+    dec_of = lambda s: int((s > cuts).sum())  # noqa: E731
+    rates = {}
+    for lab, s in scored.values():
+        n, pos = rates.get(dec_of(s), (0, 0))
+        rates[dec_of(s)] = (n + 1, pos + lab)
+    qualifying = sorted(
+        d
+        for d, (n, pos) in rates.items()
+        if round(pos / n, 6) >= QUALITY_GATE_MIN_RATE
+    )
+    assert qualifying, "no decile clears the bar — gate vacuously untested"
+    cut_dec = qualifying[0]
+    assert cut_dec == 2, rates  # the pinned chosen decile on this fixture
+    thr = cuts[cut_dec - 1]
     expect = {
         d
         for d, r in full.items()
-        if r.split == "train" and scores[d] < mean
+        if r.split == "train" and scored[d][1] <= thr
     }
     assert removed == expect
 
