@@ -136,6 +136,19 @@ PROBES = [
     ("corpus_bpe_merges", "textops", "corpus_bpe_merges"),
     ("training_manifest_quality_filtered", "curation",
      "training_manifest_quality_filtered"),
+    # r11 additions: the sampled audit forms' whole point is cost — the
+    # sampled LSH recall report should sit well below the full report at
+    # every scale (both arms run on the 50%-bucket slice, and the truth
+    # arm's candidate set shrinks superlinearly with the corpus slice);
+    # the BPE staleness row is two vocab-iterating chains + one shared
+    # scoring join (expect ≈ 2× corpus_bpe_merges' constant, same α);
+    # the span-cleaned manifest composes two existing linear chains with
+    # one doc_id join (expect ≈ additive).
+    ("dedup_lsh_recall_report_sampled", "dedup",
+     "dedup_lsh_recall_report_sampled"),
+    ("bpe_staleness_report", "textops", "bpe_staleness_report"),
+    ("training_manifest_span_cleaned", "curation",
+     "training_manifest_span_cleaned"),
 ]
 
 # Per-copy character translation: remaps the 5 vowels, which rewrites
