@@ -888,6 +888,28 @@ def ann_ladder_recall_report(spark, sf_dir: str) -> DataFrame:
     warm 10.5 s ≈ the sum of the five serving scans it measures — the
     expected profile for the fleet's widest composite audit.
     """
+    return _ladder_recall(spark, sf_dir)
+
+
+def ann_ladder_recall_report_sampled(spark, sf_dir: str) -> DataFrame:
+    """``ann_ladder_recall_report`` over the SEEDED DETERMINISTIC query
+    sample — the same 100 TB production shape as the sampled staleness
+    report (per-query rows are independent; the md5-bucket predicate is
+    applied to truth and every rung before the hit joins and pushes
+    below each top-k window into the query-side scan, so the frontier
+    audit costs a sample-bounded fraction of its serving paths).
+    ``tests/test_similarity.py`` pins sampled ≡ full restricted to
+    sampled query_ids.
+    """
+    from aws_saas_etl_spark.operators.sampling import hash_bucket
+
+    return _ladder_recall(
+        spark, sf_dir, query_pred=hash_bucket("query_id") < AUDIT_SAMPLE_PCT
+    )
+
+
+def _ladder_recall(spark, sf_dir: str, query_pred: Column | None = None) -> DataFrame:
+    """Shared builder for the full and query-sampled recall reports."""
     key = ["query_id", "neighbor_id"]
     truth = knn_bruteforce(spark, sf_dir).select(*key)
     rungs = [
@@ -897,6 +919,9 @@ def ann_ladder_recall_report(spark, sf_dir: str) -> DataFrame:
         ("n_ivfpq_hits", ann_ivfpq_topk(spark, sf_dir)),
         ("n_bq_hits", ann_bq_hamming_topk(spark, sf_dir)),
     ]
+    if query_pred is not None:
+        truth = truth.where(query_pred)
+        rungs = [(name, cand.where(query_pred)) for name, cand in rungs]
     out = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
     for name, cand in rungs:
         hits = (

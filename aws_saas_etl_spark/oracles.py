@@ -1850,6 +1850,32 @@ def _stream_minhash_signature_sql() -> str:
 STREAM_MINHASH_SIGNATURE_SQL = _stream_minhash_signature_sql()
 
 
+def _stream_lexical_postings_sql() -> str:
+    """Twin of the streaming postings ingest: the distinct-token
+    postings re-derived from the raw documents (same na.drop + distinct
+    tokenization as the lexical-arm twins), reduced to the
+    per-initial-letter audit. Postings are per-row state, so the batch
+    aggregate IS the streamed result."""
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE {DOC_DROPNA}),
+    p AS (
+        SELECT doc_id, unnest(list_distinct({toks('text')})) AS token
+        FROM d
+    )
+    SELECT substr(token, 1, 1) AS initial,
+           count(*) AS n_postings,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(('0x' || substr(md5(token), 1, 15))::BIGINT & 4294967295)
+                AS BIGINT) AS sum_tok_h32
+    FROM p
+    GROUP BY initial ORDER BY initial
+"""
+
+
+STREAM_LEXICAL_POSTINGS_SQL = _stream_lexical_postings_sql()
+
+
 def _ann_sq8_sql(serve_where: str | None = None) -> str:
     """Twin of the SQ8 search: identical normalization (bit-identical
     doubles), floor(û·127 + 0.5) round-half-up int8 codes, EXACT BIGINT
@@ -2166,11 +2192,14 @@ def _ann_staleness_sql() -> str:
 ANN_STALENESS_SQL = _ann_staleness_sql()
 
 
-def _ann_ladder_recall_sql() -> str:
+def _ann_ladder_recall_sql(sample_pct: int | None = None) -> str:
     """Twin of the ladder recall report: the brute-force truth and the
     five rung twins (IVF / SQ8 / PQ-ADC / IVF-PQ / BQ) as CTEs — each
     already hash-proven standalone — joined into per-query integer hit
-    counts with coalesce-0 (the staleness-report convention)."""
+    counts with coalesce-0 (the staleness-report convention). With
+    ``sample_pct``, the truth CTE is restricted by the md5-bucket query
+    sample (every hit CTE left-joins from it, so the restriction is the
+    report's)."""
     rungs = {
         "ivf": ANN_IVF_TOPK_SQL,
         "sq": ANN_SQ8_SQL,
@@ -2191,8 +2220,14 @@ def _ann_ladder_recall_sql() -> str:
     joins = "\n    ".join(
         f"LEFT JOIN h_{n} ON base.query_id = h_{n}.query_id" for n in rungs
     )
+    sample_where = (
+        f" WHERE {_hash_bucket_sql('query_id')} < {sample_pct}"
+        if sample_pct is not None
+        else ""
+    )
     return f"""
-    WITH truth AS ({KNN_BRUTEFORCE_SQL}),
+    WITH truth_all AS ({KNN_BRUTEFORCE_SQL}),
+    truth AS (SELECT * FROM truth_all{sample_where}),
     {ctes},
     base AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1),
     {hits}
@@ -2205,6 +2240,15 @@ def _ann_ladder_recall_sql() -> str:
 
 
 ANN_LADDER_RECALL_SQL = _ann_ladder_recall_sql()
+
+
+def _ann_ladder_recall_sampled_sql() -> str:
+    from aws_saas_etl_spark.operators.similarity import AUDIT_SAMPLE_PCT
+
+    return _ann_ladder_recall_sql(sample_pct=AUDIT_SAMPLE_PCT)
+
+
+ANN_LADDER_RECALL_SAMPLED_SQL = _ann_ladder_recall_sampled_sql()
 
 
 def _ann_ladder_staleness_sql(sample_pct: int | None = None) -> str:

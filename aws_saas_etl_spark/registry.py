@@ -893,6 +893,14 @@ register(
     runners.stream_minhash_signature_ingest,
     oracles.STREAM_MINHASH_SIGNATURE_SQL,
 )
+# fourth per-row streaming rung (r11, beyond the ask): the lexical arm's
+# postings ingest — every artifact family of the hybrid/dedup stack now
+# has a streaming maintenance leg; same batching-invariant full oracle
+register(
+    "stream_lexical_postings_ingest",
+    runners.stream_lexical_postings_ingest,
+    oracles.STREAM_LEXICAL_POSTINGS_SQL,
+)
 # Spark 4 Python UDTF (@udtf, Arrow-batched) via LATERAL join: the
 # sliding-window chunking table function, closed-form span twin in DuckDB
 register("doc_chunk_spans", textops.doc_chunk_spans, oracles.DOC_CHUNK_SPANS_SQL)
@@ -1320,6 +1328,14 @@ register(
     "ann_ladder_recall_report",
     similarity.ann_ladder_recall_report,
     oracles.ANN_LADDER_RECALL_SQL,
+)
+# ... and its 100 TB sampled form (r11, beyond VERDICT r10 #3's two):
+# same frontier over the md5-bucket query sample, predicate pushed into
+# every rung's query-side scan
+register(
+    "ann_ladder_recall_report_sampled",
+    similarity.ann_ladder_recall_report_sampled,
+    oracles.ANN_LADDER_RECALL_SAMPLED_SQL,
 )
 # lifecycle × rung grid, per-row-code half (r10): SQ8/BQ codes have no
 # trained state, so append = store base + encode delta (hash gate = the

@@ -719,3 +719,54 @@ def stream_minhash_signature_ingest(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def stream_lexical_postings_ingest(spark, sf_dir: str) -> DataFrame:
+    """STREAMING inverted-index maintenance — the FOURTH per-row rung,
+    giving the lexical arm of the hybrid stack its streaming leg (the
+    other three: BQ signs, SQ8 codes, MinHash signatures): documents
+    arrive as a file stream and each micro-batch explodes into the
+    distinct-token POSTINGS rows ``doc_lexical_topk_indexed`` serves
+    from and ``doc_lexical_store_roundtrip`` persists. Postings are a
+    pure function of each document's own text (per-row artifact — the
+    exact reason search engines never refit an inverted index, proven
+    batch-side by ``doc_lexical_incremental_append``), so append mode
+    emits every posting exactly once regardless of file batching and
+    the query carries a FULL value-hash oracle: the drained postings
+    reduce to a per-initial-letter audit (≤26 groups) over exact BIGINT
+    aggregates — posting count, distinct docs, Σ doc_id, Σ 32-bit token
+    hash (md60 masked to 32 bits so the sum stays exact past 10⁹
+    postings per group).
+
+    Production shape: the sink is the postings store the roundtrip
+    query proves; per-batch cost is |batch| tokenize+explode maps — no
+    state store, no shuffle until the bounded audit aggregate.
+    """
+    from aws_saas_etl_spark.functions import text as T
+    from aws_saas_etl_spark.operators.dedup import md60
+
+    path = _staged_documents_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    postings = (
+        stream.na.drop("any")
+        .select("doc_id", F.array_distinct(T.tokens("text")).alias("tk"))
+        .where(F.size("tk") > 0)
+        .select("doc_id", F.explode("tk").alias("token"))
+    )
+    drained = _drain(postings, "append")
+    return (
+        drained.groupBy(F.substring("token", 1, 1).alias("initial"))
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(md60(F.col("token")).bitwiseAND(F.lit(0xFFFFFFFF))).alias(
+                "sum_tok_h32"
+            ),
+        )
+        .orderBy("initial")
+    )

@@ -1151,3 +1151,31 @@ def test_sampled_staleness_report_equals_full_restricted(spark):
     assert sampled == expected
     # the fixture query set must exercise the sample both ways
     assert 0 < len(sampled) < len(full)
+
+
+def test_sampled_recall_report_equals_full_restricted_queries(spark):
+    """Same subset pin for the recall frontier's sampled form: per-query
+    rows are independent, so the sampled report is EXACTLY the full
+    report restricted to sampled query_ids."""
+    import hashlib
+
+    from aws_saas_etl_spark.operators.similarity import (
+        AUDIT_SAMPLE_PCT,
+        ann_ladder_recall_report,
+        ann_ladder_recall_report_sampled,
+    )
+
+    def bucket(qid: int) -> int:
+        return int(hashlib.md5(str(qid).encode()).hexdigest()[:15], 16) % 100
+
+    full = {
+        r.query_id: tuple(r)
+        for r in ann_ladder_recall_report(spark, SF_SMOKE).collect()
+    }
+    sampled = {
+        r.query_id: tuple(r)
+        for r in ann_ladder_recall_report_sampled(spark, SF_SMOKE).collect()
+    }
+    expected = {q: t for q, t in full.items() if bucket(q) < AUDIT_SAMPLE_PCT}
+    assert sampled == expected
+    assert 0 < len(sampled) < len(full)

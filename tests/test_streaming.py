@@ -694,3 +694,36 @@ def test_stream_minhash_signature_ingest_matches_batch(spark):
         .collect()
     )
     assert streamed == batch
+
+
+def test_stream_lexical_postings_ingest_matches_batch(spark):
+    """The postings ingest stream must equal the audit over the BATCH
+    postings builder (``similarity._lexical_postings``) — the
+    batching-invariance claim its full value-hash oracle rests on, and
+    the stream==store parity of the lexical arm's artifact."""
+    from aws_saas_etl_spark.operators.dedup import md60
+    from aws_saas_etl_spark.operators.similarity import _lexical_postings
+    from aws_saas_etl_spark.streaming.runners import (
+        stream_lexical_postings_ingest,
+    )
+
+    streamed = sorted(
+        tuple(r) for r in stream_lexical_postings_ingest(spark, SF).collect()
+    )
+    postings, _sizes = _lexical_postings(spark, SF)
+    batch = sorted(
+        tuple(r)
+        for r in postings.groupBy(
+            F.substring("token", 1, 1).alias("initial")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(md60(F.col("token")).bitwiseAND(F.lit(0xFFFFFFFF))).alias(
+                "sum_tok_h32"
+            ),
+        )
+        .collect()
+    )
+    assert streamed == batch
