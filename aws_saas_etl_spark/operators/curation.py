@@ -1890,6 +1890,10 @@ def training_manifest_span_cleaned(spark, sf_dir: str) -> DataFrame:
     corpus-linear intermediates; composing them adds ONE doc_id-keyed
     join and the stored-pos re-rank window — at 100 TB only shards that
     lost an emptied doc rewrite, the deletion-repair property.
+
+    Measured (r11): 13.57 s cold at sf0.1 (scale probe, best-of-2
+    noop), α 0.28 at 8× ≈ additive over the manifest chain (8.30 s,
+    α 0.34) + the span rewrite (2.90 s, α 0.22) — see SCALE.md.
     """
     from aws_saas_etl_spark.operators.textops import doc_duplicate_span_removal
 

@@ -1588,6 +1588,11 @@ def bpe_staleness_report(
     scoring join against the ≤vocab-size per-token symbol counts). The
     rule frames are localCheckpoint'ed (≤ ``n_merges`` rows) so rank
     selection doesn't re-run the learning chain per rule.
+
+    Measured (r11): 6.24 s at sf0.1 (scale probe, best-of-2 noop),
+    α 0.22 at 8× — two near-flat learning chains (``corpus_bpe_merges``
+    α 0.03 solo) plus the shared full-vocab scoring join, which carries
+    the corpus term (SCALE.md).
     """
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
