@@ -896,8 +896,10 @@ def ann_ladder_recall_report_sampled(spark, sf_dir: str) -> DataFrame:
     sample — the same 100 TB production shape as the sampled staleness
     report (per-query rows are independent; the md5-bucket predicate is
     applied to truth and every rung before the hit joins and pushes
-    below each top-k window into the query-side scan, so the frontier
-    audit costs a sample-bounded fraction of its serving paths).
+    below each top-k window into the query-side scan, bounding the
+    QUERY-proportional terms; the corpus-side scan/fit terms are
+    query-count-independent — the sampled staleness report's docstring
+    carries the honest cost split, which applies here equally).
     ``tests/test_similarity.py`` pins sampled ≡ full restricted to
     sampled query_ids.
     """
@@ -998,6 +1000,17 @@ def ann_ladder_staleness_report_sampled(spark, sf_dir: str) -> DataFrame:
     restricted to sampled query_ids — the subset relation IS the
     unbiasedness statement here (no estimation error within sampled
     rows, the sample only chooses which rows exist).
+
+    What the sample bounds — honestly: the QUERY-proportional terms
+    (brute-force truth scoring, per-arm candidate ranking). The
+    corpus-side terms — artifact fits, SQ8/BQ encode scans, the
+    roundtrip store writes — are query-count-independent and unchanged.
+    At the fixtures' 10-query set those dominate, so the measured gap
+    is small (r11 bench: 23.3 s vs 26.1 s cold); a production audit
+    runs thousands of queries against a fixed corpus, where the query
+    term dominates and the sample is the cost lever (the LSH recall
+    audit's sampled form, whose sample restricts the CORPUS, already
+    shows its saving at fixture scale — 64% at the 8× probe).
     """
     from aws_saas_etl_spark.operators.sampling import hash_bucket
 

@@ -26,6 +26,7 @@ import os
 import tempfile
 from itertools import count
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -645,32 +646,87 @@ def stream_minhash_signature_ingest(spark, sf_dir: str) -> DataFrame:
     Shape note: the batch path (``dedup.minhash_signatures``) explodes
     shingles and fuses 64 ``min`` aggregates into one groupBy because a
     corpus-scale shuffle amortizes the codegen win; a streaming
-    micro-batch map must stay SHUFFLE-FREE, so here each row computes
-    its mins with ``array_min`` over higher-order transforms — the
-    hashed shingle array is materialized once in its own projection
-    (CollapseProject keeps non-cheap producers used >1× out of consumer
-    projections, so md5 runs once per shingle, not 64×) and the 64
-    three-integer-op affine passes walk the in-memory array. Identical
-    values by construction; the oracle re-derives them from the same
-    MINHASH_A/MINHASH_B constants the batch twin reads.
+    micro-batch map must stay SHUFFLE-FREE, so the encode runs per-row
+    — and per-row gram-building in higher-order ``transform`` lambdas
+    sits on Spark's interpreted expression path (measured r11: the
+    gram ``concat_ws`` transform alone costs ~11 s over sf0.1's 260k
+    shingles; the whole-drain first cut ran 24.7 s, 4,051 rows/s — 10×
+    slower than the postings ingest). So tokenization stays JVM-side
+    (one codegen ``split``/``filter`` pass — no tokenizer parity risk)
+    and everything after the token array runs in ONE Arrow-batched
+    pandas UDF: distinct 3-gram joins + md5 (hashlib, pure-ASCII
+    tokens ⇒ byte-identical to Spark's md5) per row, then all 64
+    affine mins as two vectorized int64 ops + ``np.minimum.reduceat``
+    over the batch's concatenated hash vector — the sanctioned Python
+    fast path for per-row array math no built-in covers shuffle-free.
+    Measured after the rewrite: 3.6 s drain at sf0.1 (~28k rows/s),
+    ~7× the interpreted form. Exact int64 throughout (a·h < 2⁶²); the
+    oracle re-derives the same values from the shared
+    MINHASH_A/MINHASH_B constants.
 
     Production shape: the sink is the signature store the roundtrip
     query proves; per-batch cost is |batch| signature maps — no state
     store, no shuffle until the bounded audit aggregate. Int64 bounds:
     each min < 2³¹, a per-doc sum of 64 of them < 2³⁷, so the audit sums
-    stay exact past 10⁸ docs per lang.
+    stay exact past 10⁸ docs per lang. For bulk BACKFILL (not this
+    rung's freshness job) the batch incremental merge
+    (``minhash_lsh_incremental_pairs``) remains the right tool — its
+    exploded codegen encode amortizes over corpus-scale batches.
     """
-    import functools
-    import operator
+    import hashlib
 
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from aws_saas_etl_spark.functions import text as T
     from aws_saas_etl_spark.operators.dedup import (
         _M31,
         MINHASH_A,
         MINHASH_B,
-        MINHASH_HASHES,
-        md60,
-        shingles,
+        SHINGLE_SIZE,
     )
+
+    a_vec = np.asarray(MINHASH_A, dtype=np.int64)
+    b_vec = np.asarray(MINHASH_B, dtype=np.int64)
+    k = SHINGLE_SIZE
+
+    @pandas_udf("sig_sum long, h_first long, h_last long")
+    def sig_audit(tk: pd.Series) -> pd.DataFrame:
+        if len(tk) == 0:
+            return pd.DataFrame(
+                {"sig_sum": [], "h_first": [], "h_last": []}, dtype="int64"
+            )
+        arrs = []
+        for toks in tk:
+            toks = list(toks)
+            grams = {
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            }
+            arrs.append(
+                np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+            )
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        offs = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        h31 = np.concatenate(arrs) & _M31
+        sig_sum = np.zeros(len(arrs), dtype=np.int64)
+        h_first = h_last = None
+        for i in range(len(a_vec)):
+            m = np.minimum.reduceat((a_vec[i] * h31 + b_vec[i]) % _M31, offs)
+            sig_sum += m
+            if i == 0:
+                h_first = m
+            h_last = m
+        return pd.DataFrame(
+            {"sig_sum": sig_sum, "h_first": h_first, "h_last": h_last}
+        )
 
     path = _staged_documents_dir(spark, sf_dir)
     stream = (
@@ -678,36 +734,20 @@ def stream_minhash_signature_ingest(spark, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    shh = F.transform(shingles(F.col("text")), md60)
     rows = (
         stream.where(
             F.col("doc_id").isNotNull()
             & F.col("text").isNotNull()
             & F.col("lang").isNotNull()
         )
-        .select("doc_id", "lang", shh.alias("shh"))
-        .where(F.size("shh") > 0)
+        .select("doc_id", "lang", T.tokens("text").alias("tk"))
+        # >= k tokens <=> >= 1 shingle: the same docs the batch encoder
+        # keeps (its explode drops shingle-less docs)
+        .where(F.size("tk") >= k)
     )
-
-    def perm_min(i: int):
-        return F.array_min(
-            F.transform(
-                "shh",
-                lambda h: (
-                    h.bitwiseAND(F.lit(_M31)) * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])
-                )
-                % F.lit(_M31),
-            )
-        )
-
-    his = [perm_min(i) for i in range(MINHASH_HASHES)]
     sig = rows.select(
-        "doc_id",
-        "lang",
-        functools.reduce(operator.add, his).cast("long").alias("sig_sum"),
-        his[0].cast("long").alias("h_first"),
-        his[-1].cast("long").alias("h_last"),
-    )
+        "doc_id", "lang", sig_audit("tk").alias("s")
+    ).select("doc_id", "lang", "s.sig_sum", "s.h_first", "s.h_last")
     drained = _drain(sig, "append")
     return (
         drained.groupBy("lang")
