@@ -1430,6 +1430,10 @@ def dedup_funnel_report(spark, sf_dir: str) -> DataFrame:
     proven pairs → checkpointed-CC chain and reduces it to two counts;
     the span rung reuses the coverage metric's gram aggregates
     (``doc_crossdoc_duplication``) reduced to two sums. Output: 5 rows.
+
+    Measured (r11): 8.07 s at sf0.1 (bench, cold; was 6.02 s as the
+    4-row form — the +2 s is the span rung's real gram groupBy, ≈ the
+    standalone coverage metric's cost).
     """
     from aws_saas_etl_spark.operators.textops import doc_crossdoc_duplication
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
