@@ -963,10 +963,12 @@ def ann_ladder_staleness_report(spark, sf_dir: str) -> DataFrame:
     rows) joined on bounded keys; every trained artifact comes from its
     session memo / stored table (the stale IVF-PQ arm reuses the SAME
     ``::base`` fits as the per-rung appends), so the report costs
-    nothing beyond the serving paths it audits. Measured at sf0.1
-    (bench r10): 19.4 s cold — the sum of eleven serving chains plus
-    the two per-row-code store roundtrips, the fleet's widest composite
-    audit, scheduled at index-maintenance cadence, not per-query.
+    nothing beyond the serving paths it audits. Measured at sf0.1:
+    19.4 s cold (bench r10), 26.1 s cold / 26.0 s warm (r11 local, a
+    +2-audit session) — the sum of eleven serving chains plus the two
+    per-row-code store roundtrips, the fleet's widest composite audit,
+    scheduled at index-maintenance cadence, not per-query; the
+    query-sampled sibling bounds its query-proportional terms.
     """
     return _ladder_staleness(spark, sf_dir)
 
