@@ -1218,9 +1218,10 @@ def dedup_lsh_recall_report(spark, sf_dir: str) -> DataFrame:
     return _lsh_recall_report_from(_lsh_recall_flagged(spark, sf_dir))
 
 
-#: Keep-fraction (percent of hash buckets) for the sampled audit forms —
-#: the 100 TB shape of the recall/staleness reports (VERDICT r10 #3).
-AUDIT_SAMPLE_PCT = 50
+# Keep-fraction for the sampled audit form — the fleet-wide constant
+# (shared with the ANN ladder audits) lives in sampling.py next to
+# hash_bucket (VERDICT r11 #2).
+from aws_saas_etl_spark.operators.sampling import AUDIT_SAMPLE_PCT  # noqa: E402
 
 
 def dedup_lsh_recall_report_sampled(spark, sf_dir: str) -> DataFrame:

@@ -27,6 +27,14 @@ SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 10
 SAMPLE_PCT = 20  # stratified-sample keep fraction
 
+#: Keep-fraction (percent of hash buckets) shared by EVERY sampled audit
+#: form — the dedup recall audit samples the corpus, the ANN ladder
+#: audits sample the query set, but the production cost knob is the same
+#: fleet-wide constant, so it lives next to ``hash_bucket`` (the function
+#: it parameterizes) rather than once per audit family (VERDICT r11 #2:
+#: two local copies could silently diverge under tuning).
+AUDIT_SAMPLE_PCT = 50
+
 
 def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
     """Deterministic uniform bucket in [0, n_buckets): first 60 bits of

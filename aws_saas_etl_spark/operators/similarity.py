@@ -978,9 +978,10 @@ def ann_ladder_staleness_report(spark, sf_dir: str) -> DataFrame:
 ann_ladder_staleness_report.side_effecting = True
 
 
-#: Keep-fraction (percent of hash buckets) for the sampled audit form —
-#: mirrors dedup.AUDIT_SAMPLE_PCT (VERDICT r10 #3).
-AUDIT_SAMPLE_PCT = 50
+# Keep-fraction for the sampled audit forms — the fleet-wide constant
+# (shared with the dedup recall audit) lives in sampling.py next to
+# hash_bucket (VERDICT r11 #2).
+from aws_saas_etl_spark.operators.sampling import AUDIT_SAMPLE_PCT  # noqa: E402
 
 
 def ann_ladder_staleness_report_sampled(spark, sf_dir: str) -> DataFrame:
