@@ -941,13 +941,40 @@ def training_manifest_decontaminated(spark, sf_dir: str) -> DataFrame:
     at 100 TB only shards that lost a row rewrite, exactly the
     deletion-repair property.
     """
+    man = _full_manifest(spark, sf_dir)
+    return (
+        _close_ranks(man.join(_contam_train_ids(spark, sf_dir, man), "doc_id", "anti"))
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .orderBy("split", "shard", "pos")
+    )
+
+
+def _close_ranks(man: DataFrame) -> DataFrame:
+    """Re-rank ``pos`` by the STORED pos within each (split, shard) —
+    the shared tail of every manifest removal gate. Removal preserves
+    relative order, so ranks simply close up; at 100 TB only shards
+    that lost a row rewrite (the deletion-repair property). Closing
+    ranks after EACH gate or ONCE after all gates is provably the same
+    map (row_number over a stored-pos order is order-preserving), which
+    is why the full-pipeline composition can close once at the end —
+    tests/test_functions.py pins that identity."""
+    w = Window.partitionBy("split", "shard").orderBy("pos")
+    return man.withColumn("pos", F.row_number().over(w))
+
+
+def _contam_train_ids(spark, sf_dir: str, man: DataFrame) -> DataFrame:
+    """The decontamination gate's removal set: train-split doc_ids
+    sharing ≥ CONTAM_MIN_SHARED rare winnowing fingerprints with any
+    val/test document. Split membership comes from the (gate-invariant)
+    split column of the manifest frame passed in, so the set is the
+    same whether computed against the base manifest or any gated
+    descendant — the property the full-pipeline composition relies on."""
     from aws_saas_etl_spark.operators.textops import (
         CONTAM_MAX_DF,
         CONTAM_MIN_SHARED,
         winnow_fingerprint_sets,
     )
 
-    man = _full_manifest(spark, sf_dir)
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
     ex = winnow_fingerprint_sets(docs).select("doc_id", F.explode("fps").alias("fp"))
     rare = ex.join(
@@ -963,7 +990,7 @@ def training_manifest_decontaminated(spark, sf_dir: str) -> DataFrame:
     ev = rare.join(
         man.where(F.col("split") != "train").select("doc_id"), "doc_id"
     ).select(F.col("doc_id").alias("eval_id"), "fp")
-    contam = (
+    return (
         tr.join(ev, "fp")
         .where(F.col("train_id") != F.col("eval_id"))
         .groupBy("train_id", "eval_id")
@@ -971,13 +998,6 @@ def training_manifest_decontaminated(spark, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
-    )
-    w = Window.partitionBy("split", "shard").orderBy("pos")
-    return (
-        man.join(contam, "doc_id", "anti")
-        .withColumn("pos", F.row_number().over(w))
-        .select("doc_id", "split", "shard", "pos", "n_tokens")
-        .orderBy("split", "shard", "pos")
     )
 
 
@@ -1825,6 +1845,20 @@ def training_manifest_quality_filtered(spark, sf_dir: str) -> DataFrame:
     rewrite, the deletion-repair property.
     """
     man = _full_manifest(spark, sf_dir)
+    return (
+        _close_ranks(man.join(_quality_low_train_ids(spark, sf_dir, man), "doc_id", "anti"))
+        .select("doc_id", "split", "shard", "pos", "n_tokens")
+        .orderBy("split", "shard", "pos")
+    )
+
+
+def _quality_low_train_ids(spark, sf_dir: str, man: DataFrame) -> DataFrame:
+    """The quality gate's removal set: train-split doc_ids at or below
+    the calibration-chosen score edge. The calibration (decile cuts,
+    rates, threshold) is computed over the FULL scored corpus —
+    independent of the manifest — and the train condition reads the
+    (gate-invariant) split column, so the set is identical against the
+    base manifest or any gated descendant."""
     scored = doc_quality_logreg(spark, sf_dir).select("doc_id", "label", "score")
     cuts = scored.agg(
         F.percentile(
@@ -1861,14 +1895,7 @@ def training_manifest_quality_filtered(spark, sf_dir: str) -> DataFrame:
         .where(F.col("score") <= F.col("thr"))
         .select("doc_id")
     )
-    rm = man.where(F.col("split") == "train").join(low, "doc_id").select("doc_id")
-    w = Window.partitionBy("split", "shard").orderBy("pos")
-    return (
-        man.join(rm, "doc_id", "anti")
-        .withColumn("pos", F.row_number().over(w))
-        .select("doc_id", "split", "shard", "pos", "n_tokens")
-        .orderBy("split", "shard", "pos")
-    )
+    return man.where(F.col("split") == "train").join(low, "doc_id").select("doc_id")
 
 
 def training_manifest_span_cleaned(spark, sf_dir: str) -> DataFrame:
@@ -1901,11 +1928,8 @@ def training_manifest_span_cleaned(spark, sf_dir: str) -> DataFrame:
     cleaned = doc_duplicate_span_removal(spark, sf_dir).select(
         "doc_id", "kept_tokens", "removed_tokens"
     )
-    w = Window.partitionBy("split", "shard").orderBy("pos")
     return (
-        man.join(cleaned, "doc_id")
-        .where(F.col("kept_tokens") > 0)
-        .withColumn("pos", F.row_number().over(w))
+        _close_ranks(man.join(cleaned, "doc_id").where(F.col("kept_tokens") > 0))
         .select(
             "doc_id",
             "split",
@@ -1976,4 +2000,76 @@ def logreg_staleness_report(spark, sf_dir: str) -> DataFrame:
             F.sum("qs").cast("bigint").alias("sum_q_stale"),
         )
         .orderBy("label")
+    )
+
+
+def training_manifest_full_pipeline(spark, sf_dir: str) -> DataFrame:
+    """The FULL production manifest — every proven gate composed in the
+    order a DCLM/FineWeb-style pipeline actually ships (VERDICT r11 #1:
+    gate composition is where real pipelines break, and the solo proofs
+    can't catch a wrong composition):
+
+      heuristic gates + exact-dup keep (``doc_filter_pipeline``)
+      → near-dup keep-best within content clusters → cluster-keyed
+      split → shard assignment                      [the base manifest]
+      → eval-decontamination removal (train docs sharing rare winnow
+        fingerprints with val/test)                 [``_contam_train_ids``]
+      → calibration-driven quality gate (train docs at or below the
+        chosen decile edge)                         [``_quality_low_train_ids``]
+      → substring-span rewrite (kept/removed token accounting; docs
+        whose every token sat in a duplicated span drop)
+      → positions close ranks ONCE.
+
+    The composition decisions the solo rows leave open, fixed here and
+    pinned by tests/test_functions.py:
+
+    - the QUALITY cutoff sees ORIGINAL text (scores, calibration table,
+      and threshold are all computed pre-span-clean): gates choose WHICH
+      docs ship, the span rewrite then decides WHAT of each doc ships —
+      the Lee et al. ACL'22 ordering the span-cleaned row already
+      follows, now explicit across all gates;
+    - both removal sets are doc_id sets whose membership reads only
+      gate-invariant columns (split never changes across gates; the
+      calibration is manifest-independent), so applying them in any
+      order — or at once, as here — yields the same surviving set as
+      running the solo gates sequentially (the pytest pins composed ≡
+      sequential);
+    - positions close ranks once at the end, which equals closing after
+      each gate (row_number over the stored-pos order is order-
+      preserving under removal — see ``_close_ranks``), so a 100 TB run
+      rewrites each touched shard file once, not once per gate.
+
+    Token accounting flows through every row: ``n_tokens`` (original) =
+    ``kept_tokens`` + ``removed_tokens`` (conservation, pinned), and the
+    manifest's total kept_tokens is what the training job actually sees.
+
+    Scale shape: strictly additive over its proven parts — the manifest
+    chain plus three removal-set builders, composed by doc_id-keyed
+    anti/inner joins and ONE rank-close window. Nothing new shuffles;
+    the solo rows' measured α values bound each term (SCALE.md).
+    """
+    from aws_saas_etl_spark.operators.textops import doc_duplicate_span_removal
+
+    man = _full_manifest(spark, sf_dir)
+    cleaned = doc_duplicate_span_removal(spark, sf_dir).select(
+        "doc_id", "kept_tokens", "removed_tokens"
+    )
+    gated = (
+        man.join(_contam_train_ids(spark, sf_dir, man), "doc_id", "anti")
+        .join(_quality_low_train_ids(spark, sf_dir, man), "doc_id", "anti")
+        .join(cleaned, "doc_id")
+        .where(F.col("kept_tokens") > 0)
+    )
+    return (
+        _close_ranks(gated)
+        .select(
+            "doc_id",
+            "split",
+            "shard",
+            "pos",
+            "n_tokens",
+            "kept_tokens",
+            "removed_tokens",
+        )
+        .orderBy("split", "shard", "pos")
     )

@@ -1660,3 +1660,189 @@ def bpe_staleness_report(
         "sum_syms_fresh",
         "sum_syms_stale",
     )
+
+
+# --- Gopher repetition filters (Rae et al. 2021, Appendix A) ----------------
+
+GOPHER_TOP_NS = (2, 3, 4)  # top-n-gram character-mass rungs
+GOPHER_DUP_N = 5  # duplicated-n-gram coverage rung
+
+
+def doc_gopher_repetition(spark, sf_dir: str) -> DataFrame:
+    """The GOPHER repetition-filter family (Rae et al. 2021 "Scaling
+    Language Models: ... Gopher", Appendix A — the exact signal set
+    FineWeb and DCLM reuse verbatim), per document:
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of LINES
+      (newline-split, empties dropped) occurring more than once in the
+      document, by count and by character mass;
+    - ``dup_para_frac`` / ``dup_para_char_frac`` — the same over
+      PARAGRAPHS (blank-line-split);
+    - ``top_{2,3,4}gram_char_frac`` — the character mass accounted for
+      by the heaviest token n-gram: max over grams of count×len(gram),
+      divided by the doc's normalized character length (maximizing the
+      MASS rather than the count makes the statistic well-defined under
+      frequency ties without a tie-break on gram text);
+    - ``dup_5gram_token_frac`` — exact merged-interval token coverage of
+      within-document duplicated 5-grams (Gopher's dup-n-gram CHARACTER
+      fraction re-expressed in this engine's token model: the same
+      gaps-and-islands LEAD-window trick ``doc_crossdoc_duplication``
+      uses, so overlapping occurrences are never double-counted).
+
+    High values flag boilerplate / degenerate documents; these are the
+    most-used public quality gates after the heuristic length family.
+    Regime coverage, honestly: the fixture corpus is single-line (no
+    ``\\n``) and its word streams repeat no 5-gram within any document
+    (checked at sf0.1), so the line/paragraph/dup-5-gram rungs sit at
+    their degenerate values in the driver fixture and are exercised —
+    both the duplicated and the clean regime, every cell hand-computed —
+    by the engineered multi-line corpus in tests/test_functions.py; the
+    top-n-gram rungs get their full exercise from the fixture itself
+    (max top-4-gram mass 0.49 at sf0.01).
+
+    Scale shape: three corpus-linear explode→groupBy chains (units,
+    n-grams fused across n by an (doc_id, n, gram) key, duplicated
+    5-gram starts), each keyed on high-cardinality (doc_id, gram) pairs
+    — evenly partitioned word-count plans, nothing doc×doc; per-doc
+    rollups reuse the doc_id partitioning, then three left joins restore
+    unit-less documents at zero. Gram keys hash to int64 before the
+    shuffle (the 8-byte rule; the oracle groups raw gram strings, the
+    proven engine-tolerance of the crossdoc chain).
+    """
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    base = docs.select("doc_id", "text", T.tokens("text").alias("tk"))
+    ids = base.select(
+        "doc_id",
+        F.size("tk").alias("n_tok"),
+        F.length(F.concat_ws(" ", "tk")).alias("total_chars"),
+    )
+
+    # ---- line / paragraph duplication: ONE exploded unit table
+    def _units(sep_re: str, tag: str):
+        parts = F.filter(F.split("text", sep_re), lambda s: s != "")
+        return F.transform(
+            parts, lambda s: F.struct(F.lit(tag).alias("u"), s.alias("s"))
+        )
+
+    units = base.select(
+        "doc_id",
+        F.explode(F.concat(_units("\n", "line"), _units("\n\n", "para"))).alias(
+            "x"
+        ),
+    ).select("doc_id", "x.u", F.xxhash64("x.s").alias("h"), F.length("x.s").alias("ln"))
+    ustats = (
+        units.groupBy("doc_id", "u", "h", "ln")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "u")
+        .agg(
+            F.sum("cnt").alias("n_units"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_units"
+            ),
+            F.sum(F.col("cnt") * F.col("ln")).alias("chars_all"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.col("ln")).otherwise(0)
+            ).alias("chars_dup"),
+        )
+    )
+
+    def _upick(tag: str, col: str):
+        return F.max(F.when(F.col("u") == tag, F.col(col)))
+
+    upvt = ustats.groupBy("doc_id").agg(
+        _upick("line", "n_units").alias("n_lines"),
+        _upick("line", "dup_units").alias("dup_lines"),
+        _upick("line", "chars_all").alias("line_chars"),
+        _upick("line", "chars_dup").alias("dup_line_chars"),
+        _upick("para", "n_units").alias("n_paras"),
+        _upick("para", "dup_units").alias("dup_paras"),
+        _upick("para", "chars_all").alias("para_chars"),
+        _upick("para", "chars_dup").alias("dup_para_chars"),
+    )
+
+    # ---- top-n-gram char mass, fused across n by an (doc_id, n) key
+    gr = base.select(
+        "doc_id",
+        "tk",
+        F.explode(F.array(*[F.lit(n) for n in GOPHER_TOP_NS])).alias("ng"),
+    )
+    pos = F.when(
+        F.size("tk") >= F.col("ng"),
+        F.sequence(F.lit(1), (F.size("tk") - F.col("ng") + 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = gr.select("doc_id", "ng", "tk", F.explode(pos).alias("i")).select(
+        "doc_id",
+        "ng",
+        F.concat_ws(" ", F.slice("tk", F.col("i"), F.col("ng"))).alias("g"),
+    )
+    top = (
+        grams.select("doc_id", "ng", F.xxhash64("g").alias("gh"), F.length("g").alias("gl"))
+        .groupBy("doc_id", "ng", "gh", "gl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "ng")
+        .agg(F.max(F.col("cnt") * F.col("gl")).alias("top_mass"))
+    )
+    tpvt = top.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("ng") == n, F.col("top_mass"))).alias(f"mass_{n}")
+            for n in GOPHER_TOP_NS
+        ]
+    )
+
+    # ---- duplicated-5-gram exact token coverage (gaps-and-islands)
+    k = GOPHER_DUP_N
+    starts = F.when(
+        F.size("tk") >= k, F.sequence(F.lit(1), (F.size("tk") - k + 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    g5 = base.select("doc_id", "tk", F.explode(starts).alias("i")).select(
+        "doc_id",
+        "i",
+        F.xxhash64(F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(k)))).alias("g"),
+    )
+    dup5 = (
+        g5.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("doc_id", "g")
+    )
+    w5 = Window.partitionBy("doc_id").orderBy("i")
+    covered = F.least(
+        F.lit(k), F.coalesce(F.lead("i").over(w5) - F.col("i"), F.lit(k))
+    )
+    cov5 = (
+        g5.join(dup5, ["doc_id", "g"])
+        .select("doc_id", "i", covered.alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("cov").alias("dup5_tokens"))
+    )
+
+    def frac(num, den):
+        return N.dround(
+            F.coalesce(
+                F.col(num).cast("double")
+                / F.when(F.col(den) > 0, F.col(den)),
+                F.lit(0.0),
+            ),
+            6,
+        )
+
+    return (
+        ids.join(upvt, "doc_id", "left")
+        .join(tpvt, "doc_id", "left")
+        .join(cov5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            frac("dup_lines", "n_lines").alias("dup_line_frac"),
+            frac("dup_line_chars", "line_chars").alias("dup_line_char_frac"),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            frac("dup_paras", "n_paras").alias("dup_para_frac"),
+            frac("dup_para_chars", "para_chars").alias("dup_para_char_frac"),
+            *[
+                frac(f"mass_{n}", "total_chars").alias(f"top_{n}gram_char_frac")
+                for n in GOPHER_TOP_NS
+            ],
+            frac("dup5_tokens", "n_tok").alias("dup_5gram_token_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -593,7 +593,7 @@ LSH_RECALL_REPORT_SQL = _lsh_recall_report_sql()
 
 
 def _lsh_recall_report_sampled_sql() -> str:
-    from aws_saas_etl_spark.operators.dedup import AUDIT_SAMPLE_PCT
+    from aws_saas_etl_spark.operators.sampling import AUDIT_SAMPLE_PCT
 
     return _lsh_recall_report_sql(sample_pct=AUDIT_SAMPLE_PCT)
 
@@ -2243,7 +2243,7 @@ ANN_LADDER_RECALL_SQL = _ann_ladder_recall_sql()
 
 
 def _ann_ladder_recall_sampled_sql() -> str:
-    from aws_saas_etl_spark.operators.similarity import AUDIT_SAMPLE_PCT
+    from aws_saas_etl_spark.operators.sampling import AUDIT_SAMPLE_PCT
 
     return _ann_ladder_recall_sql(sample_pct=AUDIT_SAMPLE_PCT)
 
@@ -2310,7 +2310,7 @@ ANN_LADDER_STALENESS_SQL = _ann_ladder_staleness_sql()
 
 
 def _ann_ladder_staleness_sampled_sql() -> str:
-    from aws_saas_etl_spark.operators.similarity import AUDIT_SAMPLE_PCT
+    from aws_saas_etl_spark.operators.sampling import AUDIT_SAMPLE_PCT
 
     return _ann_ladder_staleness_sql(sample_pct=AUDIT_SAMPLE_PCT)
 
@@ -4258,13 +4258,15 @@ def _manifest_deletion_churn_sql() -> str:
 MANIFEST_DELETION_CHURN_SQL = _manifest_deletion_churn_sql()
 
 
-def _decontaminated_manifest_sql() -> str:
-    """Twin of the eval-decontaminated manifest: the full manifest as a
-    CTE, the winnow rare-fingerprint machinery verbatim from the
-    contamination twin, a train×eval (not self) fp join with the same
-    per-pair ≥ CONTAM_MIN_SHARED threshold, anti-join removal, and
-    positions re-ranked by the STORED pos (removal preserves relative
-    order)."""
+def _contam_ids_subquery() -> str:
+    """Removal-set SUBQUERY of the decontamination gate — the winnow
+    rare-fingerprint machinery verbatim from the contamination twin and
+    a train×eval (not self) fp join with the per-pair ≥
+    CONTAM_MIN_SHARED threshold. References an outer ``man`` CTE for
+    split membership (split is gate-invariant, so any manifest stage
+    yields the same set — the composition property the full-pipeline
+    twin relies on). ONE definition shared by the solo decontaminated
+    twin and the full-pipeline twin."""
     from aws_saas_etl_spark.functions.text import WINNOW_K, WINNOW_W
     from aws_saas_etl_spark.operators.textops import (
         CONTAM_MAX_DF,
@@ -4273,9 +4275,8 @@ def _decontaminated_manifest_sql() -> str:
 
     k, w = WINNOW_K, WINNOW_W
     h = _winnow_kgram_hash_sql(f"substr(txt, i, {k})")
-    return f"""
-    WITH man AS ({TRAINING_MANIFEST_SQL}),
-    t AS (SELECT doc_id, {_NORM_TEXT} AS txt FROM documents WHERE {DOC_DROPNA}),
+    return f"""(
+    WITH t AS (SELECT doc_id, {_NORM_TEXT} AS txt FROM documents WHERE {DOC_DROPNA}),
     g AS (
         SELECT doc_id,
                CASE WHEN length(txt) >= {k}
@@ -4298,16 +4299,25 @@ def _decontaminated_manifest_sql() -> str:
         SELECT ex.doc_id, ex.fp FROM ex
         JOIN (SELECT fp FROM ex GROUP BY fp HAVING count(*) <= {CONTAM_MAX_DF}) r
           ON ex.fp = r.fp
-    ),
-    contam AS (
-        SELECT DISTINCT a.doc_id
-        FROM rare a
-        JOIN man ma ON a.doc_id = ma.doc_id AND ma.split = 'train'
-        JOIN rare b ON a.fp = b.fp AND a.doc_id <> b.doc_id
-        JOIN man mb ON b.doc_id = mb.doc_id AND mb.split <> 'train'
-        GROUP BY a.doc_id, b.doc_id
-        HAVING count(*) >= {CONTAM_MIN_SHARED}
     )
+    SELECT DISTINCT a.doc_id
+    FROM rare a
+    JOIN man ma ON a.doc_id = ma.doc_id AND ma.split = 'train'
+    JOIN rare b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+    JOIN man mb ON b.doc_id = mb.doc_id AND mb.split <> 'train'
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {CONTAM_MIN_SHARED}
+    )"""
+
+
+def _decontaminated_manifest_sql() -> str:
+    """Twin of the eval-decontaminated manifest: the full manifest as a
+    CTE, the shared contamination removal-set subquery, anti-join
+    removal, and positions re-ranked by the STORED pos (removal
+    preserves relative order)."""
+    return f"""
+    WITH man AS ({TRAINING_MANIFEST_SQL}),
+    contam AS {_contam_ids_subquery()}
     SELECT m.doc_id, m.split, m.shard,
            row_number() OVER (PARTITION BY m.split, m.shard ORDER BY m.pos)
                AS pos,
@@ -6556,22 +6566,21 @@ def _stream_logreg_score_sql() -> str:
 STREAM_LOGREG_SCORE_SQL = _stream_logreg_score_sql()
 
 
-def _quality_filtered_manifest_sql() -> str:
-    """Twin of the quality-filtered manifest: the full-manifest twin as a
-    CTE, the unrolled-GD scorer chain (its WITH keyword stripped so the
-    two bodies share one clause list), the CALIBRATION-DRIVEN cutoff —
-    exact-percentile rank-decile edges (``quantile_cont`` ≡ Spark
-    ``percentile``), per-decile label rates via the shared decimal
-    round, lowest decile clearing the bar sets the threshold at its
-    lower edge — and the same anti-join + stored-pos re-rank as the
-    decontamination twin."""
+def _quality_rm_subquery() -> str:
+    """Removal-set SUBQUERY of the calibration-driven quality gate — the
+    unrolled-GD scorer chain, exact-percentile rank-decile edges
+    (``quantile_cont`` ≡ Spark ``percentile``), per-decile label rates
+    via the shared decimal round, lowest decile clearing the bar sets
+    the threshold at its lower edge. References an outer ``man`` CTE
+    only for the (gate-invariant) train-split condition; the scorer and
+    calibration are manifest-independent. ONE definition shared by the
+    solo quality-filtered twin and the full-pipeline twin."""
     from aws_saas_etl_spark.operators.curation import QUALITY_GATE_MIN_RATE
 
     body, scored = _logreg_chain()
-    lr = body.replace("WITH f AS", "f AS", 1)
+    lr = body.replace("WITH f AS", "WITH\n    f AS", 1)
     fracs = ", ".join(str(i / 10) for i in range(1, 10))
-    return f"""
-    WITH man AS ({TRAINING_MANIFEST_SQL}),
+    return f"""(
     {lr.strip()},
     sc AS (SELECT doc_id, y AS label, {dround_sql('p', 6)} AS score FROM {scored}),
     ct AS (SELECT quantile_cont(score, [{fracs}]) AS cuts FROM sc),
@@ -6589,12 +6598,20 @@ def _quality_filtered_manifest_sql() -> str:
     qd AS (SELECT min(dec) AS cut_dec FROM rt
            WHERE label_rate >= {QUALITY_GATE_MIN_RATE}),
     th AS (SELECT CASE WHEN qd.cut_dec >= 1 THEN ct.cuts[qd.cut_dec] END AS thr
-           FROM qd, ct),
-    rm AS (
-        SELECT m.doc_id
-        FROM man m JOIN sc ON m.doc_id = sc.doc_id, th
-        WHERE m.split = 'train' AND sc.score <= th.thr
-    )
+           FROM qd, ct)
+    SELECT m.doc_id
+    FROM man m JOIN sc ON m.doc_id = sc.doc_id, th
+    WHERE m.split = 'train' AND sc.score <= th.thr
+    )"""
+
+
+def _quality_filtered_manifest_sql() -> str:
+    """Twin of the quality-filtered manifest: the full-manifest twin as
+    a CTE, the shared quality removal-set subquery, and the same
+    anti-join + stored-pos re-rank as the decontamination twin."""
+    return f"""
+    WITH man AS ({TRAINING_MANIFEST_SQL}),
+    rm AS {_quality_rm_subquery()}
     SELECT m.doc_id, m.split, m.shard,
            row_number() OVER (PARTITION BY m.split, m.shard ORDER BY m.pos)
                AS pos,
@@ -6743,3 +6760,159 @@ def _dedup_funnel_sql() -> str:
 
 
 DEDUP_FUNNEL_SQL = _dedup_funnel_sql()
+
+
+# --------------------------------------------------------------------------
+# Round 12: Gopher repetition filters, full-pipeline manifest,
+# streaming manifest delta
+# --------------------------------------------------------------------------
+
+def _gopher_repetition_sql() -> str:
+    """Twin of the Gopher repetition family: unit duplication over
+    newline/blank-line splits (string_split with literal separators ≡
+    Spark's split on the same patterns), top-n-gram char mass fused
+    across n by a zipped unnest, and the duplicated-5-gram coverage via
+    the same LEAD gaps-and-islands trick as the crossdoc twin. Gram/unit
+    grouping is on the raw strings (Spark groups xxhash64 of them — the
+    proven engine-tolerance of the crossdoc chain)."""
+    from aws_saas_etl_spark.operators.textops import GOPHER_DUP_N, GOPHER_TOP_NS
+
+    k = GOPHER_DUP_N
+    ns = ", ".join(str(n) for n in GOPHER_TOP_NS)
+    top_cols = ",\n           ".join(
+        f"{dround_sql(f'coalesce(CAST(mass_{n} AS DOUBLE) / nullif(total_chars, 0), 0.0)', 6)}"
+        f" AS top_{n}gram_char_frac"
+        for n in GOPHER_TOP_NS
+    )
+    mass_pivot = ",\n               ".join(
+        f"max(CASE WHEN ng = {n} THEN top_mass END) AS mass_{n}"
+        for n in GOPHER_TOP_NS
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text, {toks('text')} AS tk
+        FROM documents WHERE {DOC_DROPNA}
+    ),
+    ids AS (
+        SELECT doc_id, len(tk) AS n_tok,
+               length(array_to_string(tk, ' ')) AS total_chars
+        FROM d
+    ),
+    un AS (
+        SELECT doc_id, 'line' AS u,
+               unnest(list_filter(string_split(text, chr(10)), s -> s <> '')) AS s
+        FROM d
+        UNION ALL
+        SELECT doc_id, 'para',
+               unnest(list_filter(string_split(text, chr(10) || chr(10)),
+                                  s -> s <> ''))
+        FROM d
+    ),
+    ucnt AS (
+        SELECT doc_id, u, s, length(s) AS ln, count(*) AS cnt
+        FROM un GROUP BY doc_id, u, s
+    ),
+    ustats AS (
+        SELECT doc_id, u,
+               sum(cnt) AS n_units,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_units,
+               sum(cnt * ln) AS chars_all,
+               sum(CASE WHEN cnt > 1 THEN cnt * ln ELSE 0 END) AS chars_dup
+        FROM ucnt GROUP BY doc_id, u
+    ),
+    upvt AS (
+        SELECT doc_id,
+               max(CASE WHEN u = 'line' THEN n_units END) AS n_lines,
+               max(CASE WHEN u = 'line' THEN dup_units END) AS dup_lines,
+               max(CASE WHEN u = 'line' THEN chars_all END) AS line_chars,
+               max(CASE WHEN u = 'line' THEN chars_dup END) AS dup_line_chars,
+               max(CASE WHEN u = 'para' THEN n_units END) AS n_paras,
+               max(CASE WHEN u = 'para' THEN dup_units END) AS dup_paras,
+               max(CASE WHEN u = 'para' THEN chars_all END) AS para_chars,
+               max(CASE WHEN u = 'para' THEN chars_dup END) AS dup_para_chars
+        FROM ustats GROUP BY doc_id
+    ),
+    gr AS (
+        SELECT doc_id, tk, unnest([{ns}]) AS ng FROM d
+    ),
+    grams AS (
+        SELECT doc_id, ng,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - ng + 1, 0)),
+                   i -> array_to_string(tk[i:i+ng-1], ' '))) AS g
+        FROM gr
+    ),
+    top AS (
+        SELECT doc_id, ng, max(cnt * length(g)) AS top_mass
+        FROM (SELECT doc_id, ng, g, count(*) AS cnt
+              FROM grams GROUP BY doc_id, ng, g)
+        GROUP BY doc_id, ng
+    ),
+    tpvt AS (
+        SELECT doc_id,
+               {mass_pivot}
+        FROM top GROUP BY doc_id
+    ),
+    g5 AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(tk) - {k - 1}, 0))) AS i,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - {k - 1}, 0)),
+                   i -> array_to_string(tk[i:i+{k - 1}], ' '))) AS g
+        FROM d
+    ),
+    d5 AS (
+        SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) > 1
+    ),
+    cov AS (
+        SELECT doc_id,
+               least({k}, coalesce(
+                   lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i, {k})) AS cv
+        FROM g5 JOIN d5 USING (doc_id, g)
+    ),
+    c5 AS (SELECT doc_id, sum(cv) AS dup5_tokens FROM cov GROUP BY doc_id)
+    SELECT ids.doc_id,
+           CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+           {dround_sql("coalesce(CAST(dup_lines AS DOUBLE) / nullif(n_lines, 0), 0.0)", 6)} AS dup_line_frac,
+           {dround_sql("coalesce(CAST(dup_line_chars AS DOUBLE) / nullif(line_chars, 0), 0.0)", 6)} AS dup_line_char_frac,
+           CAST(coalesce(n_paras, 0) AS BIGINT) AS n_paras,
+           {dround_sql("coalesce(CAST(dup_paras AS DOUBLE) / nullif(n_paras, 0), 0.0)", 6)} AS dup_para_frac,
+           {dround_sql("coalesce(CAST(dup_para_chars AS DOUBLE) / nullif(para_chars, 0), 0.0)", 6)} AS dup_para_char_frac,
+           {top_cols},
+           {dround_sql("coalesce(CAST(dup5_tokens AS DOUBLE) / nullif(n_tok, 0), 0.0)", 6)} AS dup_5gram_token_frac
+    FROM ids
+    LEFT JOIN upvt USING (doc_id)
+    LEFT JOIN tpvt USING (doc_id)
+    LEFT JOIN c5 USING (doc_id)
+    ORDER BY ids.doc_id
+"""
+
+
+DOC_GOPHER_REPETITION_SQL = _gopher_repetition_sql()
+
+
+def _full_pipeline_manifest_sql() -> str:
+    """Twin of the FULL production manifest: the full-manifest twin, the
+    two shared removal-set subqueries (decontamination, quality), and
+    the span-removal twin composed exactly as the Spark side composes
+    them — both removal sets anti-joined, emptied docs dropped, and
+    positions closing ranks ONCE over the stored pos."""
+    return f"""
+    WITH man AS ({TRAINING_MANIFEST_SQL}),
+    contam AS {_contam_ids_subquery()},
+    rmq AS {_quality_rm_subquery()},
+    sr AS ({DUPLICATE_SPAN_REMOVAL_SQL})
+    SELECT m.doc_id, m.split, m.shard,
+           row_number() OVER (PARTITION BY m.split, m.shard ORDER BY m.pos)
+               AS pos,
+           m.n_tokens, sr.kept_tokens, sr.removed_tokens
+    FROM man m
+    LEFT JOIN contam c ON m.doc_id = c.doc_id
+    LEFT JOIN rmq q ON m.doc_id = q.doc_id
+    JOIN sr ON m.doc_id = sr.doc_id
+    WHERE c.doc_id IS NULL AND q.doc_id IS NULL AND sr.kept_tokens > 0
+    ORDER BY m.split, m.shard, pos
+"""
+
+
+FULL_PIPELINE_MANIFEST_SQL = _full_pipeline_manifest_sql()

@@ -557,6 +557,13 @@ register("bulk_part_suppliers", relational.bulk_part_suppliers, oracles.BULK_SUP
 register(
     "doc_repetition_metrics", textops.doc_repetition_metrics, oracles.DOC_REPETITION_SQL
 )
+# r12: the Gopher App. A repetition-filter family (line/paragraph
+# duplication, top-n-gram char mass, duplicated-5-gram coverage)
+register(
+    "doc_gopher_repetition",
+    textops.doc_gopher_repetition,
+    oracles.DOC_GOPHER_REPETITION_SQL,
+)
 register("doc_pii_redaction", textops.doc_pii_redaction, oracles.DOC_PII_SQL)
 register(
     "events_resample_locf", events.events_resample_locf, oracles.EVENTS_RESAMPLE_LOCF_SQL
@@ -1090,6 +1097,14 @@ register(
     "training_manifest_span_cleaned",
     curation.training_manifest_span_cleaned,
     oracles.SPAN_CLEANED_MANIFEST_SQL,
+)
+# r12: every proven gate composed in production order into ONE artifact
+# (keep-best → cluster splits → decontamination → calibration-driven
+# quality gate → span rewrite → positions close ranks once)
+register(
+    "training_manifest_full_pipeline",
+    curation.training_manifest_full_pipeline,
+    oracles.FULL_PIPELINE_MANIFEST_SQL,
 )
 # incremental manifest maintenance: stored rows + delta-sized repair,
 # proven equal to the full recompute by the SAME manifest oracle
