@@ -196,52 +196,74 @@ def main() -> None:
 
     session_control["end"] = control_run()
 
+    side_effecting = sorted(
+        n for n in qs if getattr(qs[n], "side_effecting", False)
+    )
     print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # context: totals grow with operator coverage; per-query
-                # cost is the comparable number across rounds
-                "n_queries": len(timings),
-                "mean_query_seconds": round(total / max(len(timings), 1), 4),
-                "stream_bench": stream_bench,
-                "stream_input_rows": n_events,
-                # LAST keys on purpose: the driver preserves only the TAIL of
-                # this line, and `queries` is alphabetical — without this the
-                # slowest a–l queries would be invisible in BENCH_r{N}.json.
-                "canary_best3_spread": canary,
-                # two-regime costs of the stored-artifact queries: cold
-                # builds the artifact, warm serves from it — the honest
-                # split of what best-of-2 + canary spread conflate
-                "cold_warm": cold_warm,
-                # fixed reference query at session start/mid/end — the
-                # drift normalizer for round-over-round tables. Placed
-                # AFTER cold_warm (VERDICT r10 #2): cold_warm grew past
-                # the driver's preserved-tail length, so anything before
-                # it is cut from BENCH_r{N}.json — the control rows must
-                # sit in the surviving tail with top_12_slowest.
-                "session_control": session_control,
-                # store-roundtrip queries execute a real storage write at
-                # DataFrame construction (the leg they exist to prove):
-                # BOTH their cold and warm figures include that rewrite
-                # (ADVICE r7). Input-fixture STAGING writes (stream_*
-                # session-cached parquet staging) are exempt by
-                # convention — see tools/plan_audit.py (VERDICT r9 #7).
-                "side_effecting": sorted(
-                    n for n in qs if getattr(qs[n], "side_effecting", False)
-                ),
-                "top_12_slowest": [
-                    [n, timings[n], spreads[n]]
-                    for n in sorted(timings, key=timings.get, reverse=True)[:12]
-                ],
-            }
+        render_line(
+            timings, spreads, sf, stream_bench, n_events, canary, cold_warm,
+            session_control, side_effecting,
         )
     )
     spark.stop()
+
+
+def render_line(
+    timings, spreads, sf, stream_bench, n_events, canary, cold_warm,
+    session_control, side_effecting,
+) -> str:
+    """Assemble the single JSON output line. Key ORDER is load-bearing:
+    the driver preserves only the TAIL of this line in BENCH_r{N}.json,
+    so everything that must survive cross-round comparison sits LAST,
+    and every list that grows with fleet size sits BEFORE the fixed-size
+    tail keys (tests/test_functions.py pins the tail at current registry
+    size — VERDICT r11 #3: side_effecting grew between session_control
+    and top_12_slowest and was one spurt from pushing the control out)."""
+    total = round(sum(timings.values()), 4)
+    return json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            # context: totals grow with operator coverage; per-query
+            # cost is the comparable number across rounds
+            "n_queries": len(timings),
+            "mean_query_seconds": round(total / max(len(timings), 1), 4),
+            "stream_bench": stream_bench,
+            "stream_input_rows": n_events,
+            # LAST keys on purpose: the driver preserves only the TAIL of
+            # this line, and `queries` is alphabetical — without this the
+            # slowest a–l queries would be invisible in BENCH_r{N}.json.
+            "canary_best3_spread": canary,
+            # store-roundtrip queries execute a real storage write at
+            # DataFrame construction (the leg they exist to prove):
+            # BOTH their cold and warm figures include that rewrite
+            # (ADVICE r7). Input-fixture STAGING writes (stream_*
+            # session-cached parquet staging) are exempt by
+            # convention — see tools/plan_audit.py (VERDICT r9 #7).
+            # Placed BEFORE cold_warm (VERDICT r11 #3): this list grows
+            # with the fleet, so it must never sit between the fixed
+            # tail keys.
+            "side_effecting": side_effecting,
+            # two-regime costs of the stored-artifact queries: cold
+            # builds the artifact, warm serves from it — the honest
+            # split of what best-of-2 + canary spread conflate
+            "cold_warm": cold_warm,
+            # fixed reference query at session start/mid/end — the
+            # drift normalizer for round-over-round tables. Placed
+            # AFTER cold_warm (VERDICT r10 #2): cold_warm grew past
+            # the driver's preserved-tail length, so anything before
+            # it is cut from BENCH_r{N}.json — the control rows must
+            # sit in the surviving tail with top_12_slowest.
+            "session_control": session_control,
+            "top_12_slowest": [
+                [n, timings[n], spreads[n]]
+                for n in sorted(timings, key=timings.get, reverse=True)[:12]
+            ],
+        }
+    )
 
 
 if __name__ == "__main__":
