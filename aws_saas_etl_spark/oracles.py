@@ -6916,3 +6916,87 @@ def _full_pipeline_manifest_sql() -> str:
 
 
 FULL_PIPELINE_MANIFEST_SQL = _full_pipeline_manifest_sql()
+
+
+def _stream_manifest_delta_sql() -> str:
+    """Twin of the streaming manifest-delta ingest: the same
+    shingle-percentile base/delta cut as the incremental twin
+    (``quantile_cont`` ≡ Spark ``percentile`` over ALL document rows —
+    the shingle table is one row per doc), per-row heuristic gates
+    verbatim from the filter-pipeline twin, the exact-dup check as a
+    NOT-IN against the base slice's sha set (keeper index), and the
+    manifest's split/shard doc_id functions — reduced to the
+    per-(split, shard) exact BIGINT audit."""
+    from aws_saas_etl_spark.operators.curation import (
+        SHUFFLE_SALT,
+        SHUFFLE_SHARDS,
+    )
+    from aws_saas_etl_spark.operators.dedup import DELTA_DOC_FRACTION
+    from aws_saas_etl_spark.operators.sampling import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+    from aws_saas_etl_spark.operators.textops import (
+        FILTER_MIN_QUALITY,
+        FILTER_MIN_TOKENS,
+    )
+
+    score_cols = ",\n           ".join(
+        f"{lexicon_count('tk', stops)} AS s_{lang}"
+        for lang, stops in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    greatest_all = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    quality = (
+        "(0.4 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) "
+        "+ 0.3 * (CASE WHEN length(text) > 0 "
+        "THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) "
+        "ELSE 0.0 END) "
+        "+ 0.3 * (CASE WHEN len(tk) > 0 "
+        "THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) ELSE 0.0 END))"
+    )
+    b = _hash_bucket_sql("doc_id")
+    return f"""
+    WITH cut AS (
+        SELECT quantile_cont(doc_id, {1.0 - DELTA_DOC_FRACTION}) AS c
+        FROM documents
+    ),
+    delta AS (
+        SELECT doc_id, text, {toks('text')} AS tk
+        FROM documents, cut
+        WHERE {DOC_DROPNA} AND doc_id > cut.c
+    ),
+    base_sha AS (
+        SELECT DISTINCT sha256(text) AS sha
+        FROM documents, cut
+        WHERE {DOC_DROPNA} AND doc_id <= cut.c
+    ),
+    s AS (SELECT *, {score_cols} FROM delta),
+    kept AS (
+        SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens
+        FROM s
+        WHERE sha256(text) NOT IN (SELECT sha FROM base_sha)
+          AND len(tk) >= {FILTER_MIN_TOKENS}
+          AND {greatest_all} > 0 AND {quality} >= {FILTER_MIN_QUALITY}
+    ),
+    lab AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN {b} < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN {b} < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(('0x' || substr(
+                   md5('{SHUFFLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 8
+               ))::BIGINT % {SHUFFLE_SHARDS} AS INT) AS shard
+        FROM kept
+    )
+    SELECT split, shard,
+           count(*) AS n_new_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_n_tokens
+    FROM lab
+    GROUP BY split, shard
+    ORDER BY split, shard
+"""
+
+
+STREAM_MANIFEST_DELTA_SQL = _stream_manifest_delta_sql()

@@ -908,6 +908,14 @@ register(
     runners.stream_lexical_postings_ingest,
     oracles.STREAM_LEXICAL_POSTINGS_SQL,
 )
+# r12 (VERDICT r11 #6): the MANIFEST family's streaming leg — arriving
+# delta docs through the stateless gate chain + stored-sha-index probe
+# into manifest-append rows; positions stay with the nightly compaction
+register(
+    "stream_manifest_delta_ingest",
+    runners.stream_manifest_delta_ingest,
+    oracles.STREAM_MANIFEST_DELTA_SQL,
+)
 # Spark 4 Python UDTF (@udtf, Arrow-batched) via LATERAL join: the
 # sliding-window chunking table function, closed-form span twin in DuckDB
 register("doc_chunk_spans", textops.doc_chunk_spans, oracles.DOC_CHUNK_SPANS_SQL)

@@ -727,3 +727,77 @@ def test_stream_lexical_postings_ingest_matches_batch(spark):
         .collect()
     )
     assert streamed == batch
+
+
+def test_stream_manifest_delta_ingest_matches_merge_keep_set(spark):
+    """The manifest-delta stream must equal the audit derived from the
+    BATCH incremental-merge verdict path (keeper = least(stored base
+    index, delta-internal min) — the proven
+    ``training_manifest_incremental`` machinery): with no intra-delta
+    sha collisions in the fixture (asserted below), the merge's
+    keep-delta set IS the per-row set the stream emits, so the pin ties
+    the streaming gate chain + stream-static index probe to an
+    independently-derived batch result, and with it the
+    batching-invariance claim the full value-hash oracle rests on."""
+    from aws_saas_etl_spark.functions import text as T
+    from aws_saas_etl_spark.operators.curation import (
+        _shard_cols,
+        _stored_base_verdicts,
+        _stored_signals,
+    )
+    from aws_saas_etl_spark.operators.dedup import (
+        DELTA_DOC_FRACTION,
+        _shingle_table,
+    )
+    from aws_saas_etl_spark.operators.textops import gate_verdict
+    from aws_saas_etl_spark.streaming.runners import (
+        stream_manifest_delta_ingest,
+    )
+
+    streamed = sorted(
+        tuple(r) for r in stream_manifest_delta_ingest(spark, SF).collect()
+    )
+
+    sh = _shingle_table(spark, SF)
+    cut = sh.agg(
+        F.percentile("doc_id", 1.0 - DELTA_DOC_FRACTION).alias("cut")
+    ).first()["cut"]
+    _, sha_idx = _stored_base_verdicts(spark, SF)
+    sig_delta = _stored_signals(spark, SF).where(F.col("doc_id") > F.lit(cut))
+
+    # fixture property the docstring claims: no intra-delta sha collisions
+    assert (
+        sig_delta.groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .count()
+        == 0
+    )
+
+    wd = Window.partitionBy("sha")
+    keep_delta = (
+        sig_delta.withColumn("dmin", F.min("doc_id").over(wd))
+        .join(F.broadcast(sha_idx), "sha", "left")
+        .withColumn(
+            "keeper", F.least(F.coalesce("base_min", "dmin"), F.col("dmin"))
+        )
+        .select("doc_id", gate_verdict(F.col("keeper")).alias("verdict"))
+        .where(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    docs = load_table(spark, SF, "documents").na.drop("any")
+    feats = keep_delta.join(
+        docs.select("doc_id", T.token_count("text").alias("n_tokens")), "doc_id"
+    ).withColumn("ckey", F.col("doc_id"))
+    batch = sorted(
+        tuple(r)
+        for r in _shard_cols(feats)
+        .groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_tokens").alias("sum_n_tokens"),
+        )
+        .collect()
+    )
+    assert streamed == batch and streamed
