@@ -1257,6 +1257,23 @@ def dedup_lsh_recall_report_sampled(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_recall_report_sampled25(spark, sf_dir: str) -> DataFrame:
+    """``dedup_lsh_recall_report_sampled`` at the LOWER registered
+    fraction (``AUDIT_SAMPLE_PCT_LOW`` = 25%): the second point on the
+    sampled-audit cost curve (VERDICT r11 #7). Identical construction —
+    the md5-bucket restriction lands before shingling, so every arm is
+    sample-bounded; 25 is the lowest fraction whose within-sample truth
+    arm is non-empty at the driver's sf0.01 gate (10% holds zero true
+    pairs there). Two measured fractions beside the full report turn
+    SCALE.md's "the fraction is the production cost knob" reading into
+    a curve rather than a single ratio."""
+    from aws_saas_etl_spark.operators.sampling import AUDIT_SAMPLE_PCT_LOW
+
+    return _lsh_recall_report_from(
+        _lsh_recall_flagged(spark, sf_dir, sample_pct=AUDIT_SAMPLE_PCT_LOW)
+    )
+
+
 def _lsh_recall_flagged(
     spark, sf_dir: str, sample_pct: int | None = None
 ) -> DataFrame:

@@ -35,6 +35,15 @@ SAMPLE_PCT = 20  # stratified-sample keep fraction
 #: two local copies could silently diverge under tuning).
 AUDIT_SAMPLE_PCT = 50
 
+#: Second registered point on the sampled-audit cost curve (VERDICT r11
+#: next-steps #7): a lower fraction whose measured cost, beside the 50%
+#: point, turns the "sample fraction is the cost knob" claim into a
+#: measured curve (SCALE.md). 25 is the LOWEST non-vacuous registered
+#: fraction at the driver's sf0.01 gate — a 10% corpus slice holds zero
+#: within-sample true pairs there, and a recall report with an empty
+#: truth arm pins nothing. The production knob is continuous.
+AUDIT_SAMPLE_PCT_LOW = 25
+
 
 def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
     """Deterministic uniform bucket in [0, n_buckets): first 60 bits of

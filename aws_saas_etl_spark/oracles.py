@@ -601,6 +601,15 @@ def _lsh_recall_report_sampled_sql() -> str:
 LSH_RECALL_REPORT_SAMPLED_SQL = _lsh_recall_report_sampled_sql()
 
 
+def _lsh_recall_report_sampled25_sql() -> str:
+    from aws_saas_etl_spark.operators.sampling import AUDIT_SAMPLE_PCT_LOW
+
+    return _lsh_recall_report_sql(sample_pct=AUDIT_SAMPLE_PCT_LOW)
+
+
+LSH_RECALL_REPORT_SAMPLED25_SQL = _lsh_recall_report_sampled25_sql()
+
+
 def _simhash_buckets_sql() -> str:
     """Full simhash twin (not just the banding layer): per-token md5
     halves → 64 majority votes → fingerprint assembled in HUGEINT with a

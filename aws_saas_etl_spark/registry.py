@@ -319,6 +319,13 @@ register(
     dedup.dedup_lsh_recall_report_sampled,
     oracles.LSH_RECALL_REPORT_SAMPLED_SQL,
 )
+# r12 (VERDICT r11 #7): the second point on the sampled-audit cost
+# curve — 25% is the lowest non-vacuous registered fraction at sf0.01
+register(
+    "dedup_lsh_recall_report_sampled25",
+    dedup.dedup_lsh_recall_report_sampled25,
+    oracles.LSH_RECALL_REPORT_SAMPLED25_SQL,
+)
 # the dedup arm's stored artifact: the 66-column signature table through
 # the exactly-once sink, pairs served from STORED rows (same pairs twin
 # proves write -> read -> serve lossless)

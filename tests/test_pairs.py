@@ -263,9 +263,10 @@ def test_sampled_recall_report_equals_full_restricted(spark):
     what the audit records for them."""
     import hashlib
 
-    from aws_saas_etl_spark.operators.dedup import (
+    from aws_saas_etl_spark.operators.dedup import _lsh_recall_flagged
+    from aws_saas_etl_spark.operators.sampling import (
         AUDIT_SAMPLE_PCT,
-        _lsh_recall_flagged,
+        AUDIT_SAMPLE_PCT_LOW,
     )
     from tests.conftest import SF_CORRECTNESS
 
@@ -276,18 +277,18 @@ def test_sampled_recall_report_equals_full_restricted(spark):
         (r.doc_a, r.doc_b, r.jaccard_band, r.hit)
         for r in _lsh_recall_flagged(spark, SF_CORRECTNESS).collect()
     }
-    sampled = {
-        (r.doc_a, r.doc_b, r.jaccard_band, r.hit)
-        for r in _lsh_recall_flagged(
-            spark, SF_CORRECTNESS, sample_pct=AUDIT_SAMPLE_PCT
-        ).collect()
-    }
-    expected = {
-        t
-        for t in full
-        if bucket(t[0]) < AUDIT_SAMPLE_PCT and bucket(t[1]) < AUDIT_SAMPLE_PCT
-    }
-    assert sampled == expected
-    # the fixture must actually exercise the sample: some pairs inside,
-    # some outside (otherwise the pin is vacuous)
-    assert 0 < len(sampled) < len(full)
+    # both registered fractions of the cost curve obey the same identity
+    for pct in (AUDIT_SAMPLE_PCT, AUDIT_SAMPLE_PCT_LOW):
+        sampled = {
+            (r.doc_a, r.doc_b, r.jaccard_band, r.hit)
+            for r in _lsh_recall_flagged(
+                spark, SF_CORRECTNESS, sample_pct=pct
+            ).collect()
+        }
+        expected = {
+            t for t in full if bucket(t[0]) < pct and bucket(t[1]) < pct
+        }
+        assert sampled == expected, pct
+        # the fixture must actually exercise the sample: some pairs
+        # inside, some outside (otherwise the pin is vacuous)
+        assert 0 < len(sampled) < len(full), pct
