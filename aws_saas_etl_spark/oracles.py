@@ -7009,3 +7009,26 @@ def _stream_manifest_delta_sql() -> str:
 
 
 STREAM_MANIFEST_DELTA_SQL = _stream_manifest_delta_sql()
+
+
+def _repetition_filter_sql() -> str:
+    """Twin of the Gopher repetition gate: the repetition-family twin
+    reduced to a first-failing-gate CASE at the published thresholds
+    (both engines compare the same 6dp-rounded fractions)."""
+    from aws_saas_etl_spark.operators.textops import GOPHER_THRESHOLDS
+
+    cases = "\n             ".join(
+        f"WHEN {col} > {thr} THEN '{col}'" for col, thr in GOPHER_THRESHOLDS
+    )
+    return f"""
+    WITH rep AS ({DOC_GOPHER_REPETITION_SQL})
+    SELECT doc_id,
+           CASE {cases}
+             ELSE 'keep'
+           END AS verdict
+    FROM rep
+    ORDER BY doc_id
+"""
+
+
+DOC_REPETITION_FILTER_SQL = _repetition_filter_sql()

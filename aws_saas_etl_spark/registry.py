@@ -571,6 +571,12 @@ register(
     textops.doc_gopher_repetition,
     oracles.DOC_GOPHER_REPETITION_SQL,
 )
+# r12: the family as a first-failing gate at the published thresholds
+register(
+    "doc_repetition_filter",
+    textops.doc_repetition_filter,
+    oracles.DOC_REPETITION_FILTER_SQL,
+)
 register("doc_pii_redaction", textops.doc_pii_redaction, oracles.DOC_PII_SQL)
 register(
     "events_resample_locf", events.events_resample_locf, oracles.EVENTS_RESAMPLE_LOCF_SQL

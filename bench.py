@@ -134,6 +134,12 @@ def main() -> None:
             # shard re-ranks) on top of memoized stored state
             "training_manifest_incremental",
             "training_manifest_deletion_repair",
+            # r12: the composed full-pipeline manifest (a top-12-class
+            # composite whose round-over-round number claims will be made
+            # against the additivity of its parts) and the new
+            # three-chain Gopher repetition scan
+            "training_manifest_full_pipeline",
+            "doc_gopher_repetition",
         )
         if n in timings
     ]

@@ -1180,3 +1180,50 @@ def test_full_pipeline_manifest_composes_solo_gates(spark):
         assert [r.pos for r in rs] == list(range(1, len(rs) + 1)), key
         base_pos = [base[r.doc_id].pos for r in rs]
         assert base_pos == sorted(base_pos), key
+
+
+def test_repetition_filter_first_failing_gate(spark, tmp_path):
+    """Pins the Gopher gate's first-failing-rung semantics on an
+    engineered corpus hitting four distinct outcomes: duplicated lines
+    (doc 0), top-2-gram mass (doc 1), duplicated-5-gram coverage firing
+    BELOW the top-gram thresholds (doc 2: one 5-gram repeated at the
+    ends of a 65-token diverse stream — top-4 mass 30/259 ≈ 0.116 stays
+    under 0.16 while coverage 10/65 ≈ 0.154 clears 0.15), and keep
+    (doc 3, 30 distinct tokens)."""
+    import itertools
+    import os
+
+    from aws_saas_etl_spark.catalog import TABLES, table_path
+    from aws_saas_etl_spark.operators.textops import doc_repetition_filter
+    from tests.conftest import SF_SMOKE
+
+    sf_dir = str(tmp_path / "sf_gate")
+    os.makedirs(sf_dir)
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(table_path(SF_SMOKE, name), table_path(sf_dir, name))
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    fillers = [
+        "f" + a + b for a, b in itertools.product(letters, letters)
+    ][:55]
+    rep5 = "raa rab rac rad rae"
+    doc2 = " ".join([rep5] + fillers + [rep5])
+    doc3 = " ".join("k" + a + b for a, b in itertools.product("ab", letters))[: 30 * 4 - 1]
+    rows = [
+        (0, "en", "src0", 34, "aa bb\naa bb\ncc dd ee\n\nxx yy\n\nxx yy"),
+        (1, "en", "src0", 29, "p q r s t p q r s t p q r s t"),
+        (2, "en", "src0", 259, doc2),
+        (3, "en", "src0", 119, doc3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long, text string"
+    ).coalesce(1).write.parquet(table_path(sf_dir, "documents"))
+
+    got = {r.doc_id: r.verdict for r in doc_repetition_filter(spark, sf_dir).collect()}
+    assert got == {
+        0: "dup_line_frac",
+        1: "top_2gram_char_frac",
+        2: "dup_5gram_token_frac",
+        3: "keep",
+    }, got

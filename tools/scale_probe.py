@@ -149,6 +149,18 @@ PROBES = [
     ("bpe_staleness_report", "textops", "bpe_staleness_report"),
     ("training_manifest_span_cleaned", "curation",
      "training_manifest_span_cleaned"),
+    # r12 additions: the Gopher repetition family is three word-count
+    # chains (expect ≈ the repetition-metrics/diversity class); the
+    # full-pipeline manifest composes the manifest chain + both removal
+    # sets + the span rewrite (expect ≈ additive over the span-cleaned
+    # and quality-filtered rows minus their shared manifest term); the
+    # 25% recall audit is the second point of the sample-fraction cost
+    # curve (expect below the 50% row at every scale).
+    ("doc_gopher_repetition", "textops", "doc_gopher_repetition"),
+    ("training_manifest_full_pipeline", "curation",
+     "training_manifest_full_pipeline"),
+    ("dedup_lsh_recall_report_sampled25", "dedup",
+     "dedup_lsh_recall_report_sampled25"),
 ]
 
 # Per-copy character translation: remaps the 5 vowels, which rewrites
