@@ -2045,8 +2045,14 @@ def training_manifest_full_pipeline(spark, sf_dir: str) -> DataFrame:
 
     Scale shape: strictly additive over its proven parts — the manifest
     chain plus three removal-set builders, composed by doc_id-keyed
-    anti/inner joins and ONE rank-close window. Nothing new shuffles;
-    the solo rows' measured α values bound each term (SCALE.md).
+    anti/inner joins and ONE rank-close window. Nothing new shuffles.
+
+    Measured (r12): 16.20 s cold at sf0.1 (scale probe, best-of-2
+    noop), α 0.34 at 8× — additive over the same session's parts (the
+    span-cleaned chain 11.63 s / α 0.30 + the quality gate's ~2.5 s +
+    the decontamination arm's ~2 s), and α lands exactly in the
+    manifest-chain band: composing the gates added no scale term
+    (SCALE.md).
     """
     from aws_saas_etl_spark.operators.textops import doc_duplicate_span_removal
 

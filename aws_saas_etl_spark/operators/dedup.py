@@ -1266,7 +1266,13 @@ def dedup_lsh_recall_report_sampled25(spark, sf_dir: str) -> DataFrame:
     arm is non-empty at the driver's sf0.01 gate (10% holds zero true
     pairs there). Two measured fractions beside the full report turn
     SCALE.md's "the fraction is the production cost knob" reading into
-    a curve rather than a single ratio."""
+    a curve rather than a single ratio.
+
+    Measured (r12, one session): at 8× the curve reads full 18.51 s >
+    50% 10.57 s > 25% 8.94 s (48% of full), monotone at every probed
+    scale ≥ 2×; at 1× all three meet at the fixed-overhead floor — the
+    honest statement that sampling buys nothing until the data term
+    dominates (SCALE.md)."""
     from aws_saas_etl_spark.operators.sampling import AUDIT_SAMPLE_PCT_LOW
 
     return _lsh_recall_report_from(

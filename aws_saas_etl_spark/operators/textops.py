@@ -1708,6 +1708,10 @@ def doc_gopher_repetition(spark, sf_dir: str) -> DataFrame:
     unit-less documents at zero. Gram keys hash to int64 before the
     shuffle (the 8-byte rule; the oracle groups raw gram strings, the
     proven engine-tolerance of the crossdoc chain).
+
+    Measured (r12): 3.36 s at sf0.1 (scale probe, best-of-2 noop),
+    α 0.04 at 8× — the data term sits under this box's per-stage floor
+    (session control α 0.09); see SCALE.md.
     """
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
     base = docs.select("doc_id", "text", T.tokens("text").alias("tk"))
