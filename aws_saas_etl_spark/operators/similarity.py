@@ -910,6 +910,35 @@ def ann_ladder_recall_report_sampled(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ladder_recall_report_sampled25(spark, sf_dir: str) -> DataFrame:
+    """``ann_ladder_recall_report`` at the LOWER registered fraction
+    (``AUDIT_SAMPLE_PCT_LOW`` = 25%) — the ANN arm of the r12
+    sample-fraction cost curve (the dedup recall audit registered its
+    25% point the same round). Keeps 2 of the 10 fixture queries (md5
+    buckets 23 and 21); the sampled ≡ full-restricted pin covers both
+    fractions.
+
+    Measured honestly (r12, sf0.1, memo-cleared best-of-2): cold is
+    FLAT across the curve — 17.93 / 17.39 / 17.26 s for full / 50% /
+    25% — because at the fixture's 10 queries the corpus-side terms
+    (SQ8/BQ/PQ encode scans, the IVF fit) dominate and are
+    query-count-independent; r11's one-session 32% cold saving for the
+    50% form was session band, not a stable fixture-scale effect. The
+    fraction's saving lives in the QUERY-proportional terms (truth
+    scoring + per-rung candidate ranking), i.e. it materializes at
+    production query counts — the dedup arm of the curve, whose sample
+    bounds the CORPUS side instead, is the one that shows a monotone
+    saving at fixture scale (SCALE.md: 18.5 > 10.6 > 8.9 s at 8×)."""
+    from aws_saas_etl_spark.operators.sampling import (
+        AUDIT_SAMPLE_PCT_LOW,
+        hash_bucket,
+    )
+
+    return _ladder_recall(
+        spark, sf_dir, query_pred=hash_bucket("query_id") < AUDIT_SAMPLE_PCT_LOW
+    )
+
+
 def _ladder_recall(spark, sf_dir: str, query_pred: Column | None = None) -> DataFrame:
     """Shared builder for the full and query-sampled recall reports."""
     key = ["query_id", "neighbor_id"]

@@ -2260,6 +2260,15 @@ def _ann_ladder_recall_sampled_sql() -> str:
 ANN_LADDER_RECALL_SAMPLED_SQL = _ann_ladder_recall_sampled_sql()
 
 
+def _ann_ladder_recall_sampled25_sql() -> str:
+    from aws_saas_etl_spark.operators.sampling import AUDIT_SAMPLE_PCT_LOW
+
+    return _ann_ladder_recall_sql(sample_pct=AUDIT_SAMPLE_PCT_LOW)
+
+
+ANN_LADDER_RECALL_SAMPLED25_SQL = _ann_ladder_recall_sampled25_sql()
+
+
 def _ann_ladder_staleness_sql(sample_pct: int | None = None) -> str:
     """Twin of the ladder staleness report: per rung, the fresh twin and
     the stale (incremental-append) twin as CTEs joined into per-query

@@ -1373,6 +1373,14 @@ register(
     similarity.ann_ladder_recall_report_sampled,
     oracles.ANN_LADDER_RECALL_SAMPLED_SQL,
 )
+# r12: the ANN arm of the sample-fraction cost curve (the recall
+# audit's truth arm is query-proportional, so cold cost falls with the
+# fraction — unlike the fit-dominated staleness table)
+register(
+    "ann_ladder_recall_report_sampled25",
+    similarity.ann_ladder_recall_report_sampled25,
+    oracles.ANN_LADDER_RECALL_SAMPLED25_SQL,
+)
 # lifecycle × rung grid, per-row-code half (r10): SQ8/BQ codes have no
 # trained state, so append = store base + encode delta (hash gate = the
 # plain fresh-encode twin: maintenance is EXACT) and deletion = anti-join

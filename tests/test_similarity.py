@@ -1154,15 +1154,20 @@ def test_sampled_staleness_report_equals_full_restricted(spark):
 
 
 def test_sampled_recall_report_equals_full_restricted_queries(spark):
-    """Same subset pin for the recall frontier's sampled form: per-query
-    rows are independent, so the sampled report is EXACTLY the full
-    report restricted to sampled query_ids."""
+    """Same subset pin for the recall frontier's sampled forms — BOTH
+    registered fractions of the r12 cost curve: per-query rows are
+    independent, so each sampled report is EXACTLY the full report
+    restricted to its sampled query_ids."""
     import hashlib
 
-    from aws_saas_etl_spark.operators.similarity import (
+    from aws_saas_etl_spark.operators.sampling import (
         AUDIT_SAMPLE_PCT,
+        AUDIT_SAMPLE_PCT_LOW,
+    )
+    from aws_saas_etl_spark.operators.similarity import (
         ann_ladder_recall_report,
         ann_ladder_recall_report_sampled,
+        ann_ladder_recall_report_sampled25,
     )
 
     def bucket(qid: int) -> int:
@@ -1172,10 +1177,11 @@ def test_sampled_recall_report_equals_full_restricted_queries(spark):
         r.query_id: tuple(r)
         for r in ann_ladder_recall_report(spark, SF_SMOKE).collect()
     }
-    sampled = {
-        r.query_id: tuple(r)
-        for r in ann_ladder_recall_report_sampled(spark, SF_SMOKE).collect()
-    }
-    expected = {q: t for q, t in full.items() if bucket(q) < AUDIT_SAMPLE_PCT}
-    assert sampled == expected
-    assert 0 < len(sampled) < len(full)
+    for pct, fn in (
+        (AUDIT_SAMPLE_PCT, ann_ladder_recall_report_sampled),
+        (AUDIT_SAMPLE_PCT_LOW, ann_ladder_recall_report_sampled25),
+    ):
+        sampled = {r.query_id: tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+        expected = {q: t for q, t in full.items() if bucket(q) < pct}
+        assert sampled == expected, pct
+        assert 0 < len(sampled) < len(full), pct
