@@ -650,7 +650,7 @@ def stream_minhash_signature_ingest(spark, sf_dir: str) -> DataFrame:
     — and per-row gram-building in higher-order ``transform`` lambdas
     sits on Spark's interpreted expression path (measured r11: the
     gram ``concat_ws`` transform alone costs ~11 s over sf0.1's 260k
-    shingles; the whole-drain first cut ran 24.7 s, 4,051 rows/s — 10×
+    shingles; the whole-drain first cut ran 24.7 s, ~200 docs/s — 10×
     slower than the postings ingest). So tokenization stays JVM-side
     (one codegen ``split``/``filter`` pass — no tokenizer parity risk)
     and everything after the token array runs in ONE Arrow-batched
@@ -659,7 +659,10 @@ def stream_minhash_signature_ingest(spark, sf_dir: str) -> DataFrame:
     affine mins as two vectorized int64 ops + ``np.minimum.reduceat``
     over the batch's concatenated hash vector — the sanctioned Python
     fast path for per-row array math no built-in covers shuffle-free.
-    Measured after the rewrite: 3.6 s drain at sf0.1 (~28k rows/s),
+    Measured after the rewrite: 3.6 s drain at sf0.1 (~1.4k docs/s —
+    r12 note: earlier phrasing normalized this by the EVENTS count,
+    20× the 5k-doc input; bench now divides each stream by what it
+    actually ingests),
     ~7× the interpreted form. Exact int64 throughout (a·h < 2⁶²); the
     oracle re-derives the same values from the shared
     MINHASH_A/MINHASH_B constants.

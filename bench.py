@@ -175,29 +175,62 @@ def main() -> None:
 
     # STREAM_BENCH: the stream_* drains are excluded from the latency table
     # (fixed micro-batch/checkpoint overhead would swamp query cost), but
-    # their end-to-end throughput IS a regression signal for the 9
-    # streaming pipelines: input events per second through a full
-    # availableNow drain (file source → watermark → stateful op → sink).
-    from aws_saas_etl_spark.catalog import load_table
+    # their end-to-end throughput IS a regression signal for the
+    # streaming pipelines: input rows per second through a full
+    # availableNow drain (file source → watermark → stateful op → sink),
+    # normalized by what each pipeline ACTUALLY ingests (r12 — dividing
+    # every stream by the events count overstated the document streams'
+    # throughput ~20×: documents is 5k rows at sf0.1, events 100k).
+    from pyspark.sql import functions as F
 
+    from aws_saas_etl_spark.catalog import load_table
+    from aws_saas_etl_spark.operators.dedup import DELTA_DOC_FRACTION
     from aws_saas_etl_spark.sources.custom import STREAM_TOTAL_ROWS
 
     n_events = load_table(spark, sf_dir, "events").count()
+    docs = load_table(spark, sf_dir, "documents")
+    n_documents = docs.count()
+    n_embeddings = load_table(spark, sf_dir, "embeddings").count()
+    # the manifest-delta stream stages only the arriving slice (same
+    # shingle-percentile cut as the batch incremental merge)
+    delta_cut = docs.agg(
+        F.percentile("doc_id", 1.0 - DELTA_DOC_FRACTION)
+    ).first()[0]
+    n_docs_delta = docs.where(F.col("doc_id") > F.lit(delta_cut)).count()
+    stream_inputs = {
+        "events": n_events,
+        "documents": n_documents,
+        "embeddings": n_embeddings,
+        "documents_delta": n_docs_delta,
+        "custom_source": STREAM_TOTAL_ROWS,
+    }
+    _DOC_STREAMS = {
+        "stream_logreg_score_ingest",
+        "stream_minhash_signature_ingest",
+        "stream_lexical_postings_ingest",
+    }
+    _EMB_STREAMS = {"stream_sq8_code_ingest", "stream_bq_signature_ingest"}
+
+    def stream_input_kind(name: str) -> str:
+        if name in ("stream_custom_source_ingest", "stream_custom_sink_ingest"):
+            return "custom_source"
+        if name in _DOC_STREAMS:
+            return "documents"
+        if name in _EMB_STREAMS:
+            return "embeddings"
+        if name == "stream_manifest_delta_ingest":
+            return "documents_delta"
+        return "events"
+
     stream_bench: dict[str, dict[str, float]] = {}
     for name in sorted(n for n in qs if n.startswith("stream_")):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         secs = time.perf_counter() - t0
-        # normalize by what the pipeline actually ingested: the custom
-        # Python source reads its own closed-form rows, not `events`
-        n_in = (
-            STREAM_TOTAL_ROWS
-            if name in ("stream_custom_source_ingest", "stream_custom_sink_ingest")
-            else n_events
-        )
+        kind = stream_input_kind(name)
         stream_bench[name] = {
             "drain_seconds": round(secs, 4),
-            "input_rows_per_sec": round(n_in / secs, 1),
+            "input_rows_per_sec": round(stream_inputs[kind] / secs, 1),
         }
 
     session_control["end"] = control_run()
@@ -207,7 +240,7 @@ def main() -> None:
     )
     print(
         render_line(
-            timings, spreads, sf, stream_bench, n_events, canary, cold_warm,
+            timings, spreads, sf, stream_bench, stream_inputs, canary, cold_warm,
             session_control, side_effecting,
         )
     )
@@ -215,7 +248,7 @@ def main() -> None:
 
 
 def render_line(
-    timings, spreads, sf, stream_bench, n_events, canary, cold_warm,
+    timings, spreads, sf, stream_bench, stream_inputs, canary, cold_warm,
     session_control, side_effecting,
 ) -> str:
     """Assemble the single JSON output line. Key ORDER is load-bearing:
@@ -238,7 +271,9 @@ def render_line(
             "n_queries": len(timings),
             "mean_query_seconds": round(total / max(len(timings), 1), 4),
             "stream_bench": stream_bench,
-            "stream_input_rows": n_events,
+            # per-kind input sizes the stream throughputs are normalized
+            # by (r12: each stream divides by what it actually ingests)
+            "stream_input_rows": stream_inputs,
             # LAST keys on purpose: the driver preserves only the TAIL of
             # this line, and `queries` is alphabetical — without this the
             # slowest a–l queries would be invisible in BENCH_r{N}.json.

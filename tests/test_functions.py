@@ -1052,7 +1052,8 @@ def test_bench_tail_preserves_control_and_top12():
         spreads,
         0.1,
         stream_bench,
-        1_000_000,
+        {"events": 1_000_000, "documents": 50_000, "embeddings": 20_000,
+         "documents_delta": 5_000, "custom_source": 12_345},
         canary,
         cold_warm,
         {"start": 2.4901, "mid": 2.8213, "end": 1.9807},
