@@ -40,12 +40,15 @@ def dsum_rounded(col: Column, r: int = 2) -> Column:
 
 
 def davg_rounded(col: Column, r: int = 4) -> Column:
-    """Average fully in decimal: Spark divides decimal by count at scale 6
-    (HALF_UP), then we rescale to ``r`` (HALF_UP) and emit double. The
-    oracle twin reproduces the same two half-up roundings with integer
-    arithmetic (DuckDB's decimal/int division degrades to double)."""
-    q6 = dsum(col) / F.count(col)  # decimal(38,6), HALF_UP at scale 6
-    return q6.cast(f"decimal(38,{r})").cast("double")
+    """Average fully in decimal: Spark divides the decimal(32,6) sum by the
+    long count yielding **decimal(38,12)** (HALF_UP at scale 12 — verified
+    empirically: 16 values averaging 0.2779495625 give quotient
+    0.277949562500), then we rescale to ``r`` (HALF_UP) and emit double.
+    The oracle twin reproduces the same two half-up roundings — scale-12
+    quotient, then rescale to r — with exact integer arithmetic (DuckDB's
+    decimal/int division degrades to double)."""
+    q12 = dsum(col) / F.count(col)  # decimal(38,12), HALF_UP at scale 12
+    return q12.cast(f"decimal(38,{r})").cast("double")
 
 
 def dround(col: Column, r: int = 2) -> Column:
@@ -81,10 +84,20 @@ def _half_up_div(a: str, n: str) -> str:
 
 
 def davg_sql(expr: str, r: int = 4) -> str:
-    """DuckDB twin of davg_rounded: emulate Spark's decimal division
-    (scale-6 HALF_UP) + rescale to r (HALF_UP) with exact integer math."""
-    a = f"CAST(sum(CAST({expr} AS DECIMAL(22,6))) * 1000000 AS HUGEINT)"
-    q6 = _half_up_div(a, f"count({expr})")  # quotient at scale 6
-    h = 10 ** (6 - r)
-    qr = _half_up_div(q6, str(h))  # rescaled to scale r
+    """DuckDB twin of davg_rounded: emulate Spark's ACTUAL decimal division
+    — HALF_UP quotient at **scale 12** (Spark's decimal(32,6)/long result
+    type is decimal(38,12)), then one HALF_UP rescale to r — with exact
+    integer math. Rounding via an intermediate scale-6 quotient instead
+    double-rounds and diverges (found by the hypothesis parity suite:
+    avg 0.2779495625 → Spark 0.2779, scale-6 twin 0.2780).
+
+    HUGEINT safety: the scale-6 sum is ≤1e16 in magnitude, so the scale-12
+    integer is ≤1e28 and 2*a+n in the half-up division ≤2e28, far inside
+    HUGEINT's ~1.7e38 range.
+    """
+    a6 = f"CAST(sum(CAST({expr} AS DECIMAL(22,6))) * 1000000 AS HUGEINT)"
+    a12 = f"(({a6}) * CAST(1000000 AS HUGEINT))"  # exact, scale 12
+    q12 = _half_up_div(a12, f"count({expr})")  # quotient at scale 12
+    h = 10 ** (12 - r)
+    qr = _half_up_div(q12, str(h))  # rescaled to scale r
     return f"CAST({qr} AS DOUBLE) / {10**r}"
