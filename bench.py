@@ -163,8 +163,18 @@ def main() -> None:
 
     session_control["mid"] = control_run()
 
+    # COLD_WARM CONTROL (VERDICT r12 #3): the r12 driver block showed the
+    # manifest family 3-8× slower than every independent re-measurement —
+    # external load during the (late-session) cold/warm sweep, invisible
+    # because the only controls ran before/after the whole block. Fix:
+    # interleave the fixed control query every few pairs, keyed by how many
+    # pairs preceded it, so a contaminated stretch is self-evident (its
+    # neighboring control readings balloon with it) without anyone having
+    # to re-measure.
+    _CW_CONTROL_EVERY = 5
     cold_warm: dict[str, dict[str, float]] = {}
-    for name in sorted(memo_backed):
+    cold_warm_control: dict[str, float] = {"after_0": control_run()}
+    for i, name in enumerate(sorted(memo_backed), start=1):
         clear_session_memos()
         pair = []
         for _ in range(2):
@@ -172,6 +182,9 @@ def main() -> None:
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             pair.append(round(time.perf_counter() - t0, 4))
         cold_warm[name] = {"cold": pair[0], "warm": pair[1]}
+        if i % _CW_CONTROL_EVERY == 0:
+            cold_warm_control[f"after_{i}"] = control_run()
+    cold_warm_control["after_all"] = control_run()
 
     # STREAM_BENCH: the stream_* drains are excluded from the latency table
     # (fixed micro-batch/checkpoint overhead would swamp query cost), but
@@ -204,30 +217,46 @@ def main() -> None:
         "documents_delta": n_docs_delta,
         "custom_source": STREAM_TOTAL_ROWS,
     }
-    _DOC_STREAMS = {
-        "stream_logreg_score_ingest",
-        "stream_minhash_signature_ingest",
-        "stream_lexical_postings_ingest",
+    # EXHAUSTIVE stream→input mapping (ADVICE r12): the old helper fell
+    # back to "events" for unknown names, which is exactly how the r11
+    # minhash figure got mis-normalized ~20×. Every registered stream_*
+    # query must appear here; the assertion below makes adding a stream
+    # without classifying its input a hard startup failure, not a silent
+    # wrong denominator.
+    STREAM_INPUT_KIND = {
+        "stream_bq_signature_ingest": "embeddings",
+        "stream_click_attribution": "events",
+        "stream_click_unmatched": "events",
+        "stream_custom_sink_ingest": "custom_source",
+        "stream_custom_source_ingest": "custom_source",
+        "stream_dedup_within_watermark": "events",
+        "stream_hourly_stats": "events",
+        "stream_hourly_to_parquet": "events",
+        "stream_lexical_postings_ingest": "documents",
+        "stream_logreg_score_ingest": "documents",
+        "stream_manifest_delta_ingest": "documents_delta",
+        "stream_minhash_signature_ingest": "documents",
+        "stream_running_user_totals": "events",
+        "stream_session_stats": "events",
+        "stream_sliding_windows": "events",
+        "stream_sq8_code_ingest": "embeddings",
+        "stream_static_enrichment": "events",
+        "stream_topk_trending": "events",
+        "stream_upsert_state": "events",
     }
-    _EMB_STREAMS = {"stream_sq8_code_ingest", "stream_bq_signature_ingest"}
-
-    def stream_input_kind(name: str) -> str:
-        if name in ("stream_custom_source_ingest", "stream_custom_sink_ingest"):
-            return "custom_source"
-        if name in _DOC_STREAMS:
-            return "documents"
-        if name in _EMB_STREAMS:
-            return "embeddings"
-        if name == "stream_manifest_delta_ingest":
-            return "documents_delta"
-        return "events"
+    stream_names = sorted(n for n in qs if n.startswith("stream_"))
+    unmapped = [n for n in stream_names if n not in STREAM_INPUT_KIND]
+    assert not unmapped, (
+        f"stream queries missing from STREAM_INPUT_KIND: {unmapped} — "
+        "classify each stream's actual input table before benching it"
+    )
 
     stream_bench: dict[str, dict[str, float]] = {}
-    for name in sorted(n for n in qs if n.startswith("stream_")):
+    for name in stream_names:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         secs = time.perf_counter() - t0
-        kind = stream_input_kind(name)
+        kind = STREAM_INPUT_KIND[name]
         stream_bench[name] = {
             "drain_seconds": round(secs, 4),
             "input_rows_per_sec": round(stream_inputs[kind] / secs, 1),
@@ -241,7 +270,7 @@ def main() -> None:
     print(
         render_line(
             timings, spreads, sf, stream_bench, stream_inputs, canary, cold_warm,
-            session_control, side_effecting,
+            session_control, side_effecting, cold_warm_control,
         )
     )
     spark.stop()
@@ -249,7 +278,7 @@ def main() -> None:
 
 def render_line(
     timings, spreads, sf, stream_bench, stream_inputs, canary, cold_warm,
-    session_control, side_effecting,
+    session_control, side_effecting, cold_warm_control=None,
 ) -> str:
     """Assemble the single JSON output line. Key ORDER is load-bearing:
     the driver preserves only the TAIL of this line in BENCH_r{N}.json,
@@ -292,6 +321,16 @@ def render_line(
             # builds the artifact, warm serves from it — the honest
             # split of what best-of-2 + canary spread conflate
             "cold_warm": cold_warm,
+            # interleaved control readings taken DURING the cold/warm
+            # sweep (every 5 pairs + bookends, keyed by pairs completed):
+            # the self-evidence that distinguishes a contaminated block
+            # (controls balloon alongside the inflated pairs, as the
+            # un-reproducible r12 manifest figures would have shown) from
+            # a real regression (controls stay in band). Grows ~1 key per
+            # 5 memo-backed queries — kept just ahead of the fixed tail,
+            # and the tail unit test pins that it survives the driver's
+            # preserved 2,000-char tail at current registry size.
+            "cold_warm_control": cold_warm_control or {},
             # fixed reference query at session start/mid/end — the
             # drift normalizer for round-over-round tables. Placed
             # AFTER cold_warm (VERDICT r10 #2): cold_warm grew past
