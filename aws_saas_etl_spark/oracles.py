@@ -2336,6 +2336,15 @@ def _ann_ladder_staleness_sampled_sql() -> str:
 ANN_LADDER_STALENESS_SAMPLED_SQL = _ann_ladder_staleness_sampled_sql()
 
 
+def _ann_ladder_staleness_sampled25_sql() -> str:
+    from aws_saas_etl_spark.operators.sampling import AUDIT_SAMPLE_PCT_LOW
+
+    return _ann_ladder_staleness_sql(sample_pct=AUDIT_SAMPLE_PCT_LOW)
+
+
+ANN_LADDER_STALENESS_SAMPLED25_SQL = _ann_ladder_staleness_sampled25_sql()
+
+
 def _triplet_mining_sql() -> str:
     """Twin of the hard-triplet mine: the same rounded cosine (identical
     fold order), hardest positive via (cos ASC, id ASC) rank-1 and
@@ -6861,7 +6870,12 @@ def _gopher_repetition_sql() -> str:
         FROM gr
     ),
     top AS (
-        SELECT doc_id, ng, max(cnt * length(g)) AS top_mass
+        -- paper's statistic: mass of the MOST FREQUENT gram (struct-max:
+        -- count first, mass as tie-break — same ordering as Spark's
+        -- struct max over (cnt, mass))
+        SELECT doc_id, ng,
+               (max(struct_pack(cnt := cnt, mass := cnt * length(g)))).mass
+                   AS top_mass
         FROM (SELECT doc_id, ng, g, count(*) AS cnt
               FROM grams GROUP BY doc_id, ng, g)
         GROUP BY doc_id, ng
@@ -6934,6 +6948,39 @@ def _full_pipeline_manifest_sql() -> str:
 
 
 FULL_PIPELINE_MANIFEST_SQL = _full_pipeline_manifest_sql()
+
+
+def _gatesetv2_manifest_sql() -> str:  # defined here, INSTANTIATED after
+    # DOC_REPETITION_FILTER_SQL exists (it interpolates that constant)
+    """Twin of GATE SET v2: the full-pipeline twin with ONE more removal
+    subquery — train-split docs failing the Gopher repetition gate (the
+    repetition-filter twin reused verbatim as a derived table, exactly
+    the differential construction the solo gates share). v1's twin is
+    untouched."""
+    return f"""
+    WITH man AS ({TRAINING_MANIFEST_SQL}),
+    contam AS {_contam_ids_subquery()},
+    rmq AS {_quality_rm_subquery()},
+    repf AS (
+        SELECT r.doc_id
+        FROM ({DOC_REPETITION_FILTER_SQL}) r
+        JOIN man mt ON r.doc_id = mt.doc_id AND mt.split = 'train'
+        WHERE r.verdict <> 'keep'
+    ),
+    sr AS ({DUPLICATE_SPAN_REMOVAL_SQL})
+    SELECT m.doc_id, m.split, m.shard,
+           row_number() OVER (PARTITION BY m.split, m.shard ORDER BY m.pos)
+               AS pos,
+           m.n_tokens, sr.kept_tokens, sr.removed_tokens
+    FROM man m
+    LEFT JOIN contam c ON m.doc_id = c.doc_id
+    LEFT JOIN rmq q ON m.doc_id = q.doc_id
+    LEFT JOIN repf rf ON m.doc_id = rf.doc_id
+    JOIN sr ON m.doc_id = sr.doc_id
+    WHERE c.doc_id IS NULL AND q.doc_id IS NULL AND rf.doc_id IS NULL
+      AND sr.kept_tokens > 0
+    ORDER BY m.split, m.shard, pos
+"""
 
 
 def _stream_manifest_delta_sql() -> str:
@@ -7041,3 +7088,5 @@ def _repetition_filter_sql() -> str:
 
 
 DOC_REPETITION_FILTER_SQL = _repetition_filter_sql()
+
+GATESETV2_MANIFEST_SQL = _gatesetv2_manifest_sql()

@@ -1127,11 +1127,28 @@ register(
     curation.training_manifest_full_pipeline,
     oracles.FULL_PIPELINE_MANIFEST_SQL,
 )
+# r13: GATE SET v2 — the versioned evolution (VERDICT r12 #4): the v1
+# pipeline plus the Gopher repetition gate (train split only), v1 row
+# untouched; proves a new gate ships as a new manifest version
+register(
+    "training_manifest_gatesetv2",
+    curation.training_manifest_gatesetv2,
+    oracles.GATESETV2_MANIFEST_SQL,
+)
 # incremental manifest maintenance: stored rows + delta-sized repair,
 # proven equal to the full recompute by the SAME manifest oracle
 register(
     "training_manifest_incremental",
     curation.training_manifest_incremental,
+    oracles.TRAINING_MANIFEST_SQL,
+)
+# r13: the stream→compaction handoff composed end-to-end (VERDICT r12
+# #5): streamed appends land in the store, the nightly merge consumes
+# them FROM the store, compaction assigns final positions — read-back
+# hashes against the same full-recompute twin
+register(
+    "manifest_stream_compaction_handoff",
+    curation.manifest_stream_compaction_handoff,
     oracles.TRAINING_MANIFEST_SQL,
 )
 # file-level half of the incremental claim (r8): manifest stored as a
@@ -1484,6 +1501,13 @@ register(
     "ann_ladder_staleness_report_sampled",
     similarity.ann_ladder_staleness_report_sampled,
     oracles.ANN_LADDER_STALENESS_SAMPLED_SQL,
+)
+# r13: the 25% point on the staleness arm — cost-curve symmetry with the
+# recall audit (both arms now register full/50%/25%)
+register(
+    "ann_ladder_staleness_report_sampled25",
+    similarity.ann_ladder_staleness_report_sampled25,
+    oracles.ANN_LADDER_STALENESS_SAMPLED25_SQL,
 )
 
 

@@ -819,8 +819,17 @@ def _staged_delta_documents_dir(spark, sf_dir: str, cut: float) -> str:
     """Stage the ARRIVING document slice (doc_id > the shared
     shingle-percentile cut — the same base/delta boundary the batch
     incremental manifest uses) as a multi-file parquet directory.
-    Cached per (session, sf_dir)."""
-    key = (spark.sparkContext.applicationId, sf_dir, "docs_delta")
+    Cached per (session, abspath(sf_dir), cut) — cut is part of the key
+    (ADVICE r12: omitting it would silently serve a stale slice if
+    DELTA_DOC_FRACTION were varied in-session, and a relative-path alias
+    of the same sf_dir would re-stage), matching the abspath convention
+    of the sibling caches in operators/curation.py."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        "docs_delta",
+        cut,
+    )
     path = _stage_cache.get(key)
     if path and os.path.isdir(path):
         return path
@@ -832,7 +841,7 @@ def _staged_delta_documents_dir(spark, sf_dir: str, cut: float) -> str:
     return path
 
 
-def stream_manifest_delta_ingest(spark, sf_dir: str) -> DataFrame:
+def _stream_manifest_delta_rows(spark, sf_dir: str) -> DataFrame:
     """STREAMING MANIFEST maintenance — the pipeline-artifact family's
     streaming leg (VERDICT r11 #6; dedup/ANN/lexical got theirs in
     r10/r11): ARRIVING documents (the same ``doc_id > shingle-percentile
@@ -919,7 +928,14 @@ def stream_manifest_delta_ingest(spark, sf_dir: str) -> DataFrame:
         .withColumn("ckey", F.col("doc_id"))
     )
     out = _shard_cols(passed).select("doc_id", "split", "shard", "n_tokens")
-    drained = _drain(out, "append")
+    return _drain(out, "append")
+
+
+def stream_manifest_delta_ingest(spark, sf_dir: str) -> DataFrame:
+    """The registered audit view over :func:`_stream_manifest_delta_rows`
+    (which holds the full pipeline docstring above): per-(split, shard)
+    exact BIGINT rollup of the drained append rows."""
+    drained = _stream_manifest_delta_rows(spark, sf_dir)
     return (
         drained.groupBy("split", "shard")
         .agg(

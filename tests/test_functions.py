@@ -1047,6 +1047,12 @@ def test_bench_tail_preserves_control_and_top12():
         n for n in qs if getattr(qs[n], "side_effecting", False)
     )
     assert side_effecting  # the list the r11 verdict saw growing exists
+    # worst-case interleaved cold/warm control: one reading per 5 pairs
+    # over the every-batch-query cold_warm above, plus bookends
+    cold_warm_control = {"after_0": 2.5012}
+    for i in range(5, len(names) + 1, 5):
+        cold_warm_control[f"after_{i}"] = 2.5012
+    cold_warm_control["after_all"] = 2.5012
     line = bench.render_line(
         timings,
         spreads,
@@ -1058,12 +1064,18 @@ def test_bench_tail_preserves_control_and_top12():
         cold_warm,
         {"start": 2.4901, "mid": 2.8213, "end": 1.9807},
         side_effecting,
+        cold_warm_control,
     )
     tail = line[-2000:]
     assert '"session_control"' in tail
     assert '"top_12_slowest"' in tail
     # and the control's values themselves survive, not just the key
     assert '"start": 2.4901' in tail
+    # the interleaved cold/warm control (VERDICT r12 #3) must also sit in
+    # the surviving tail — at least its trailing readings — so a
+    # contaminated sweep is visible in BENCH_r{N}.json itself
+    assert '"cold_warm_control"' in tail
+    assert '"after_all": 2.5012' in tail
 
 
 def test_gopher_repetition_hand_computable(spark, tmp_path):
@@ -1181,6 +1193,88 @@ def test_full_pipeline_manifest_composes_solo_gates(spark):
         assert [r.pos for r in rs] == list(range(1, len(rs) + 1)), key
         base_pos = [base[r.doc_id].pos for r in rs]
         assert base_pos == sorted(base_pos), key
+
+
+def test_stream_compaction_handoff_matches_incremental(spark):
+    """Pins the stream→compaction handoff (VERDICT r12 #5) against the
+    proven batch path, row-for-row: stored base + streamed appends
+    (read back from the accreted store) + nightly merge + compaction
+    must reproduce training_manifest_incremental EXACTLY — same doc
+    set, same (split, shard), same final positions, same token counts.
+    The incremental row itself hashes against the full-recompute twin,
+    so transitively: handoff ≡ full recompute."""
+    from aws_saas_etl_spark.operators.curation import (
+        manifest_stream_compaction_handoff,
+        training_manifest_incremental,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.doc_id: (r.split, r.shard, r.pos, r.n_tokens)
+        for r in manifest_stream_compaction_handoff(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.doc_id: (r.split, r.shard, r.pos, r.n_tokens)
+        for r in training_manifest_incremental(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_gatesetv2_is_v1_plus_repetition_gate(spark):
+    """Pins GATE SET v2 (VERDICT r12 #4) as exactly the versioned
+    evolution it claims to be: v2's removed set vs v1 IS v1's
+    train-split survivors failing the Gopher repetition gate (16 docs
+    at sf0.001 — non-vacuous), eval splits are never touched by the new
+    gate, surviving rows carry identical (split, shard, token) values,
+    and v2 ≡ the repetition gate applied SEQUENTIALLY to v1's output
+    with ranks closing once more (the _close_ranks idempotence the full
+    pipeline proved, now exercised across a version boundary)."""
+    from collections import defaultdict
+
+    from aws_saas_etl_spark.operators.curation import (
+        training_manifest_full_pipeline,
+        training_manifest_gatesetv2,
+    )
+    from aws_saas_etl_spark.operators.textops import doc_repetition_filter
+    from tests.conftest import SF_SMOKE
+
+    v1 = {
+        r.doc_id: r
+        for r in training_manifest_full_pipeline(spark, SF_SMOKE).collect()
+    }
+    v2 = {
+        r.doc_id: r for r in training_manifest_gatesetv2(spark, SF_SMOKE).collect()
+    }
+    fail = {
+        r.doc_id
+        for r in doc_repetition_filter(spark, SF_SMOKE)
+        .where("verdict <> 'keep'")
+        .collect()
+    }
+
+    removed = set(v1) - set(v2)
+    assert removed, "the v2 gate must bite at this sf (non-vacuity)"
+    assert removed == {
+        d for d in v1 if v1[d].split == "train" and d in fail
+    }
+    # eval splits are never gated: every non-train v1 row survives
+    assert all(d in v2 for d in v1 if v1[d].split != "train")
+    # surviving rows: everything but pos identical
+    for d, r in v2.items():
+        o = v1[d]
+        assert (r.split, r.shard, r.n_tokens, r.kept_tokens, r.removed_tokens) == (
+            o.split, o.shard, o.n_tokens, o.kept_tokens, o.removed_tokens
+        )
+    # sequential application: dropping the removed docs from v1 and
+    # re-closing ranks reproduces v2's positions exactly
+    by_shard = defaultdict(list)
+    for r in sorted(v1.values(), key=lambda r: (r.split, r.shard, r.pos)):
+        if r.doc_id in v2:
+            by_shard[(r.split, r.shard)].append(r.doc_id)
+    for (split, shard), ids in by_shard.items():
+        for i, d in enumerate(ids, start=1):
+            assert v2[d].pos == i, (split, shard, d)
 
 
 def test_repetition_filter_first_failing_gate(spark, tmp_path):

@@ -1127,13 +1127,18 @@ def test_sampled_staleness_report_equals_full_restricted(spark):
     decision table restricted to sampled query_ids: per-query rows are
     independent (truth, every arm, and the hit joins are all keyed by
     query_id), so the hash-stable query sample chooses WHICH rows exist
-    and never changes a surviving row's counts."""
+    and never changes a surviving row's counts. Covers BOTH registered
+    fractions (50% and the r13 25% arm)."""
     import hashlib
 
-    from aws_saas_etl_spark.operators.similarity import (
+    from aws_saas_etl_spark.operators.sampling import (
         AUDIT_SAMPLE_PCT,
+        AUDIT_SAMPLE_PCT_LOW,
+    )
+    from aws_saas_etl_spark.operators.similarity import (
         ann_ladder_staleness_report,
         ann_ladder_staleness_report_sampled,
+        ann_ladder_staleness_report_sampled25,
     )
 
     def bucket(qid: int) -> int:
@@ -1143,14 +1148,15 @@ def test_sampled_staleness_report_equals_full_restricted(spark):
         r.query_id: tuple(r)
         for r in ann_ladder_staleness_report(spark, SF_SMOKE).collect()
     }
-    sampled = {
-        r.query_id: tuple(r)
-        for r in ann_ladder_staleness_report_sampled(spark, SF_SMOKE).collect()
-    }
-    expected = {q: t for q, t in full.items() if bucket(q) < AUDIT_SAMPLE_PCT}
-    assert sampled == expected
-    # the fixture query set must exercise the sample both ways
-    assert 0 < len(sampled) < len(full)
+    for pct, fn in (
+        (AUDIT_SAMPLE_PCT, ann_ladder_staleness_report_sampled),
+        (AUDIT_SAMPLE_PCT_LOW, ann_ladder_staleness_report_sampled25),
+    ):
+        sampled = {r.query_id: tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+        expected = {q: t for q, t in full.items() if bucket(q) < pct}
+        assert sampled == expected, pct
+        # the fixture query set must exercise the sample both ways
+        assert 0 < len(sampled) < len(full), pct
 
 
 def test_sampled_recall_report_equals_full_restricted_queries(spark):
