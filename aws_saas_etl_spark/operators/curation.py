@@ -2287,3 +2287,48 @@ def training_manifest_gatesetv2(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "shard", "pos")
     )
+
+
+def manifest_gateset_version_diff(spark, sf_dir: str) -> DataFrame:
+    """The MIGRATION REPORT an operator reads before flipping manifest
+    versions — every v1 (full-pipeline) row attributed by its fate
+    under gate set v2, aggregated per (split, shard, fate):
+
+    - ``fate = 'kept'`` — the row survives into v2 (all non-train rows
+      by construction, plus train rows passing the repetition gate);
+    - ``fate = <rung>`` — the FIRST failing Gopher rung
+      (``doc_repetition_filter``'s verdict) that removes the train row.
+
+    Columns: n_docs plus sum_kept_tokens — the training tokens each new
+    rung costs, and where (the shard-level view is what decides whether
+    the version flip needs shard rebalancing). Per-group totals must
+    reconcile exactly with v1 and v2 row counts
+    (``tests/test_functions.py`` pins Σ n_docs = |v1| per (split,
+    shard) and the 'kept' rows ≡ v2).
+
+    Scale shape: one inner join of two proven artifacts on doc_id and
+    one bounded aggregate (≤ |splits| × |shards| × 9 fate groups ≤ a
+    few hundred rows at any corpus size) — the diff never materializes
+    doc-level output.
+    """
+    from aws_saas_etl_spark.operators.textops import doc_repetition_filter
+
+    v1 = training_manifest_full_pipeline(spark, sf_dir)
+    rep = doc_repetition_filter(spark, sf_dir)
+    fate = (
+        F.when(
+            (F.col("split") != "train") | (F.col("verdict") == "keep"),
+            F.lit("kept"),
+        )
+        .otherwise(F.col("verdict"))
+        .alias("fate")
+    )
+    return (
+        v1.join(rep, "doc_id")
+        .groupBy("split", "shard", fate)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept_tokens").alias("sum_kept_tokens"),
+        )
+        .orderBy("split", "shard", "fate")
+    )

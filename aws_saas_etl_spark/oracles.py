@@ -7090,3 +7090,25 @@ def _repetition_filter_sql() -> str:
 DOC_REPETITION_FILTER_SQL = _repetition_filter_sql()
 
 GATESETV2_MANIFEST_SQL = _gatesetv2_manifest_sql()
+
+
+def _gateset_version_diff_sql() -> str:
+    """Twin of the gate-set migration report: the full-pipeline twin's
+    rows attributed by the repetition-filter twin's verdict (kept for
+    non-train rows and passing train rows, else the first failing
+    rung), aggregated per (split, shard, fate)."""
+    return f"""
+    WITH v1 AS ({FULL_PIPELINE_MANIFEST_SQL}),
+    rep AS ({DOC_REPETITION_FILTER_SQL})
+    SELECT v1.split, v1.shard,
+           CASE WHEN v1.split <> 'train' OR rep.verdict = 'keep'
+                THEN 'kept' ELSE rep.verdict END AS fate,
+           count(*) AS n_docs,
+           CAST(sum(v1.kept_tokens) AS BIGINT) AS sum_kept_tokens
+    FROM v1 JOIN rep ON v1.doc_id = rep.doc_id
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+GATESET_VERSION_DIFF_SQL = _gateset_version_diff_sql()

@@ -1135,6 +1135,14 @@ register(
     curation.training_manifest_gatesetv2,
     oracles.GATESETV2_MANIFEST_SQL,
 )
+# r13: the migration report for the version flip — every v1 row
+# attributed by its v2 fate (kept / first failing repetition rung),
+# token-costed per (split, shard); bounded output
+register(
+    "manifest_gateset_version_diff",
+    curation.manifest_gateset_version_diff,
+    oracles.GATESET_VERSION_DIFF_SQL,
+)
 # incremental manifest maintenance: stored rows + delta-sized repair,
 # proven equal to the full recompute by the SAME manifest oracle
 register(

@@ -1221,6 +1221,41 @@ def test_stream_compaction_handoff_matches_incremental(spark):
     assert got  # non-vacuous
 
 
+def test_gateset_version_diff_reconciles_with_both_versions(spark):
+    """The migration report must account for EVERY v1 row exactly once:
+    per (split, shard), Σ n_docs over fates = |v1 rows|; the 'kept'
+    groups reproduce v2's per-shard counts and token sums; and at least
+    one non-kept fate exists (the report is non-vacuous)."""
+    from collections import Counter, defaultdict
+
+    from aws_saas_etl_spark.operators.curation import (
+        manifest_gateset_version_diff,
+        training_manifest_full_pipeline,
+        training_manifest_gatesetv2,
+    )
+    from tests.conftest import SF_SMOKE
+
+    diff = manifest_gateset_version_diff(spark, SF_SMOKE).collect()
+    v1 = training_manifest_full_pipeline(spark, SF_SMOKE).collect()
+    v2 = training_manifest_gatesetv2(spark, SF_SMOKE).collect()
+
+    per_shard = defaultdict(int)
+    kept = {}
+    for r in diff:
+        per_shard[(r.split, r.shard)] += r.n_docs
+        if r.fate == "kept":
+            kept[(r.split, r.shard)] = (r.n_docs, r.sum_kept_tokens)
+    assert per_shard == Counter((r.split, r.shard) for r in v1)
+
+    v2_counts = defaultdict(lambda: [0, 0])
+    for r in v2:
+        c = v2_counts[(r.split, r.shard)]
+        c[0] += 1
+        c[1] += r.kept_tokens
+    assert kept == {k: tuple(v) for k, v in v2_counts.items()}
+    assert any(r.fate != "kept" for r in diff)
+
+
 def test_gatesetv2_is_v1_plus_repetition_gate(spark):
     """Pins GATE SET v2 (VERDICT r12 #4) as exactly the versioned
     evolution it claims to be: v2's removed set vs v1 IS v1's

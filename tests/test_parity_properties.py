@@ -106,6 +106,39 @@ def test_dsum_davg_match_duckdb_any_order(spark, vals):
     assert (got["s"], got["a"]) == want
 
 
+@given(vals=st.lists(_money, min_size=1, max_size=30))
+# the r12 davg example again — every rescale target must survive it
+@example(
+    vals=[0.0] * 4
+    + [1.1421880722045898, 1.740004539489746, 1.5]
+    + [0.005] * 5
+    + [-0.005]
+    + [0.015] * 3
+)
+@settings(**_SETTINGS)
+def test_dsum_davg_match_duckdb_at_all_registered_scales(spark, vals):
+    """The fleet's oracles call dsum/davg at r=2, 4, AND 6 (15 davg and
+    dozens of dsum sites) — the r12 divergence was found at r=4 only
+    because that's all the suite exercised. Pin the whole family: one
+    Spark aggregate and one DuckDB query computing every registered
+    rescale target side by side."""
+    rs = (2, 4, 6)
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    got = df.agg(
+        *[dsum_rounded(F.col("v"), r).alias(f"s{r}") for r in rs],
+        *[davg_rounded(F.col("v"), r).alias(f"a{r}") for r in rs],
+    ).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    cols = ", ".join(
+        [f"{dsum_sql('v', r)} AS s{r}" for r in rs]
+        + [f"{davg_sql('v', r)} AS a{r}" for r in rs]
+    )
+    want = con.execute(f"SELECT {cols} FROM t").fetchone()
+    assert tuple(got) == want
+
+
 _text = st.text(
     alphabet=st.characters(
         codec="ascii", categories=("L", "N", "P", "Z"), include_characters=" \t"
