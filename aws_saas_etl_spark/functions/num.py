@@ -64,15 +64,67 @@ def dround(col: Column, r: int = 2) -> Column:
     return col.cast(DECIMAL_TYPE).cast(f"decimal(38,{r})").cast("double")
 
 
+def dec6_sql(expr: str) -> str:
+    """DuckDB twin of Spark's ``CAST(double AS DECIMAL(22,6))``.
+
+    The two engines round DIFFERENT inputs to scale 6: Spark converts
+    via the double's SHORTEST DECIMAL STRING
+    (java.math.BigDecimal(Double.toString(d)), then HALF_UP setScale),
+    while DuckDB's direct cast rounds the BINARY value. For doubles
+    within half an ulp of a .xxxxxx5 boundary the two disagree by one
+    scale-6 unit — found by the r13 widened parity suite at
+    536870912.5596035 (binary …4527 → DuckDB .559603; shortest string
+    …035 → Spark HALF_UP .559604).
+
+    Emulation: ``CAST(double AS VARCHAR)`` in DuckDB emits the same
+    shortest-roundtrip digits Java does, and VARCHAR → DECIMAL rounds
+    half-away-from-zero on the PLAIN-notation path — Spark's exact
+    semantics. But DuckDB 1.0's VARCHAR→DECIMAL parse of EXPONENT
+    notation mis-rounds tiny values ('5.9e-08' → 0.000001), so strings
+    carrying an exponent are decomposed exactly instead: the ≤17-digit
+    mantissa parses losslessly into DECIMAL(38,17), is scaled to an
+    exact ×10¹⁷ HUGEINT, and one half-away-from-zero integer division
+    lands it on the scale-6 grid (values below 10⁻⁷ round to zero
+    outright, before the 10^(11−k) divisor could overflow). Fuzzed
+    against BigDecimal(shortest-string).setScale(6, HALF_UP) over 55k
+    adversarial doubles (boundary-hunting ±k.5·10⁻⁶ and …5·10⁻⁷
+    shortest strings included): 0 mismatches. Kernel domain: |value| <
+    10¹⁶ (DECIMAL(22,6) capacity — Spark NULLs above it, DuckDB
+    errors; the fleet's inputs are money/score magnitudes ≤ 10⁶).
+    For inputs that are already DECIMAL/INTEGER the string route is
+    value-identical to the direct cast (exact digits, no exponent)."""
+    s = f"CAST({expr} AS VARCHAR)"
+    m = f"CAST(split_part({s}, 'e', 1) AS DECIMAL(38,17))"
+    k = f"CAST(split_part({s}, 'e', 2) AS INTEGER)"
+    big = f"CAST({m} * 100000000000000000 AS HUGEINT)"
+    t = (
+        f"(CASE WHEN {k} <= -8 THEN 0 "
+        f"WHEN {k} <= 11 THEN "
+        f"{_half_up_div(big, f'CAST(power(10, 11 - {k}) AS HUGEINT)')} "
+        f"ELSE {big} * CAST(power(10, {k} - 11) AS HUGEINT) END)"
+    )
+    plain = (
+        f"(CASE WHEN {t} < 0 THEN '-' ELSE '' END || "
+        f"CAST(abs({t}) // 1000000 AS VARCHAR) || '.' || "
+        f"lpad(CAST(abs({t}) % 1000000 AS VARCHAR), 6, '0'))"
+    )
+    return (
+        f"(CASE WHEN contains({s}, 'e') THEN CAST({plain} AS DECIMAL(22,6)) "
+        f"ELSE CAST({s} AS DECIMAL(22,6)) END)"
+    )
+
+
 def dround_sql(expr: str, r: int = 2) -> str:
-    """DuckDB twin of :func:`dround`."""
-    return f"CAST(round(CAST({expr} AS DECIMAL(22,6)), {r}) AS DOUBLE)"
+    """DuckDB twin of :func:`dround` (string-routed scale-6 cast — see
+    :func:`dec6_sql`)."""
+    return f"CAST(round({dec6_sql(expr)}, {r}) AS DOUBLE)"
 
 
 def dsum_sql(expr: str, r: int = 2) -> str:
     """DuckDB twin of dsum_rounded: round() on DECIMAL is half-away-from-
-    zero — identical to Spark's HALF_UP rescale."""
-    return f"CAST(round(sum(CAST({expr} AS DECIMAL(22,6))), {r}) AS DOUBLE)"
+    zero — identical to Spark's HALF_UP rescale. Per-row casts are
+    string-routed (see :func:`dec6_sql`)."""
+    return f"CAST(round(sum({dec6_sql(expr)}), {r}) AS DOUBLE)"
 
 
 def _half_up_div(a: str, n: str) -> str:
@@ -95,7 +147,7 @@ def davg_sql(expr: str, r: int = 4) -> str:
     integer is ≤1e28 and 2*a+n in the half-up division ≤2e28, far inside
     HUGEINT's ~1.7e38 range.
     """
-    a6 = f"CAST(sum(CAST({expr} AS DECIMAL(22,6))) * 1000000 AS HUGEINT)"
+    a6 = f"CAST(sum({dec6_sql(expr)}) * 1000000 AS HUGEINT)"
     a12 = f"(({a6}) * CAST(1000000 AS HUGEINT))"  # exact, scale 12
     q12 = _half_up_div(a12, f"count({expr})")  # quotient at scale 12
     h = 10 ** (12 - r)

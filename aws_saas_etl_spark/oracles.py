@@ -2415,7 +2415,7 @@ LABEL_CENTROID_SQL = """
                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')) AS l2
         FROM embeddings
     )
-    SELECT label, count(*) AS n_vectors, CAST((CASE WHEN ((CASE WHEN (CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l2))) // (2*(count(l2))) ELSE -((2*(-(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l2))) // (2*(count(l2)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l2))) // (2*(count(l2))) ELSE -((2*(-(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l2))) // (2*(count(l2)))) END)) + (1)) // (2*(1)) ELSE -((2*(-((CASE WHEN (CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(l2))) // (2*(count(l2))) ELSE -((2*(-(CAST(sum(CAST(l2 AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(l2))) // (2*(count(l2)))) END))) + (1)) // (2*(1))) END) AS DOUBLE) / 1000000 AS mean_norm
+    SELECT label, count(*) AS n_vectors, CAST((CASE WHEN ((CASE WHEN (CAST(sum((CASE WHEN contains(CAST(l2 AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l2 AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum((CASE WHEN contains(CAST(l2 AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l2 AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) + (count(l2))) // (2*(count(l2))) ELSE -((2*(-(CAST(sum((CASE WHEN contains(CAST(l2 AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l2 AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT))) + (count(l2))) // (2*(count(l2)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum((CASE WHEN contains(CAST(l2 AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l2 AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum((CASE WHEN contains(CAST(l2 AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l2 AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) + (count(l2))) // (2*(count(l2))) ELSE -((2*(-(CAST(sum((CASE WHEN contains(CAST(l2 AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l2 AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT))) + (count(l2))) // (2*(count(l2)))) END)) + (1)) // (2*(1)) ELSE -((2*(-((CASE WHEN (CAST(sum((CASE WHEN contains(CAST(l2 AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l2 AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum((CASE WHEN contains(CAST(l2 AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l2 AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) + (count(l2))) // (2*(count(l2))) ELSE -((2*(-(CAST(sum((CASE WHEN contains(CAST(l2 AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l2 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l2 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l2 AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT))) + (count(l2))) // (2*(count(l2)))) END))) + (1)) // (2*(1))) END) AS DOUBLE) / 1000000 AS mean_norm
     FROM norms
     GROUP BY label
     ORDER BY label
@@ -2425,8 +2425,8 @@ EVENTS_HOURLY_SQL = f"""
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{TS_FMT_DUCK}') AS window_start,
            event_type,
            count(*)             AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_value,
-           CAST((CASE WHEN ((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) + (100)) // (2*(100)) ELSE -((2*(-((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END))) + (100)) // (2*(100))) END) AS DOUBLE) / 10000 AS avg_value
+           CAST(round(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS sum_value,
+           CAST((CASE WHEN ((CASE WHEN (CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) + (100)) // (2*(100)) ELSE -((2*(-((CASE WHEN (CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END))) + (100)) // (2*(100))) END) AS DOUBLE) / 10000 AS avg_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -2471,7 +2471,7 @@ EVENTS_SESSION_SQL = f"""
            strftime(min(ts), '{TS_FMT_DUCK}')                          AS session_start,
            strftime(max(ts) + INTERVAL '10 minutes', '{TS_FMT_DUCK}')  AS session_end,
            count(*)             AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(22,6))), 2) AS DOUBLE) AS sum_value
+           CAST(round(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS sum_value
     FROM sessions
     GROUP BY user_id, sess_id
     ORDER BY user_id, session_start
@@ -2532,9 +2532,43 @@ MULTIMODAL_FEATURES_SQL = """
 
 PROMO_REVENUE_SQL = """
     SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-           CAST(round(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
-                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS DECIMAL(22,6)), 4) AS DOUBLE) AS promo_pct,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE)   AS total_revenue
+           CAST(round((CASE WHEN contains(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(CAST(round(sum(CAST(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(22,6))), 9) AS DOUBLE) * 100.0
+                 / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 9) AS DOUBLE) AS VARCHAR) AS DECIMAL(22,6)) END), 4) AS DOUBLE) AS promo_pct,
+           CAST(round(sum((CASE WHEN contains(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE)   AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
     ORDER BY 1
@@ -2555,7 +2589,7 @@ NATION_TRADE_SQL = """
     SELECT sn.n_name AS supp_nation,
            cn.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INT) AS ship_year,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue
+           CAST(round(sum((CASE WHEN contains(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -2572,7 +2606,7 @@ NATION_TRADE_SQL = """
 DISJUNCTIVE_PART_SQL = """
     SELECT p_brand,
            count(*) AS n_items,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS revenue
+           CAST(round(sum((CASE WHEN contains(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
@@ -2609,7 +2643,7 @@ def _value_bands_sql() -> str:
     WITH bands(band_id, lo, hi) AS (VALUES {values})
     SELECT CAST(band_id AS INT) AS band_id, lo, hi,
            count(*) AS n_events,
-           CAST((CASE WHEN ((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) + (100)) // (2*(100)) ELSE -((2*(-((CASE WHEN (CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum(CAST(value AS DECIMAL(22,6))) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END))) + (100)) // (2*(100))) END) AS DOUBLE) / 10000 AS avg_value
+           CAST((CASE WHEN ((CASE WHEN (CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) >= 0 THEN (2*((CASE WHEN (CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END)) + (100)) // (2*(100)) ELSE -((2*(-((CASE WHEN (CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) >= 0 THEN (2*(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT)) + (count(value))) // (2*(count(value))) ELSE -((2*(-(CAST(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) * 1000000 AS HUGEINT))) + (count(value))) // (2*(count(value)))) END))) + (100)) // (2*(100))) END) AS DOUBLE) / 10000 AS avg_value
     FROM events JOIN bands ON value >= lo AND value < hi
     GROUP BY 1, 2, 3
     ORDER BY 1
@@ -2624,7 +2658,7 @@ EVENTS_VALUE_BANDS_SQL = _value_bands_sql()
 STATUS_CUBE_SQL = """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_price,
+           CAST(round(sum((CASE WHEN contains(CAST(o_totalprice AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS total_price,
            CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -2645,7 +2679,7 @@ PERCENTILES_SQL = f"""
 SQL_INTERFACE_SQL = """
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_price
+           CAST(round(sum((CASE WHEN contains(CAST(o_totalprice AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS total_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
     GROUP BY o_orderstatus
@@ -2659,7 +2693,7 @@ LARGE_VOLUME_SQL = f"""
            {dround_sql("o_totalprice", 2)} AS o_totalprice,
            total_qty
     FROM (
-        SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_qty
+        SELECT l_orderkey, CAST(round(sum((CASE WHEN contains(CAST(l_quantity AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_quantity AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS total_qty
         FROM lineitem
         GROUP BY l_orderkey
         HAVING total_qty > 150.0
@@ -2672,7 +2706,7 @@ LARGE_VOLUME_SQL = f"""
 
 RETURNED_LOSSES_SQL = """
     SELECT c_custkey, c_name, n_name,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 2) AS DOUBLE) AS lost_revenue
+           CAST(round(sum((CASE WHEN contains(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS lost_revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -2685,7 +2719,7 @@ RETURNED_LOSSES_SQL = """
 
 
 FORECAST_REVENUE_SQL = """
-    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(22,6))), 2) AS DOUBLE) AS potential_revenue,
+    SELECT CAST(round(sum((CASE WHEN contains(CAST(l_extendedprice * l_discount AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice * l_discount AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l_extendedprice * l_discount AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS potential_revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2697,7 +2731,7 @@ FORECAST_REVENUE_SQL = """
 SMALL_QTY_SQL = """
     SELECT p_brand,
            count(*) AS n_small_items,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(22,6))), 2) AS DOUBLE) AS small_item_revenue
+           CAST(round(sum((CASE WHEN contains(CAST(l_extendedprice AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(l_extendedprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS small_item_revenue
     FROM (
         SELECT l_partkey, l_quantity, l_extendedprice,
                avg(l_quantity) OVER (PARTITION BY l_partkey) AS part_avg_qty
@@ -3609,7 +3643,7 @@ def _table_profile_sql() -> str:
 
     def render(expr: str, kind: str) -> str:
         if kind == "double":
-            return f"CAST(CAST({expr} AS DECIMAL(22,6)) AS VARCHAR)"
+            return f"CAST((CASE WHEN contains(CAST({expr} AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST({expr} AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST({expr} AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST({expr} AS VARCHAR) AS DECIMAL(22,6)) END) AS VARCHAR)"
         return f"CAST({expr} AS VARCHAR)"
 
     stats = ["count(*) AS n_rows"]
@@ -3970,11 +4004,11 @@ def _temperature_mixture_sql() -> str:
     t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s),
     p AS (SELECT s.*, n_tokens * 1.0 / tot AS p FROM s, t),
     w AS (
-        SELECT *, CAST(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS DECIMAL(22,6))
+        SELECT *, CAST((CASE WHEN contains(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(pow(p, {MIXTURE_TEMPERATURE}) AS VARCHAR) AS DECIMAL(22,6)) END)
                        AS DOUBLE) AS w
         FROM p
     ),
-    n AS (SELECT CAST(sum(CAST(w AS DECIMAL(22,6))) AS DOUBLE) AS sn FROM w)
+    n AS (SELECT CAST(sum((CASE WHEN contains(CAST(w AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(w AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(w AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(w AS VARCHAR) AS DECIMAL(22,6)) END)) AS DOUBLE) AS sn FROM w)
     SELECT source, n_docs, n_tokens,
            {dround_sql("p", 6)} AS token_share,
            {dround_sql("w / sn", 6)} AS sample_share,
@@ -4024,10 +4058,112 @@ def _dsir_sql() -> str:
     ),
     w AS (
         SELECT raw.bucket,
-               CAST(ln(
+               (CASE WHEN contains(CAST(ln(
                    CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
                  / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
-               ) AS DECIMAL(22,6)) AS w
+               ) AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(ln(
+                   CAST((COALESCE(ct, 0) + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                 / CAST((cr + 1) * (n_t + {DSIR_BUCKETS}) AS DOUBLE)
+               ) AS VARCHAR) AS DECIMAL(22,6)) END) AS w
         FROM raw LEFT JOIN tgt USING (bucket), n
     )
     SELECT doc_id, lang, count(*) AS n_feats,
@@ -4065,9 +4201,77 @@ def _nb_lang_scores_sql() -> str:
     ),
     w AS (
         SELECT bk.bucket, c.cls,
-               CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+               (CASE WHEN contains(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
                        / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
-                    AS DECIMAL(22,6)) AS w
+                    AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE)
+                       / CAST(n_c + {NB_BUCKETS} AS DOUBLE))
+                    AS VARCHAR) AS DECIMAL(22,6)) END) AS w
         FROM (SELECT DISTINCT bucket FROM base) bk
         CROSS JOIN cls_tok c
         LEFT JOIN joint j ON j.bucket = bk.bucket AND j.cls = c.cls
@@ -4075,8 +4279,42 @@ def _nb_lang_scores_sql() -> str:
     nd AS (SELECT count(*) AS n_docs FROM d),
     pr AS (
         SELECT lang AS cls,
-               CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
-                    AS DECIMAL(22,6)) AS pw
+               (CASE WHEN contains(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(ln(CAST(count(*) AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                    AS VARCHAR) AS DECIMAL(22,6)) END) AS pw
         FROM d, nd GROUP BY lang, n_docs
     ),
     counts AS (
@@ -4598,7 +4836,7 @@ EMBEDDING_INT8_SQL = """
     j AS (
         SELECT vec_id, v, scale,
                CASE WHEN scale = 0.0 THEN 0
-                    ELSE CAST(round(CAST(v / scale * 127.0 AS DECIMAL(22,6)), 0) AS INT)
+                    ELSE CAST(round((CASE WHEN contains(CAST(v / scale * 127.0 AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(v / scale * 127.0 AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(v / scale * 127.0 AS VARCHAR) AS DECIMAL(22,6)) END), 0) AS INT)
                END AS q
         FROM dims JOIN scales USING (dim)
     )
@@ -4745,7 +4983,7 @@ EVENTS_PIT_SQL = f"""
 EVENTS_INCR_MERGE_SQL = f"""
     SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS hour,
            count(*) AS n_events,
-           CAST(round(sum(CAST(value AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_value
+           CAST(round(sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS total_value
     FROM events
     WHERE ts IS NOT NULL
     GROUP BY 1
@@ -4797,7 +5035,7 @@ CSV_ROUNDTRIP_SQL = """
     SELECT c_mktsegment,
            count(*) AS n_rows,
            count(DISTINCT c_custkey) AS n_keys,
-           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(22,6))) AS DECIMAL(22,2)) AS DOUBLE) AS total_acctbal,
+           CAST(CAST(sum((CASE WHEN contains(CAST(c_acctbal AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(c_acctbal AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(22,6)) END)) AS DECIMAL(22,2)) AS DOUBLE) AS total_acctbal,
            CAST(sum(('0x' || substr(md5(
                coalesce(CAST(c_custkey AS VARCHAR), '<null>') || '|'
                || coalesce(c_name, '<null>') || '|'
@@ -4930,7 +5168,7 @@ def _rolling_features_sql() -> str:
     WITH daily AS (
         SELECT user_id, date_trunc('day', ts) AS day_ts,
                count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(22,6))) AS day_sum6
+               sum((CASE WHEN contains(CAST(value AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(value AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(value AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(value AS VARCHAR) AS DECIMAL(22,6)) END)) AS day_sum6
         FROM events WHERE ts IS NOT NULL
         GROUP BY user_id, date_trunc('day', ts)
     ),
@@ -5186,7 +5424,7 @@ ORDERS_MONTH_SPINE_SQL = """
     rev AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
                count(*) AS n_orders,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(22,6))), 2) AS DOUBLE) AS total_revenue
+               CAST(round(sum((CASE WHEN contains(CAST(o_totalprice AS VARCHAR), 'e') THEN CAST((CASE WHEN (CASE WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END) < 0 THEN '-' ELSE '' END || CAST(abs((CASE WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) // 1000000 AS VARCHAR) || '.' || lpad(CAST(abs((CASE WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= -8 THEN 0 WHEN CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) <= 11 THEN (CASE WHEN (CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) >= 0 THEN (2*(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT)) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) ELSE -((2*(-(CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT))) + (CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT))) // (2*(CAST(power(10, 11 - CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER)) AS HUGEINT)))) END) ELSE CAST(CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 1) AS DECIMAL(38,17)) * 100000000000000000 AS HUGEINT) * CAST(power(10, CAST(split_part(CAST(o_totalprice AS VARCHAR), 'e', 2) AS INTEGER) - 11) AS HUGEINT) END)) % 1000000 AS VARCHAR), 6, '0')) AS DECIMAL(22,6)) ELSE CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(22,6)) END)), 2) AS DOUBLE) AS total_revenue
         FROM orders GROUP BY 1
     )
     SELECT strftime(month_start, '%Y-%m') AS month,

@@ -59,9 +59,18 @@ def test_dround_matches_duckdb(spark, vals):
         .collect()
     )
     con = duckdb.connect()
+    # feed values through a table: dround_sql's r13 dec6 emission repeats
+    # its input expression (exponent-notation decomposition), so a single
+    # `?` placeholder would need many bindings
+    con.execute("CREATE TABLE t (i INTEGER, v DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(vals))
+    )
     want = [
-        con.execute(f"SELECT {dround_sql('CAST(? AS DOUBLE)', 2)}", [v]).fetchone()[0]
-        for v in vals
+        r[0]
+        for r in con.execute(
+            f"SELECT {dround_sql('v', 2)} FROM t ORDER BY i"
+        ).fetchall()
     ]
     assert [r["r"] for r in got] == want
 
