@@ -65,6 +65,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+#: Session-scoped table row counts (r13 optimization). Every ANN/dedup
+#: sizing rule (ivf_cells_for, lsh_bits_for, semdedup_k, er_block_suffix_len)
+#: needs |table| — and the fleet recomputed it per query construction, on
+#: the REPARTITIONED frame (ensure_parallelism → count pays the shuffle:
+#: 2 stages of pure sizing overhead per arm; the ladder staleness report's
+#: 11 arms paid it 11×). A row count is a catalog statistic (parquet
+#: footers carry it; every warehouse serves it from table stats), so it is
+#: computed once per (applicationId, table) on the RAW scan — Spark's
+#: count over an unmodified parquet scan reads footer metadata, no data
+#: pass — and cached. traced=False: cleared by clear_session_memos (cold
+#: reps re-pay the one metadata job) but not a stored-artifact regime the
+#: bench cold/warm table needs rows for.
+from aws_saas_etl_spark.memo import MemoDict
+
+_ROW_COUNTS = MemoDict("table_row_counts", traced=False)
+
+
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """|table| as a catalog statistic: counted once per session on the raw
+    parquet scan (footer metadata — no shuffle, no repartition), then
+    served from the session cache. Use for SIZING decisions only; the
+    value is identical to counting any row-preserving derivation of the
+    scan, so swapping a ``df.count()`` sizing probe for this changes no
+    query result."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    got = _ROW_COUNTS.get(key)
+    if got is None:
+        got = load_table(spark, sf_dir, name).count()
+        _ROW_COUNTS[key] = got
+    return got
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a scan that has too few input splits.
 

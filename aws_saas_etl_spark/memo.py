@@ -31,15 +31,26 @@ _TRACE: list[str] | None = None
 
 
 class MemoDict(dict):
-    """dict + self-registration + read/write tracing."""
+    """dict + self-registration + read/write tracing.
 
-    def __init__(self, name: str) -> None:
+    ``traced=False`` (r13) registers the memo for ``clear_all`` — so cold
+    measurement stays honest: a memo-cleared rep re-pays the cached work —
+    WITHOUT reporting touches to ``track()``. Use it for bounded SIZING
+    scalars (table row counts, append-cut ids): they are catalog-statistic
+    metadata whose recompute cost is one metadata-ish job, not the
+    two-regime stored-artifact cost the bench's cold/warm table exists to
+    expose, so tracing them would flood that table with rows whose
+    cold≈warm split carries no information.
+    """
+
+    def __init__(self, name: str, traced: bool = True) -> None:
         super().__init__()
         self.name = name
+        self.traced = traced
         _REGISTRY.append(self)
 
     def _trace(self) -> None:
-        if _TRACE is not None:
+        if _TRACE is not None and self.traced:
             _TRACE.append(self.name)
 
     def get(self, key: Any, default: Any = None) -> Any:

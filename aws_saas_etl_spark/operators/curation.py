@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.memo import MemoDict
-from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
+from aws_saas_etl_spark.catalog import (
+    ensure_parallelism,
+    load_tables,
+    table_row_count,
+)
 from aws_saas_etl_spark.functions import num as N
 from aws_saas_etl_spark.functions import text as T
 
@@ -50,7 +54,8 @@ BACKOFF_LAMBDA = 0.4
 # fixture-calibrated near-dup cosine (real corpora run ~0.95+).
 from aws_saas_etl_spark.operators.similarity import (  # noqa: E402
     NEARDUP_COS_MIN,
-    cosine,
+    dot,
+    norm,
 )
 
 
@@ -340,30 +345,43 @@ def embedding_semdedup_prune(spark, sf_dir: str) -> DataFrame:
     from aws_saas_etl_spark.operators.pairs import bounded_self_pairs
 
     emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
-    k = semdedup_k(emb.count())
+    k = semdedup_k(table_row_count(spark, sf_dir, "embeddings"))
+    # r13: per-row norms, not per-pair (the similarity._assign_cells
+    # measurement); l2n rides the checkpoint + pair join so the
+    # within-cluster verify never re-folds a norm per pair
     cents = emb.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_n"),
     )
-    sim = F.round(cosine(F.col("embedding"), F.col("c_emb")), 6)
+    sim = F.round(
+        dot(F.col("embedding"), F.col("c_emb")) / (F.col("l2n") * F.col("c_n")), 6
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
     assigned = (
-        emb.select("vec_id", "embedding")
+        emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("l2n"))
         .crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "centroid_id", sim.alias("cos_sim"))
+        .select("vec_id", "embedding", "l2n", "centroid_id", sim.alias("cos_sim"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select("vec_id", "embedding", "l2n", "centroid_id")
         # materialize the assignment ONCE: three consumers (pair
         # generation's count+annotate sides and the cluster sizes) would
         # otherwise each re-run the broadcast-assign + window subtree
         # (audited 15 shuffles / 10 scans without the barrier; 5 / 2 with)
         .localCheckpoint()
     )
-    pairs = bounded_self_pairs(assigned, ["centroid_id"], "vec_id", ["embedding"])
+    pairs = bounded_self_pairs(
+        assigned, ["centroid_id"], "vec_id", ["embedding", "l2n"]
+    )
     near = pairs.select(
         "centroid_id",
         F.col("vec_id_b").alias("vec_id"),
-        F.round(cosine(F.col("embedding_a"), F.col("embedding_b")), 6).alias("cs"),
+        F.round(
+            dot(F.col("embedding_a"), F.col("embedding_b"))
+            / (F.col("l2n_a") * F.col("l2n_b")),
+            6,
+        ).alias("cs"),
     ).where(F.col("cs") >= NEARDUP_COS_MIN)
     dropped = near.select("centroid_id", "vec_id").distinct()
     sizes = assigned.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_vectors"))
@@ -1816,7 +1834,18 @@ def _logreg_z(w):
 def logreg_fit(feats: DataFrame) -> DataFrame:
     """``LOGREG_ITERS`` full-batch GD steps → the 1-row weight frame
     (w1..w4). Each step is one map-side-combined aggregate; the weights
-    never leave the plan."""
+    never leave the plan.
+
+    The returned frame is localCheckpoint-ed (r13 optimization, the
+    ``ivf_fit_cells`` precedent): it is ONE row, but its plan is the
+    whole serial GD chain, and consumers hang it under broadcast joins —
+    ``_quality_low_train_ids`` reads the scored frame three times (cut
+    aggregate, decile bucketing, threshold filter), which re-ran the
+    full fit chain per read (an unmaterialized broadcast subtree
+    re-executes per consumer — the exchange-reuse pitfall measured in
+    doc_tfidf_neighbors). Eager 1-row materialization runs the fit once;
+    every caller is a batch frame (the streaming scorer collect()s the
+    fit on a static frame before its query starts)."""
 
     def pq_expr(w):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w)))
@@ -1854,7 +1883,7 @@ def logreg_fit(feats: DataFrame) -> DataFrame:
                 for j in (1, 2, 3, 4)
             ]
         )
-    return wdf
+    return wdf.localCheckpoint()
 
 
 def _logreg_serve(feats: DataFrame, wdf: DataFrame) -> DataFrame:

@@ -37,7 +37,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aws_saas_etl_spark.memo import MemoDict
-from aws_saas_etl_spark.catalog import ensure_parallelism, load_tables
+from aws_saas_etl_spark.catalog import (
+    ensure_parallelism,
+    load_tables,
+    table_row_count,
+)
 from aws_saas_etl_spark.functions import num as N
 from aws_saas_etl_spark.functions import text as T
 
@@ -1152,7 +1156,7 @@ def customer_fuzzy_matches(spark, sf_dir: str) -> DataFrame:
     cust = ensure_parallelism(load_tables(spark, sf_dir).customer).select(
         F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey")
     )
-    k = er_block_suffix_len(cust.count())
+    k = er_block_suffix_len(table_row_count(spark, sf_dir, "customer"))
     blocked = cust.withColumn("blk", F.substring("c_name", -k, k))
     pairs = bounded_self_pairs(blocked, ["blk"], "c_custkey", ["c_name", "c_nationkey"])
     return (
@@ -1335,37 +1339,49 @@ def _lsh_recall_flagged(
 
 
 def _lsh_recall_report_from(flagged: DataFrame) -> DataFrame:
-    """Per-decile + overall recall aggregation over a flagged pair frame."""
+    """Per-decile + overall recall aggregation over a flagged pair frame.
+
+    ONE ``rollup`` pass instead of the former per-band-aggregate ∪
+    overall-aggregate union (r13 optimization): the two union branches
+    each re-executed the whole flagged subtree — signature aggregate,
+    prefix candidates, exact-Jaccard verify, band candidates — because
+    their partial aggregates differ below the exchange, so
+    ReusedExchange can never fire across them (the measured
+    minhash_signatures lesson). ``rollup("jaccard_band")`` computes the
+    per-band rows and the grand-total row from the SAME single pass;
+    the NULL grouping key of the total row maps to the 'all' label the
+    report always carried. Identical values by construction: the total
+    row's count/sum are the sums of the per-band partials, which is
+    exactly what the overall aggregate computed. Plan diff at sf0.001:
+    27 shuffles / 16 scans → 14 shuffles / 8 scans (the whole truth+band
+    chain now appears once).
+    """
     theory = F.lit(None).cast("double")
     for band, p in LSH_THEORY_CAPTURE.items():
         theory = F.when(F.col("jaccard_band") == band, F.lit(p)).otherwise(theory)
-    per_band = (
-        flagged.groupBy("jaccard_band")
+    return (
+        flagged.rollup("jaccard_band")
         .agg(
             F.count(F.lit(1)).alias("n_true_pairs"),
             F.sum("hit").cast("bigint").alias("n_caught_pairs"),
         )
         .select(
-            "jaccard_band",
+            # the rollup total row carries a NULL band — it IS the 'all'
+            # row (flagged never emits a NULL band: format_string of a
+            # floor is always non-null, so coalesce cannot mislabel)
+            F.coalesce(F.col("jaccard_band"), F.lit("all")).alias("jaccard_band"),
             "n_true_pairs",
             "n_caught_pairs",
             N.dround(F.col("n_caught_pairs") / F.col("n_true_pairs"), 6).alias(
                 "recall"
             ),
+            # band == NULL on the total row falls through every WHEN to
+            # the NULL base — the same NULL theory_capture the union form
+            # put there explicitly
             theory.alias("theory_capture"),
         )
+        .orderBy("jaccard_band")
     )
-    overall = flagged.agg(
-        F.count(F.lit(1)).alias("n_true_pairs"),
-        F.sum("hit").cast("bigint").alias("n_caught_pairs"),
-    ).select(
-        F.lit("all").alias("jaccard_band"),
-        "n_true_pairs",
-        "n_caught_pairs",
-        N.dround(F.col("n_caught_pairs") / F.col("n_true_pairs"), 6).alias("recall"),
-        F.lit(None).cast("double").alias("theory_capture"),
-    )
-    return per_band.unionByName(overall).orderBy("jaccard_band")
 
 
 SIMHASH_MAX_HAMMING = 3  # 4 bands of 16 bits ⇒ pigeonhole-complete to 3
@@ -1482,14 +1498,34 @@ def dedup_funnel_report(spark, sf_dir: str) -> DataFrame:
         F.broadcast(near.withColumn("_k", F.lit(1))), "_k"
     )
 
-    def stage(name, groups_col):
-        return j.select(
+    # r13 optimization: the four doc-unit rows EXPLODE out of the single
+    # (hashes × near) row instead of the former 4-way union of selects
+    # over it — each union branch re-executed the full docs scan with its
+    # three sha256 count-distincts AND the pairs→CC chain (branch partial
+    # aggregates differ, so ReusedExchange cannot dedupe them; the
+    # measured 16-shuffle/7-scan audit row). One execution, identical
+    # rows: each struct computes exactly what its union branch selected.
+    def stage_struct(name, groups_col):
+        return F.struct(
             F.lit(name).alias("stage"),
             F.lit("docs").alias("unit"),
             F.col("n_docs").cast("bigint").alias("n_docs"),
             groups_col.cast("bigint").alias("n_groups"),
             (F.col("n_docs") - groups_col).cast("bigint").alias("n_removed"),
         )
+
+    doc_rows = j.select(
+        F.explode(
+            F.array(
+                stage_struct("1_exact", F.col("g_exact")),
+                stage_struct("2_normalized", F.col("g_norm")),
+                stage_struct("3_token_bag", F.col("g_bag")),
+                stage_struct(
+                    "4_near_dup", F.col("n_docs") - F.col("n_removed_near")
+                ),
+            )
+        ).alias("r")
+    ).select("r.stage", "r.unit", "r.n_docs", "r.n_groups", "r.n_removed")
 
     span = doc_crossdoc_duplication(spark, sf_dir).agg(
         F.sum("n_tokens").alias("tot"), F.sum("dup_tokens").alias("rem")
@@ -1502,11 +1538,4 @@ def dedup_funnel_report(spark, sf_dir: str) -> DataFrame:
         F.col("rem").cast("bigint").alias("n_removed"),
     )
 
-    out = (
-        stage("1_exact", F.col("g_exact"))
-        .unionByName(stage("2_normalized", F.col("g_norm")))
-        .unionByName(stage("3_token_bag", F.col("g_bag")))
-        .unionByName(stage("4_near_dup", F.col("n_docs") - F.col("n_removed_near")))
-        .unionByName(span_row)
-    )
-    return out.orderBy("stage")
+    return doc_rows.unionByName(span_row).orderBy("stage")

@@ -51,3 +51,30 @@ def test_operator_caches_are_registered():
         "manifest", "pq_codebook",
     ):
         assert expected in names, expected
+
+
+def test_untraced_memo_clears_but_does_not_trace():
+    """traced=False memos (r13: sizing scalars — table row counts,
+    append cuts) must be cleared by clear_all (cold reps re-pay the
+    derivation) yet stay invisible to track() (they are catalog
+    metadata, not a two-regime stored artifact the bench cold/warm
+    table needs rows for)."""
+    m = memo.MemoDict("t_untraced", traced=False)
+    with memo.track() as touched:
+        m["k"] = 1
+        assert m.get("k") == 1
+    assert touched == []
+    memo.clear_all()
+    assert len(m) == 0
+
+
+def test_sizing_caches_are_registered_untraced():
+    """The r13 sizing caches must be registered (cold-path reset) and
+    untraced (no bench cold/warm membership change)."""
+    from aws_saas_etl_spark import catalog  # noqa: F401
+    from aws_saas_etl_spark.operators import similarity  # noqa: F401
+
+    by_name = {m.name: m for m in memo.all_memos()}
+    for expected in ("table_row_counts", "append_cut"):
+        assert expected in by_name, expected
+        assert by_name[expected].traced is False, expected
