@@ -593,8 +593,11 @@ def stream_logreg_score_ingest(spark, sf_dir: str) -> DataFrame:
         logreg_fit,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    wrow = logreg_fit(_logreg_feats(docs)).collect()[0]
+    # session-fitted artifact (curation._LOGREG_CACHE): the stream scores
+    # against the same nightly weights every batch consumer reads
+    from aws_saas_etl_spark.operators.curation import _logreg_artifacts
+
+    wrow = _logreg_artifacts(spark, sf_dir)[1].collect()[0]
     w = {j: F.lit(float(wrow[f"w{j}"])) for j in (1, 2, 3, 4)}
 
     path = _staged_documents_dir(spark, sf_dir)
