@@ -29,6 +29,24 @@ _REGISTRY: list["MemoDict"] = []
 # to a contextvars.ContextVar before tracking concurrently.
 _TRACE: list[str] | None = None
 
+# Sibling trace for traced=False memos (r14, VERDICT r13 #6): sizing-scalar
+# caches stay OUT of the main trace (their cold≈warm split carries no
+# information for the cold/warm table) but their touches are no longer
+# invisible — bench.py reports which queries read a sizing cache under a
+# separate ``sizing_cache_touched`` key, so the one-metadata-job flattering
+# of best-of-2 rep 2 is visible in the bench line without polluting the
+# stored-artifact cold/warm table.
+_TRACE_SIZING: list[str] | None = None
+
+
+class Touches(list):
+    """The list ``track()`` yields: traced-memo names in the list body,
+    untraced (sizing) memo names in ``.sizing``."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.sizing: list[str] = []
+
 
 class MemoDict(dict):
     """dict + self-registration + read/write tracing.
@@ -50,8 +68,11 @@ class MemoDict(dict):
         _REGISTRY.append(self)
 
     def _trace(self) -> None:
-        if _TRACE is not None and self.traced:
-            _TRACE.append(self.name)
+        if self.traced:
+            if _TRACE is not None:
+                _TRACE.append(self.name)
+        elif _TRACE_SIZING is not None:
+            _TRACE_SIZING.append(self.name)
 
     def get(self, key: Any, default: Any = None) -> Any:
         self._trace()
@@ -82,15 +103,20 @@ class track:
 
     >>> with track() as touched:
     ...     run_query()
-    >>> bool(touched)   # query is memo-backed
+    >>> bool(touched)          # query is memo-backed (stored artifact)
+    >>> bool(touched.sizing)   # query read an untraced sizing cache
     """
 
-    def __enter__(self) -> list[str]:
-        global _TRACE
+    def __enter__(self) -> Touches:
+        global _TRACE, _TRACE_SIZING
         self._prev = _TRACE
-        _TRACE = []
-        return _TRACE
+        self._prev_sizing = _TRACE_SIZING
+        touches = Touches()
+        _TRACE = touches
+        _TRACE_SIZING = touches.sizing
+        return touches
 
     def __exit__(self, *exc: Any) -> None:
-        global _TRACE
+        global _TRACE, _TRACE_SIZING
         _TRACE = self._prev
+        _TRACE_SIZING = self._prev_sizing

@@ -87,6 +87,12 @@ def main() -> None:
     # reads/writes during plan construction instead of hand-curating it
     # (the r7 list missed ann_index_staleness_report; VERDICT r7 #4).
     memo_backed: set[str] = set()
+    # queries whose CONSTRUCTION reads an untraced sizing cache (table row
+    # counts, append cuts — r13's catalog-statistic memos): reported under
+    # a separate key (VERDICT r13 #6) so the best-of-2 flattering (rep 2
+    # skips the one metadata job rep 1 paid) is visible in the bench line
+    # without flooding the stored-artifact cold/warm table.
+    sizing_touched: set[str] = set()
     for name in names:
         runs = []
         for _ in range(2):
@@ -95,6 +101,8 @@ def main() -> None:
                 df = qs[name](spark, sf_dir)
             if touched:
                 memo_backed.add(name)
+            if getattr(touched, "sizing", None):
+                sizing_touched.add(name)
             # noop sink: full evaluation of every output column, nothing
             # shipped to the driver.
             df.write.format("noop").mode("overwrite").save()
@@ -267,18 +275,38 @@ def main() -> None:
     side_effecting = sorted(
         n for n in qs if getattr(qs[n], "side_effecting", False)
     )
-    print(
-        render_line(
-            timings, spreads, sf, stream_bench, stream_inputs, canary, cold_warm,
-            session_control, side_effecting, cold_warm_control,
-        )
+    line = render_line(
+        timings, spreads, sf, stream_bench, stream_inputs, canary, cold_warm,
+        session_control, side_effecting, cold_warm_control,
+        sorted(sizing_touched),
     )
+    # Persist the FULL json beside the stdout line (VERDICT r13 #7): the
+    # driver preserves only the 2,000-char tail of stdout in
+    # BENCH_r{N}.json — r12's round-over-round table was emptied by exactly
+    # that truncation — so the complete run also lands in a repo file the
+    # next round's comparison can always read.
+    write_last_run(line)
+    print(line)
     spark.stop()
+
+
+def write_last_run(line: str, path: str | None = None) -> str:
+    """Write the full bench JSON (pretty-printed, one key per line) to
+    ``bench_last_run.json`` next to this file; returns the path."""
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_last_run.json"
+        )
+    with open(path, "w") as f:
+        json.dump(json.loads(line), f, indent=1)
+        f.write("\n")
+    return path
 
 
 def render_line(
     timings, spreads, sf, stream_bench, stream_inputs, canary, cold_warm,
     session_control, side_effecting, cold_warm_control=None,
+    sizing_cache_touched=None,
 ) -> str:
     """Assemble the single JSON output line. Key ORDER is load-bearing:
     the driver preserves only the TAIL of this line in BENCH_r{N}.json,
@@ -317,6 +345,12 @@ def render_line(
             # with the fleet, so it must never sit between the fixed
             # tail keys.
             "side_effecting": side_effecting,
+            # queries whose construction reads an untraced SIZING cache
+            # (table row counts / append cuts — catalog statistics): their
+            # best-of-2 rep 2 skips one metadata job rep 1 paid (VERDICT
+            # r13 #6). A growing list, so it sits with the other growing
+            # lists, ahead of the fixed tail keys.
+            "sizing_cache_touched": sizing_cache_touched or [],
             # two-regime costs of the stored-artifact queries: cold
             # builds the artifact, warm serves from it — the honest
             # split of what best-of-2 + canary spread conflate

@@ -1078,6 +1078,48 @@ def test_bench_tail_preserves_control_and_top12():
     assert '"after_all": 2.5012' in tail
 
 
+def test_bench_tail_survives_sizing_cache_list_and_last_run_file(tmp_path):
+    """r14 additions (VERDICT r13 #6/#7): the ``sizing_cache_touched``
+    growing list must sit BEFORE the fixed tail keys (never pushing
+    session_control/top_12_slowest out of the preserved 2,000-char
+    tail), and ``write_last_run`` must persist the complete JSON to a
+    file the next round's comparison can read even when the driver
+    truncates stdout."""
+    import json
+
+    import bench
+    from aws_saas_etl_spark import registry
+
+    qs = registry.queries()
+    names = sorted(n for n in qs if not n.startswith("stream_"))
+    line = bench.render_line(
+        {n: 123.4567 for n in names},
+        {n: 12.3456 for n in names},
+        0.1,
+        {
+            n: {"drain_seconds": 123.4567, "input_rows_per_sec": 123456.7}
+            for n in qs
+            if n.startswith("stream_")
+        },
+        {"events": 1_000_000, "documents": 50_000, "embeddings": 20_000,
+         "documents_delta": 5_000, "custom_source": 12_345},
+        {n: [123.4567, 12.3456] for n in names[:20]},
+        {n: {"cold": 123.4567, "warm": 12.3456} for n in names},
+        {"start": 2.4901, "mid": 2.8213, "end": 1.9807},
+        sorted(n for n in qs if getattr(qs[n], "side_effecting", False)),
+        {"after_0": 2.5012, "after_all": 2.5012},
+        sizing_cache_touched=names,  # worst case: every batch query
+    )
+    parsed = json.loads(line)
+    assert parsed["sizing_cache_touched"] == names
+    tail = line[-2000:]
+    assert '"session_control"' in tail
+    assert '"top_12_slowest"' in tail
+    out = bench.write_last_run(line, path=str(tmp_path / "bench_last_run.json"))
+    with open(out) as f:
+        assert json.load(f) == parsed
+
+
 def test_gopher_repetition_hand_computable(spark, tmp_path):
     """Pins every Gopher repetition rung on a 3-doc engineered corpus
     where each cell is hand-computed — including the rungs the driver

@@ -68,6 +68,29 @@ def test_untraced_memo_clears_but_does_not_trace():
     assert len(m) == 0
 
 
+def test_untraced_touches_land_in_sizing_trace():
+    """r14 (VERDICT r13 #6): untraced memos stay OUT of the main trace
+    (cold/warm membership unchanged) but their touches surface under
+    ``touched.sizing`` so bench.py can report which queries read a
+    sizing cache (the ``sizing_cache_touched`` bench key)."""
+    m = memo.MemoDict("t_sizing_trace", traced=False)
+    t = memo.MemoDict("t_traced_trace")
+    with memo.track() as touched:
+        m["k"] = 1
+        _ = m.get("k")
+        t["a"] = 2
+    assert touched == ["t_traced_trace"]
+    assert touched.sizing == ["t_sizing_trace", "t_sizing_trace"]
+    # nesting restores the outer sizing trace too
+    with memo.track() as outer:
+        with memo.track() as inner:
+            m.get("k")
+        assert inner.sizing == ["t_sizing_trace"]
+        assert outer.sizing == []
+        m.get("k")
+    assert outer.sizing == ["t_sizing_trace"]
+
+
 def test_sizing_caches_are_registered_untraced():
     """The r13 sizing caches must be registered (cold-path reset) and
     untraced (no bench cold/warm membership change)."""
