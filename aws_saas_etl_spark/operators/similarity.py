@@ -440,6 +440,38 @@ def _ivf_centroids_cached(spark, sf_dir, emb, n_cells, iters=IVF_ITERS) -> DataF
     return got
 
 
+#: Session cache of the corpus→cell ASSIGNMENT per fitted centroid table
+#: (r14, VERDICT r13 #1/#8): the assignment — FAISS's inverted lists — is
+#: the OTHER half of a stored IVF index (the centroids alone route
+#: queries; the invlists say which vectors live in each cell), and a real
+#: vector store persists both. Until r14 every serving path re-ran the
+#: corpus × n_cells assignment pass per query construction: the ladder
+#: staleness report paid it 4× per run (fresh IVF + fresh IVF-PQ against
+#: the full fit, stale IVF + stale IVF-PQ against the ::base fit), the
+#: recall report 2×. One checkpointed assignment per (applicationId,
+#: corpus key, n_cells, iters) serves every consumer; filtered corpora
+#: (deletion repair) filter the cached frame — assignment is a per-row
+#: argmax, so filtering rows after assigning ≡ assigning the filtered
+#: corpus (bit-identical values). traced=True: the cache is a stored-
+#: artifact regime, so its queries keep honest cold/warm rows and
+#: clear_session_memos re-pays the pass on cold reps.
+_ASSIGN_CACHE = MemoDict("ivf_assignment")
+
+
+def _corpus_cells_cached(
+    spark, cache_key: str, emb: DataFrame, centroids: DataFrame, n_cells: int,
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, cache_key, n_cells, iters)
+    got = _ASSIGN_CACHE.get(key)
+    if got is None:
+        got = _assign_cells(
+            emb.select("vec_id", "embedding"), centroids
+        ).localCheckpoint()
+        _ASSIGN_CACHE[key] = got
+    return got
+
+
 def ann_ivf_topk(
     spark,
     sf_dir: str,
@@ -486,19 +518,34 @@ def ann_ivf_topk(
         # that reliably (e.g. 25*0.1 rounds to 2 in Python, 3 in DuckDB).
         nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
     centroids = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
-    return _ivf_probe(emb, centroids, nprobe, k)
+    cells = _corpus_cells_cached(spark, sf_dir, emb, centroids, n_cells)
+    return _ivf_probe(emb, centroids, nprobe, k, corpus_cells=cells)
 
 
-def _ivf_probe(emb: DataFrame, centroids: DataFrame, nprobe: int, k: int) -> DataFrame:
+def _ivf_probe(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    k: int,
+    corpus_cells: DataFrame | None = None,
+) -> DataFrame:
     """The IVF serving path over an already-fitted centroid table: one
     corpus assignment pass, per-query nprobe cell routing, exact re-rank
     inside the probed cells. Split from ``ann_ivf_topk`` so the stored
     index (``ann_ivf_store_roundtrip``) serves through the IDENTICAL
-    plan the in-session fit does."""
+    plan the in-session fit does.
+
+    ``corpus_cells`` (r14): an already-assigned (vec_id, embedding, cell)
+    frame — the session-cached invlists (``_corpus_cells_cached``).
+    Default None recomputes the assignment in-plan, which the store
+    roundtrip keeps so its probe consumes ONLY what came back from
+    storage (the memo-bypass convention)."""
     # r13: per-row norms (the _assign_cells measurement) — corpus rows,
     # query rows, and broadcast centroids each carry their norm once;
     # every cosine below keeps the identical dot/(n_a·n_b) graph
-    corpus = _assign_cells(emb.select("vec_id", "embedding"), centroids).select(
+    if corpus_cells is None:
+        corpus_cells = _assign_cells(emb.select("vec_id", "embedding"), centroids)
+    corpus = corpus_cells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         norm(F.col("embedding")).alias("c_n"),
@@ -631,7 +678,10 @@ def ann_ivf_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     # distinct memo slot from the full-corpus fit (same helper — the
     # "::base" suffix keys the stale index separately)
     centroids = _ivf_centroids_cached(spark, f"{sf_dir}::base", base, n_cells)
-    return _ivf_probe(emb, centroids, nprobe, k)
+    # the FULL corpus assigned into the stale cells — the invlists of the
+    # stale index; shared with the stale IVF-PQ arm (r14)
+    cells = _corpus_cells_cached(spark, f"{sf_dir}::base", emb, centroids, n_cells)
+    return _ivf_probe(emb, centroids, nprobe, k, corpus_cells=cells)
 
 
 #: Deletion-list convention shared with the manifest layer
@@ -662,7 +712,13 @@ def ann_ivf_deletion_repair(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     # full corpus — deletions arrive AFTER the nightly fit)
     centroids = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
     surviving = emb.where(F.col("vec_id") % VEC_DELETION_MOD != 0)
-    return _ivf_probe(surviving, centroids, nprobe, k)
+    # postings repair = anti-join on the stored invlists (r14): assignment
+    # is a per-row argmax, so filtering the cached assignment is
+    # bit-identical to assigning the filtered corpus
+    cells = _corpus_cells_cached(spark, sf_dir, emb, centroids, n_cells).where(
+        F.col("vec_id") % VEC_DELETION_MOD != 0
+    )
+    return _ivf_probe(surviving, centroids, nprobe, k, corpus_cells=cells)
 
 
 def knn_filtered_bruteforce(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -758,7 +814,10 @@ def ann_ivf_filtered_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     n_cells = ivf_cells_for(table_row_count(spark, sf_dir, "embeddings"))
     nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
     centroids = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
-    return _ivf_filtered_serve(emb, centroids, nprobe, _filter_queries(emb), k)
+    cells = _corpus_cells_cached(spark, sf_dir, emb, centroids, n_cells)
+    return _ivf_filtered_serve(
+        emb, centroids, nprobe, _filter_queries(emb), k, corpus_cells=cells
+    )
 
 
 def _ivf_filtered_serve(
@@ -767,12 +826,16 @@ def _ivf_filtered_serve(
     nprobe: int,
     queries: DataFrame,
     k: int,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """The POST-FILTER serving plan over an explicit query set — split
     from ``ann_ivf_filtered_topk`` for the selectivity switch (the
-    ``_knn_filtered_serve`` convention)."""
+    ``_knn_filtered_serve`` convention). ``corpus_cells`` (r14): the
+    session-cached invlists; default None recomputes in-plan."""
     # r13: per-row norms, not per-pair (the _assign_cells measurement)
-    corpus = _assign_cells(emb.select("vec_id", "embedding"), centroids).select(
+    if corpus_cells is None:
+        corpus_cells = _assign_cells(emb.select("vec_id", "embedding"), centroids)
+    corpus = corpus_cells.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
         norm(F.col("embedding")).alias("c_n"),
@@ -872,9 +935,10 @@ def ann_filtered_switch_topk(
     pre = _knn_filtered_serve(emb, q_pre, k).withColumn(
         "branch", F.lit("pre")
     )
-    post = _ivf_filtered_serve(emb, centroids, nprobe, q_post, k).withColumn(
-        "branch", F.lit("post")
-    )
+    cells = _corpus_cells_cached(spark, sf_dir, emb, centroids, n_cells)
+    post = _ivf_filtered_serve(
+        emb, centroids, nprobe, q_post, k, corpus_cells=cells
+    ).withColumn("branch", F.lit("post"))
     return pre.unionByName(post).orderBy("query_id", "rank")
 
 
@@ -902,7 +966,7 @@ def ann_index_staleness_report(spark, sf_dir: str) -> DataFrame:
     # and each read re-executed the chain (PLAN_AUDIT r12: 25 shuffles /
     # 14 scans). localCheckpoint materializes each once; the hit joins
     # become tiny broadcast probes. Identical values.
-    truth = knn_bruteforce(spark, sf_dir).select(*key).localCheckpoint()
+    truth = _truth_topk_cached(spark, sf_dir)
     fresh = ann_ivf_topk(spark, sf_dir).select(*key).localCheckpoint()
     stale = ann_ivf_incremental_append(spark, sf_dir).select(*key).localCheckpoint()
 
@@ -1024,8 +1088,7 @@ def _ladder_recall(spark, sf_dir: str, query_pred: Column | None = None) -> Data
     (query, neighbor, arm) matches, and missing groups coalesce to 0
     through the same left join.
     """
-    key = ["query_id", "neighbor_id"]
-    truth = knn_bruteforce(spark, sf_dir).select(*key)
+    truth = _truth_topk_cached(spark, sf_dir)
     rungs = [
         ("n_ivf_hits", ann_ivf_topk(spark, sf_dir)),
         ("n_sq_hits", ann_sq8_topk(spark, sf_dir)),
@@ -1039,6 +1102,36 @@ def _ladder_recall(spark, sf_dir: str, query_pred: Column | None = None) -> Data
     return _hit_count_report(truth, rungs)
 
 
+#: Session cache of the EXACT ground-truth top-k (r14, VERDICT r13 #1/#8)
+#: — the reference set every recall/staleness audit scores against. This
+#: is the ann-benchmarks / FAISS convention made executable: ground truth
+#: for a fixed (corpus, query set, k) is computed once and SHIPPED AS A
+#: FILE (the `*_groundtruth.ivecs` every published recall number reads),
+#: never re-derived per audited index. Before r14 the seven audit queries
+#: (recall ladder ×3, staleness ladder ×3, index staleness) each re-ran
+#: the full corpus × queries brute-force scan per construction. The cache
+#: holds the bounded ≤ queries × k frame, localCheckpoint-ed; the sampled
+#: audit forms filter it by their query predicate (per-query rows are
+#: independent — the subset relation their pytest pin asserts). The
+#: standalone ``knn_bruteforce`` QUERY deliberately bypasses this cache:
+#: it is the definition of the reference, so it always recomputes.
+#: traced=True — cleared by clear_session_memos, honest cold/warm rows.
+_TRUTH_CACHE = MemoDict("audit_truth_topk")
+
+
+def _truth_topk_cached(spark, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, TOP_K)
+    got = _TRUTH_CACHE.get(key)
+    if got is None:
+        got = (
+            knn_bruteforce(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint()
+        )
+        _TRUTH_CACHE[key] = got
+    return got
+
+
 def _hit_count_report(
     truth: DataFrame, arms: list[tuple[str, DataFrame]]
 ) -> DataFrame:
@@ -1050,7 +1143,9 @@ def _hit_count_report(
     conditional aggregation. Shared by the recall and staleness ladders.
     """
     key = ["query_id", "neighbor_id"]
-    truth = truth.localCheckpoint()
+    # truth arrives from the session ground-truth cache (r14), already
+    # localCheckpoint-ed — both consumers below (the hit join and the
+    # n_truth aggregate) read the materialized bounded frame
     tagged = None
     for i, (_name, cand) in enumerate(arms):
         piece = cand.select(*key, F.lit(i).alias("arm"))
@@ -1193,8 +1288,7 @@ def _ladder_staleness(spark, sf_dir: str, query_pred: Column | None = None) -> D
     """Shared builder for the full and query-sampled staleness reports;
     ``query_pred`` (a predicate over ``query_id``) restricts truth and
     every serving arm before the hit joins."""
-    key = ["query_id", "neighbor_id"]
-    truth = knn_bruteforce(spark, sf_dir).select(*key)
+    truth = _truth_topk_cached(spark, sf_dir)
     arms = [
         ("n_ivf_fresh_hits", ann_ivf_topk(spark, sf_dir)),
         ("n_ivf_stale_hits", ann_ivf_incremental_append(spark, sf_dir)),
@@ -2091,6 +2185,37 @@ def _pq_codebooks_cached(spark, sf_dir: str, emb: DataFrame) -> DataFrame:
     return got
 
 
+#: Session cache of the corpus CODE TABLE per fitted codebook (r14,
+#: VERDICT r13 #1/#8 — the PQ sibling of ``_ASSIGN_CACHE``): the code
+#: table IS the stored index in a PQ deployment — FAISS persists the
+#: n·M uint8 codes and never re-encodes the corpus per query; only this
+#: repo's every-construction re-encode (a corpus × M×K broadcast argmin
+#: window) re-paid it. One checkpointed (vec_id, m, code) table per
+#: (applicationId, codebook key) serves every consumer of that codebook:
+#: the fresh codes feed ``ann_pq_adc_topk``, ``ann_ivfpq_topk``,
+#: ``ann_ivfpq_filtered_topk`` and the deletion repair (encoding is
+#: per-row, so filtering cached codes ≡ encoding the filtered corpus);
+#: the ``::base`` codes feed both stale arms (PQ and IVF-PQ appends).
+#: The store roundtrip keeps its in-plan re-encode from the STORED
+#: codebook (memo-bypass convention — its hash proves the storage leg).
+#: traced=True: stored-artifact regime, honest cold/warm rows, cleared
+#: by clear_session_memos.
+_PQ_CODES_CACHE = MemoDict("pq_codes")
+
+
+def _pq_codes_cached(spark, cache_key: str, emb: DataFrame, cb: DataFrame) -> DataFrame:
+    key = (spark.sparkContext.applicationId, cache_key, PQ_M, PQ_K, PQ_ITERS)
+    got = _PQ_CODES_CACHE.get(key)
+    if got is None:
+        got = (
+            _pq_argmin(_pq_subvectors(emb), cb)
+            .select("vec_id", "m", "code")
+            .localCheckpoint()
+        )
+        _PQ_CODES_CACHE[key] = got
+    return got
+
+
 def ann_pq_adc_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Product-quantized ANN with asymmetric distance computation — the
     memory-side scale technique the IVF family composes with (FAISS's
@@ -2116,15 +2241,24 @@ def ann_pq_adc_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """
     emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
     cb = _pq_codebooks_cached(spark, sf_dir, emb)
-    return _pq_adc_refined(emb, cb, k)
+    codes = _pq_codes_cached(spark, sf_dir, emb, cb)
+    return _pq_adc_refined(emb, cb, k, codes=codes)
 
 
-def _pq_adc_refined(emb: DataFrame, cb: DataFrame, k: int) -> DataFrame:
+def _pq_adc_refined(
+    emb: DataFrame, cb: DataFrame, k: int, codes: DataFrame | None = None
+) -> DataFrame:
     """The PQ serving path over an already-fitted codebook table —
     split from ``ann_pq_adc_topk`` so the stored codebook
     (``ann_pq_store_roundtrip``) serves through the IDENTICAL plan the
-    in-session fit does (the ``_ivf_probe`` convention)."""
-    codes = _pq_argmin(_pq_subvectors(emb), cb).select("vec_id", "m", "code")
+    in-session fit does (the ``_ivf_probe`` convention).
+
+    ``codes`` (r14): an already-encoded (vec_id, m, code) table — the
+    session-cached stored codes (``_pq_codes_cached``). Default None
+    re-encodes in-plan, which the store roundtrip keeps so its serve
+    consumes ONLY codes derived from the stored codebook."""
+    if codes is None:
+        codes = _pq_argmin(_pq_subvectors(emb), cb).select("vec_id", "m", "code")
     qsubs = _pq_subvectors(emb.where(F.col("vec_id") < N_QUERY_VECS)).select(
         F.col("vec_id").alias("query_id"), "m", "sub"
     )
@@ -2199,18 +2333,36 @@ def ann_ivfpq_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
     coarse = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
     cb = _pq_codebooks_cached(spark, sf_dir, emb)
-    return _ivfpq_serve(emb, coarse, nprobe, cb, k)
+    # both persisted halves of the composed index, from their session
+    # caches (r14): the SAME invlists ann_ivf_topk probes and the SAME
+    # code table ann_pq_adc_topk scans
+    cells = _corpus_cells_cached(spark, sf_dir, emb, coarse, n_cells)
+    codes = _pq_codes_cached(spark, sf_dir, emb, cb)
+    return _ivfpq_serve(emb, coarse, nprobe, cb, k, corpus_cells=cells, codes=codes)
 
 
 def _ivfpq_serve(
-    emb: DataFrame, coarse: DataFrame, nprobe: int, cb: DataFrame, k: int
+    emb: DataFrame,
+    coarse: DataFrame,
+    nprobe: int,
+    cb: DataFrame,
+    k: int,
+    corpus_cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """The composed IVF-PQ serving path over already-fitted artifacts —
     split from ``ann_ivfpq_topk`` so the STALE composition
     (``ann_ivfpq_incremental_append`` — both artifacts fitted on the
     historical base) serves through the IDENTICAL plan (the
-    ``_ivf_probe``/``_pq_adc_refined`` convention)."""
-    corpus_cells = _assign_cells(emb.select("vec_id", "embedding"), coarse).select(
+    ``_ivf_probe``/``_pq_adc_refined`` convention).
+
+    ``corpus_cells`` / ``codes`` (r14): the session-cached invlists
+    (``_corpus_cells_cached``) and stored code table
+    (``_pq_codes_cached``) — the two persisted halves of an IVF-PQ
+    index. Defaults recompute in-plan."""
+    if corpus_cells is None:
+        corpus_cells = _assign_cells(emb.select("vec_id", "embedding"), coarse)
+    corpus_cells = corpus_cells.select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
     q_w = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
@@ -2227,9 +2379,9 @@ def _ivfpq_serve(
         .where(F.col("probe_rank") <= nprobe)
         .select("query_id", "cell")
     )
-    codes = _pq_argmin(_pq_subvectors(emb), cb).select(
-        F.col("vec_id").alias("neighbor_id"), "m", "code"
-    )
+    if codes is None:
+        codes = _pq_argmin(_pq_subvectors(emb), cb).select("vec_id", "m", "code")
+    codes = codes.select(F.col("vec_id").alias("neighbor_id"), "m", "code")
     qsubs = _pq_subvectors(emb.where(F.col("vec_id") < N_QUERY_VECS)).select(
         F.col("vec_id").alias("query_id"), "m", "sub"
     )
@@ -2313,7 +2465,12 @@ def ann_ivfpq_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFram
     nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
     coarse = _ivf_centroids_cached(spark, f"{sf_dir}::base", base, n_cells)
     cb = _pq_codebooks_cached(spark, f"{sf_dir}::base", base)
-    return _ivfpq_serve(emb, coarse, nprobe, cb, k)
+    # the SAME stale invlists / stale code table the per-rung appends
+    # serve from (r14) — one shared assignment + encode per session, not
+    # a third copy of each
+    cells = _corpus_cells_cached(spark, f"{sf_dir}::base", emb, coarse, n_cells)
+    codes = _pq_codes_cached(spark, f"{sf_dir}::base", emb, cb)
+    return _ivfpq_serve(emb, coarse, nprobe, cb, k, corpus_cells=cells, codes=codes)
 
 
 def ann_ivfpq_filtered_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -2342,9 +2499,11 @@ def ann_ivfpq_filtered_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     n_cells = ivf_cells_for(table_row_count(spark, sf_dir, "embeddings"))
     nprobe = max(2, -(-n_cells // IVF_NPROBE_DIV))
     coarse = _ivf_centroids_cached(spark, sf_dir, emb, n_cells)
-    corpus_cells = _assign_cells(emb.select("vec_id", "embedding"), coarse).select(
-        F.col("vec_id").alias("neighbor_id"), "cell"
-    )
+    # session-cached invlists (r14) — the same fresh assignment every
+    # serving path over this index probes
+    corpus_cells = _corpus_cells_cached(
+        spark, sf_dir, emb, coarse, n_cells
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell")
     q_w = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
     probe_cells = (
         emb.where(F.col("vec_id") < N_QUERY_VECS)
@@ -2365,7 +2524,9 @@ def ann_ivfpq_filtered_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
         .select("query_id", "q_label", "cell")
     )
     cb = _pq_codebooks_cached(spark, sf_dir, emb)
-    codes = _pq_argmin(_pq_subvectors(emb), cb).select(
+    # session-cached stored code table (r14) — the same fresh codes the
+    # plain PQ and IVF-PQ paths scan
+    codes = _pq_codes_cached(spark, sf_dir, emb, cb).select(
         F.col("vec_id").alias("neighbor_id"), "m", "code"
     )
     qsubs = _pq_subvectors(emb.where(F.col("vec_id") < N_QUERY_VECS)).select(
@@ -2474,7 +2635,9 @@ def ann_ivfpq_residual_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
         / F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
     )
     normed = emb.select("vec_id", unit.alias("u"))
-    assigned = _assign_cells(emb.select("vec_id", "embedding"), coarse).select(
+    # session-cached invlists (r14) — the same fresh assignment every
+    # serving path over this coarse index probes
+    assigned = _corpus_cells_cached(spark, sf_dir, emb, coarse, n_cells).select(
         "vec_id", "cell"
     )
     resid = (
@@ -2492,12 +2655,22 @@ def ann_ivfpq_residual_topk(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     if cb is None:
         cb = _pq_fit_from_subs(rsubs.select("vec_id", "m", "sub"))
         _PQ_RES_CACHE[key] = cb
-    codes = (
-        _pq_argmin(rsubs.select("vec_id", "m", "sub"), cb)
-        .select("vec_id", "m", "code")
-        .join(assigned, "vec_id")
-        .select(F.col("vec_id").alias("neighbor_id"), "cell", "m", "code")
+    # the residual code table, session-cached like every stored code
+    # table (r14): per-(vec, m) argmin against the residual codebook +
+    # the cell tag — what a residual-PQ store persists per vector
+    ckey = (
+        spark.sparkContext.applicationId, sf_dir, PQ_M, PQ_K, PQ_ITERS, "rescodes",
     )
+    codes = _PQ_RES_CACHE.get(ckey)
+    if codes is None:
+        codes = (
+            _pq_argmin(rsubs.select("vec_id", "m", "sub"), cb)
+            .select("vec_id", "m", "code")
+            .join(assigned, "vec_id")
+            .select(F.col("vec_id").alias("neighbor_id"), "cell", "m", "code")
+            .localCheckpoint()
+        )
+        _PQ_RES_CACHE[ckey] = codes
     q_w = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
     probe_cells = (
         emb.where(F.col("vec_id") < N_QUERY_VECS)
@@ -2636,7 +2809,10 @@ def ann_pq_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     cut = _append_cut(spark, sf_dir, emb)
     base = emb.where(F.col("vec_id") <= F.lit(cut))
     cb = _pq_codebooks_cached(spark, f"{sf_dir}::base", base)
-    return _pq_adc_refined(emb, cb, k)
+    # the FULL corpus encoded with the stale codebooks — the stored code
+    # table of the stale index; shared with the stale IVF-PQ arm (r14)
+    codes = _pq_codes_cached(spark, f"{sf_dir}::base", emb, cb)
+    return _pq_adc_refined(emb, cb, k, codes=codes)
 
 
 def ann_pq_deletion_repair(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
@@ -2658,7 +2834,14 @@ def ann_pq_deletion_repair(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     emb = ensure_parallelism(load_tables(spark, sf_dir).embeddings)
     cb = _pq_codebooks_cached(spark, sf_dir, emb)
     surviving = emb.where(F.col("vec_id") % VEC_DELETION_MOD != 0)
-    return _pq_adc_refined(surviving, cb, k)
+    # code-table repair = anti-join on the stored codes (r14): encoding
+    # is per-row, so filtering the cached code table is bit-identical to
+    # encoding the surviving corpus — the equivalence the docstring
+    # documents, now executed as the stored-artifact anti-join it is
+    codes = _pq_codes_cached(spark, sf_dir, emb, cb).where(
+        F.col("vec_id") % VEC_DELETION_MOD != 0
+    )
+    return _pq_adc_refined(surviving, cb, k, codes=codes)
 
 
 #: SQ8 shortlist size (the scalar-quantization refine budget — the same
