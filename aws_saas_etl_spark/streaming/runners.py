@@ -889,21 +889,15 @@ def _stream_manifest_delta_rows(spark, sf_dir: str) -> DataFrame:
         _shard_cols,
         _stored_base_verdicts,
     )
-    from aws_saas_etl_spark.operators.dedup import (
-        DELTA_DOC_FRACTION,
-        _shingle_table,
-    )
+    from aws_saas_etl_spark.operators.dedup import delta_doc_cut
     from aws_saas_etl_spark.operators.textops import (
         FILTER_MIN_QUALITY,
         FILTER_MIN_TOKENS,
     )
 
-    sh = _shingle_table(spark, sf_dir)
-    # the shared base/delta boundary, fetched once as a bounded scalar
-    # (the same documented collect class as the incremental manifest)
-    cut = sh.agg(
-        F.percentile("doc_id", 1.0 - DELTA_DOC_FRACTION).alias("cut")
-    ).first()["cut"]
+    # the shared base/delta boundary, a bounded scalar — session-cached
+    # across constructions since r14 (dedup.delta_doc_cut)
+    cut = delta_doc_cut(spark, sf_dir)
     _, sha_idx = _stored_base_verdicts(spark, sf_dir)
 
     path = _staged_delta_documents_dir(spark, sf_dir, cut)
